@@ -1,0 +1,241 @@
+"""MRAW container reading: lazy, memory-mapped access to packed frame payloads.
+
+A ``.mraw`` file is the raw pixel payload of a Photron recording: frames
+concatenated back-to-back, row-major, with no per-frame headers. The pixel
+encoding is given by the companion CIH/CIHX header:
+
+* 8-bit  — one byte per pixel.
+* 12-bit — MSB-first packed, 2 pixels per 3 bytes:
+           ``p0 = (b0 << 4) | (b1 >> 4)``, ``p1 = ((b1 & 0xF) << 8) | b2``.
+* 16-bit — little-endian uint16.
+
+Design: the reader memory-maps the byte payload and decodes on access, so a
+100 GB recording costs nothing to "open" (parity with the reference's
+pyMRAW memmap path, ``src/photron/video.py:332,580``). Two access styles:
+
+* :meth:`MRAWReader.read_frame` / :meth:`read_frames` — decoded ``uint16``
+  host arrays (numpy decode, or the C++ native decoder when built).
+* :meth:`MRAWReader.frame_bytes` — the *packed* bytes of a frame range, for
+  shipping raw (undecoded) data to TPU HBM where a Pallas kernel unpacks it
+  (:mod:`hsip_tpu.kernels.unpack`); 1.5 GB/s of PCIe saved per 12-bit GB/s.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Optional, Union
+
+import numpy as np
+
+__all__ = [
+    "MRAWReader",
+    "unpack_12bit",
+    "pack_12bit",
+    "find_mraw_payload",
+    "frame_nbytes",
+]
+
+PathLike = Union[str, Path]
+
+
+def frame_nbytes(width: int, height: int, bit_depth: int) -> int:
+    """Packed byte size of one frame."""
+    npix = width * height
+    if bit_depth == 8:
+        return npix
+    if bit_depth == 12:
+        if npix % 2:
+            raise ValueError("12-bit packing requires an even pixel count per frame")
+        return npix * 3 // 2
+    if bit_depth == 16:
+        return npix * 2
+    raise ValueError(f"Unsupported bit depth: {bit_depth}")
+
+
+def unpack_12bit(packed: np.ndarray) -> np.ndarray:
+    """Decode MSB-first 12-bit packed bytes to uint16 (host/numpy path).
+
+    ``packed`` is a uint8 array whose length is a multiple of 3; every 3 bytes
+    yield 2 pixels. This is the reference decoder the Pallas kernel and the
+    C++ decoder are validated against.
+    """
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    if packed.size % 3:
+        raise ValueError("12-bit packed buffer length must be a multiple of 3")
+    b = packed.reshape(-1, 3).astype(np.uint16)
+    out = np.empty((b.shape[0], 2), dtype=np.uint16)
+    out[:, 0] = (b[:, 0] << 4) | (b[:, 1] >> 4)
+    out[:, 1] = ((b[:, 1] & 0x0F) << 8) | b[:, 2]
+    return out.reshape(-1)
+
+
+def pack_12bit(pixels: np.ndarray) -> np.ndarray:
+    """Encode uint16 pixels (values < 4096) into MSB-first 12-bit bytes."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint16).reshape(-1)
+    if pixels.size % 2:
+        raise ValueError("12-bit packing requires an even pixel count")
+    if pixels.size and int(pixels.max()) > 0xFFF:
+        raise ValueError("12-bit packing requires pixel values < 4096")
+    p = pixels.reshape(-1, 2)
+    out = np.empty((p.shape[0], 3), dtype=np.uint8)
+    out[:, 0] = (p[:, 0] >> 4).astype(np.uint8)
+    out[:, 1] = (((p[:, 0] & 0x0F) << 4) | (p[:, 1] >> 8)).astype(np.uint8)
+    out[:, 2] = (p[:, 1] & 0xFF).astype(np.uint8)
+    return out.reshape(-1)
+
+
+def find_mraw_payload(metadata_path: PathLike) -> Path:
+    """Locate the .mraw payload companion of a .cih/.cihx metadata file.
+
+    Convention: same stem, ``.mraw`` (any case) suffix, same directory.
+    """
+    meta = Path(metadata_path)
+    for suffix in (".mraw", ".MRAW", ".Mraw"):
+        candidate = meta.with_suffix(suffix)
+        if candidate.exists():
+            return candidate
+    raise FileNotFoundError(
+        f"No .mraw payload found next to {metadata_path} "
+        f"(expected {meta.with_suffix('.mraw')})"
+    )
+
+
+class MRAWReader:
+    """Lazy reader over a packed MRAW payload.
+
+    Parameters
+    ----------
+    path : path to the ``.mraw`` file.
+    width, height : frame geometry in pixels.
+    bit_depth : 8, 12 or 16.
+    total_frames : frame count; inferred from file size when omitted.
+    use_native : prefer the C++ decoder for 12-bit unpack when available.
+    """
+
+    def __init__(
+        self,
+        path: PathLike,
+        width: int,
+        height: int,
+        bit_depth: int,
+        total_frames: Optional[int] = None,
+        use_native: bool = True,
+    ):
+        self.path = Path(path)
+        self.width = int(width)
+        self.height = int(height)
+        self.bit_depth = int(bit_depth)
+        self._frame_nbytes = frame_nbytes(self.width, self.height, self.bit_depth)
+
+        file_size = self.path.stat().st_size
+        max_frames = file_size // self._frame_nbytes
+        if total_frames is None:
+            total_frames = max_frames
+        elif total_frames > max_frames:
+            raise ValueError(
+                f"Header claims {total_frames} frames but {self.path} holds "
+                f"only {max_frames} ({file_size} bytes / {self._frame_nbytes} per frame)"
+            )
+        self._total_frames = int(total_frames)
+
+        # Memory-map the packed payload; frames page in on access only.
+        self._mmap: Optional[np.memmap] = np.memmap(
+            self.path, dtype=np.uint8, mode="r",
+            shape=(self._total_frames, self._frame_nbytes),
+        )
+
+        self._native = None
+        if use_native and self.bit_depth == 12:
+            try:
+                from hsip_tpu._native import native_decoder
+
+                self._native = native_decoder()
+            except Exception:  # pragma: no cover - native build unavailable
+                self._native = None
+
+    # -- core accessors ----------------------------------------------------
+
+    def __len__(self) -> int:
+        return self._total_frames
+
+    @property
+    def frame_shape(self) -> tuple:
+        return (self.height, self.width)
+
+    @property
+    def frame_nbytes(self) -> int:
+        """Packed bytes per frame."""
+        return self._frame_nbytes
+
+    @property
+    def dtype(self) -> np.dtype:
+        return np.dtype(np.uint8 if self.bit_depth == 8 else np.uint16)
+
+    def _check_open(self) -> None:
+        if self._mmap is None:
+            raise ValueError("MRAWReader is closed")
+
+    def frame_bytes(self, start: int, stop: Optional[int] = None) -> np.ndarray:
+        """Packed bytes for frames [start, stop) as a (n, frame_nbytes) view.
+
+        This is the zero-copy staging path for on-device decode: the returned
+        memmap view is handed straight to ``jax.device_put`` so only raw
+        packed bytes cross PCIe.
+        """
+        self._check_open()
+        if stop is None:
+            stop = start + 1
+        return self._mmap[start:stop]
+
+    def _decode(self, packed: np.ndarray) -> np.ndarray:
+        """Decode packed frame bytes (n, frame_nbytes) -> (n, H, W) pixels."""
+        n = packed.shape[0]
+        if self.bit_depth == 8:
+            return np.array(packed).reshape(n, self.height, self.width)
+        if self.bit_depth == 16:
+            flat = np.frombuffer(np.ascontiguousarray(packed).tobytes(), dtype="<u2")
+            return flat.reshape(n, self.height, self.width).copy()
+        # 12-bit
+        if self._native is not None:
+            out = self._native.unpack_12bit(np.ascontiguousarray(packed).reshape(-1))
+        else:
+            out = unpack_12bit(np.ascontiguousarray(packed).reshape(-1))
+        return out.reshape(n, self.height, self.width)
+
+    def read_frame(self, index: int) -> np.ndarray:
+        """Decode one frame to a (H, W) array the caller owns."""
+        self._check_open()
+        if index < 0:
+            index = self._total_frames + index
+        if not 0 <= index < self._total_frames:
+            raise IndexError(
+                f"Frame index {index} out of range [0, {self._total_frames})"
+            )
+        return self._decode(self._mmap[index : index + 1])[0]
+
+    def read_frames(self, key: slice) -> np.ndarray:
+        """Decode a slice of frames to an (n, H, W) array."""
+        self._check_open()
+        indices = range(*key.indices(self._total_frames))
+        step = key.step or 1
+        if step == 1 and len(indices) > 0:
+            return self._decode(self._mmap[indices.start : indices.stop])
+        if len(indices) == 0:
+            return np.empty((0, self.height, self.width), dtype=self.dtype)
+        return np.stack([self.read_frame(i) for i in indices])
+
+    def close(self) -> None:
+        """Release the memory map."""
+        self._mmap = None
+
+    def __enter__(self) -> "MRAWReader":
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb) -> None:
+        self.close()
+
+    def __repr__(self) -> str:
+        return (
+            f"<MRAWReader '{self.path.name}' frames={self._total_frames} "
+            f"shape=({self.height}, {self.width}) bit_depth={self.bit_depth}>"
+        )

@@ -1,0 +1,219 @@
+"""IO layer tests: CIHX/CIH parsing, 12-bit packing, MRAW round-trips."""
+
+from datetime import datetime
+
+import numpy as np
+import pytest
+
+from hsip_tpu.io import (
+    CihxSpec,
+    MRAWReader,
+    frame_nbytes,
+    pack_12bit,
+    parse_cihx_xml,
+    read_cih_header,
+    read_cihx_header,
+    synthesize_flame_video,
+    unpack_12bit,
+    write_cih,
+    write_cihx,
+    write_mraw,
+    write_recording,
+)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit packing
+# ---------------------------------------------------------------------------
+
+
+def test_pack_unpack_roundtrip_random():
+    rng = np.random.default_rng(0)
+    pixels = rng.integers(0, 4096, size=2048, dtype=np.uint16)
+    packed = pack_12bit(pixels)
+    assert packed.dtype == np.uint8
+    assert packed.size == pixels.size * 3 // 2
+    np.testing.assert_array_equal(unpack_12bit(packed), pixels)
+
+
+def test_unpack_12bit_golden_bytes():
+    # Hand-built pattern: pixels 0xABC, 0xDEF pack to bytes AB CD EF (MSB-first).
+    packed = np.array([0xAB, 0xCD, 0xEF], dtype=np.uint8)
+    np.testing.assert_array_equal(
+        unpack_12bit(packed), np.array([0xABC, 0xDEF], dtype=np.uint16)
+    )
+    # Extremes.
+    packed = np.array([0xFF, 0xF0, 0x00], dtype=np.uint8)
+    np.testing.assert_array_equal(
+        unpack_12bit(packed), np.array([0xFFF, 0x000], dtype=np.uint16)
+    )
+
+
+def test_pack_12bit_rejects_out_of_range():
+    with pytest.raises(ValueError):
+        pack_12bit(np.array([4096, 0], dtype=np.uint16))
+    with pytest.raises(ValueError):
+        pack_12bit(np.array([1, 2, 3], dtype=np.uint16))  # odd count
+
+
+def test_frame_nbytes():
+    assert frame_nbytes(128, 64, 8) == 128 * 64
+    assert frame_nbytes(128, 64, 12) == 128 * 64 * 3 // 2
+    assert frame_nbytes(128, 64, 16) == 128 * 64 * 2
+    with pytest.raises(ValueError):
+        frame_nbytes(3, 3, 12)  # odd pixel count can't pack
+    with pytest.raises(ValueError):
+        frame_nbytes(128, 64, 10)
+
+
+# ---------------------------------------------------------------------------
+# CIHX / CIH headers
+# ---------------------------------------------------------------------------
+
+
+def _spec(**kw):
+    defaults = dict(width=256, height=64, total_frames=10, record_rate=100_000)
+    defaults.update(kw)
+    return CihxSpec(**defaults)
+
+
+def test_parse_cihx_xml_fields(tmp_path):
+    spec = _spec(
+        start_frame=-50,
+        skip_frame=2,
+        recorded_frame=5000,
+        shutter_speed_ns=2500,
+        irig=1,
+        date="2023/10/4",
+        time="14:29:21",
+    )
+    path = write_cihx(tmp_path / "test.cihx", spec)
+    meta = parse_cihx_xml(path)
+    assert meta["record_rate"] == 100_000
+    assert meta["start_frame"] == -50
+    assert meta["skip_frame"] == 2
+    assert meta["recorded_frame"] == 5000
+    assert meta["total_frame"] == 10
+    assert meta["shutter_speed_ns"] == 2500
+    assert meta["irig_enabled"] is True
+    assert meta["recording_datetime"] == datetime(2023, 10, 4, 14, 29, 21)
+
+
+def test_parse_cihx_xml_missing_xml_returns_defaults(tmp_path):
+    path = tmp_path / "garbage.cihx"
+    path.write_bytes(b"\x00\x01\x02 not xml at all")
+    meta = parse_cihx_xml(path)
+    assert meta["record_rate"] == 0
+    assert meta["recording_datetime"] is None
+    assert meta["skip_frame"] == 1
+
+
+def test_parse_cihx_xml_malformed_xml_returns_defaults(tmp_path):
+    path = tmp_path / "broken.cihx"
+    path.write_bytes(b"junk<?xml version='1.0'?><cih><unclosed></cih>")
+    meta = parse_cihx_xml(path)
+    assert meta["record_rate"] == 0
+
+
+def test_read_cihx_header_geometry(tmp_path):
+    spec = _spec(bit_depth=12, device_name="FASTCAM Nova S12")
+    path = write_cihx(tmp_path / "geo.cihx", spec)
+    info = read_cihx_header(path)
+    assert info["Image Width"] == 256
+    assert info["Image Height"] == 64
+    assert info["EffectiveBit Depth"] == 12
+    assert info["Total Frame"] == 10
+    assert info["Record Rate(fps)"] == 100_000
+    assert info["Camera Type"] == "FASTCAM Nova S12"
+    assert info["File Format"] == "MRaw"
+    assert abs(info["Shutter Speed(s)"] - 2e-6) < 1e-12
+
+
+def test_read_cih_header(tmp_path):
+    spec = _spec(bit_depth=16, trigger_frame=3)
+    path = write_cih(tmp_path / "test.cih", spec)
+    info = read_cih_header(path)
+    assert info["Image Width"] == 256
+    assert info["Record Rate(fps)"] == 100_000
+    assert info["EffectiveBit Depth"] == 16
+    assert info["Trigger Frame"] == 3
+    assert info["Total Frame"] == 10
+
+
+# ---------------------------------------------------------------------------
+# MRAWReader
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bit_depth", [8, 12, 16])
+def test_mraw_reader_roundtrip(tmp_path, bit_depth):
+    rng = np.random.default_rng(bit_depth)
+    maxval = (1 << bit_depth) - 1
+    frames = rng.integers(0, maxval + 1, size=(6, 32, 48), dtype=np.uint16)
+    path = write_mraw(tmp_path / "t.mraw", frames, bit_depth=bit_depth)
+    reader = MRAWReader(path, width=48, height=32, bit_depth=bit_depth)
+    assert len(reader) == 6
+    np.testing.assert_array_equal(reader.read_frame(0), frames[0])
+    np.testing.assert_array_equal(reader.read_frame(-1), frames[-1])
+    np.testing.assert_array_equal(reader.read_frames(slice(1, 4)), frames[1:4])
+    np.testing.assert_array_equal(reader.read_frames(slice(None, None, 2)), frames[::2])
+
+
+def test_mraw_reader_bounds_and_close(tmp_path):
+    frames = np.zeros((3, 8, 16), dtype=np.uint16)
+    path = write_mraw(tmp_path / "b.mraw", frames, bit_depth=16)
+    reader = MRAWReader(path, width=16, height=8, bit_depth=16)
+    with pytest.raises(IndexError):
+        reader.read_frame(3)
+    reader.close()
+    with pytest.raises(ValueError):
+        reader.read_frame(0)
+
+
+def test_mraw_reader_total_frames_exceeds_file(tmp_path):
+    frames = np.zeros((3, 8, 16), dtype=np.uint16)
+    path = write_mraw(tmp_path / "c.mraw", frames, bit_depth=16)
+    with pytest.raises(ValueError):
+        MRAWReader(path, width=16, height=8, bit_depth=16, total_frames=10)
+
+
+def test_frame_bytes_staging_path(tmp_path):
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 4096, size=(4, 16, 32), dtype=np.uint16)
+    path = write_mraw(tmp_path / "s.mraw", frames, bit_depth=12)
+    reader = MRAWReader(path, width=32, height=16, bit_depth=12)
+    raw = reader.frame_bytes(1, 3)
+    assert raw.shape == (2, frame_nbytes(32, 16, 12))
+    decoded = unpack_12bit(np.ascontiguousarray(raw).reshape(-1)).reshape(2, 16, 32)
+    np.testing.assert_array_equal(decoded, frames[1:3])
+
+
+# ---------------------------------------------------------------------------
+# Synthetic flame generator sanity
+# ---------------------------------------------------------------------------
+
+
+def test_synthetic_flame_positions_monotone():
+    frames, positions = synthesize_flame_video(20, height=32, width=256)
+    assert frames.shape == (20, 32, 256)
+    valid = positions[np.isfinite(positions)]
+    assert len(valid) > 10
+    assert np.all(np.diff(valid) > 0)  # moves right
+    # Bright plateau left of front, dark right of front.
+    i = 10
+    pos = int(positions[i])
+    assert frames[i, 16, max(0, pos - 20)] > 2000
+    assert frames[i, 16, min(255, pos + 20)] < 200
+
+
+def test_write_recording_full_roundtrip(tmp_path):
+    frames, _ = synthesize_flame_video(8, height=32, width=128)
+    meta = write_recording(tmp_path, "rec", frames, record_rate=50_000)
+    assert meta.suffix == ".cihx"
+    assert (tmp_path / "rec.mraw").exists()
+    info = read_cihx_header(meta)
+    assert info["Total Frame"] == 8
+    reader = MRAWReader(
+        tmp_path / "rec.mraw", width=128, height=32, bit_depth=12
+    )
+    np.testing.assert_array_equal(reader.read_frames(slice(0, 8)), frames)
