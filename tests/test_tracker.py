@@ -1,0 +1,385 @@
+"""Tracker tests: state machine semantics, detectors, spline, and a full
+scipy-backed oracle comparison of the detection pipeline."""
+
+import numpy as np
+import pytest
+import scipy.ndimage as ndi
+
+from hsip_tpu.io import FlameSpec, synthesize_flame_video
+from hsip_tpu.track import (
+    FlameDetector,
+    FlameDetectorConfig,
+    FlameTracker,
+    detect_gradient,
+    detect_half_maximum,
+    detect_profile,
+    detect_threshold,
+    fit_smoothing_spline,
+)
+
+
+# ---------------------------------------------------------------------------
+# Oracle: an independent implementation of the reference detection pipeline
+# built directly on scipy (the reference's actual backend). Used to prove the
+# framework's scipy-free pipeline is position-identical.
+# ---------------------------------------------------------------------------
+
+
+class ScipyOracle:
+    def __init__(self, config, frame_rate, calibration):
+        self.cfg = config
+        self.fps = frame_rate
+        self.cal = calibration
+        self.prior = None
+        self.history = []  # (frame, pos or None)
+        self.vel = []  # [frame, v1, v2, vc]
+        self.ddt = None
+        dt = 1.0 / frame_rate
+        self.max_disp = int(np.ceil(config.max_velocity_change_m_s * dt / calibration)) + 1
+
+    def bounds(self, frame_idx, width):
+        margin = self.cfg.edge_margin_px
+        last = next(((p, f) for f, p in reversed(self.history) if p is not None), None)
+        if last is None:
+            return margin, width - margin
+        pos, fidx = last
+        disp = self.max_disp * max(1, frame_idx - fidx)
+        return pos, min(width - margin, pos + disp + self.cfg.search_window_px)
+
+    def detect(self, frame, frame_idx, bg):
+        h, w = frame.shape
+        center = h // 2
+        sub = frame.astype(np.float64) - bg
+        sub[sub < 0] = 0
+        s0, s1 = self.bounds(frame_idx, w)
+        pos_g = pos_s = None
+        if self.prior is not None:
+            diff = sub - self.prior
+            diff[diff < self.cfg.frame_diff_threshold] = 0
+            k = self.cfg.morphology_kernel_size
+            opened = ndi.grey_opening(diff, size=(k, k))
+            blurred = ndi.gaussian_filter(opened, sigma=self.cfg.gaussian_sigma)
+            sob = ndi.sobel(blurred, axis=1)[center, :]
+            grad = np.gradient(blurred, axis=1)[center, :]
+            ws, wg = sob[s0:s1], grad[s0:s1]
+            if len(ws) and len(wg):
+                if np.min(wg) < -self.cfg.min_gradient_strength:
+                    pos_g = s0 + int(np.argmin(wg))
+                smax = np.max(np.abs(ws))
+                if smax > self.cfg.min_gradient_strength:
+                    above = np.abs(ws) > smax * self.cfg.sobel_threshold_fraction
+                    if np.any(above):
+                        pos_s = s0 + int(np.max(np.nonzero(above)[0]))
+        final = max([p for p in (pos_g, pos_s) if p is not None], default=None)
+        self.history.append((frame_idx, final))
+        self.prior = sub.copy()
+        # velocities
+        if final is not None and len(self.history) >= 2:
+            cf, cp = self.history[-1]
+            pf, pp = self.history[-2]
+            if pp is not None:
+                dt = (cf - pf) / self.fps
+                if dt > 0:
+                    v1 = (cp - pp) * self.cal / dt
+                    v2 = vc = None
+                    if len(self.history) >= 3:
+                        _, p2 = self.history[-3]
+                        if p2 is not None:
+                            v2 = (3 * cp - 4 * pp + p2) * self.cal / (2 * dt)
+                            vc = (cp - p2) * self.cal / (2 * dt)
+                            if self.vel:
+                                self.vel[-1][3] = vc
+                    self.vel.append([frame_idx, v1, v2, None])
+                    if self.ddt is None and len(self.vel) >= 2:
+                        if v1 - self.vel[-2][1] > self.cfg.ddt_velocity_jump_m_s:
+                            self.ddt = frame_idx
+        return final, (pos_g, pos_s), (s0, s1)
+
+
+@pytest.fixture(scope="module")
+def flame_video():
+    flame = FlameSpec(
+        x0=35.0, v0_px=6.0, accel_px=0.35, ignition_frame=2,
+        ddt_frame=25, v_jump_px=30.0, seed=7,
+    )
+    frames, positions = synthesize_flame_video(
+        n_frames=35, height=48, width=640, flame=flame
+    )
+    return frames, positions
+
+
+def test_detector_matches_scipy_oracle(flame_video):
+    """The framework's scipy-free full-frame detector must be
+    position-identical and velocity-identical to the scipy oracle."""
+    frames, _ = flame_video
+    cfg = FlameDetectorConfig()
+    fps, cal = 80_000, 0.0008
+    bg = float(np.max(frames[0]))
+
+    det = FlameDetector(cfg, fps, cal)
+    oracle = ScipyOracle(cfg, fps, cal)
+
+    for i in range(len(frames)):
+        r = det.detect(frames[i], i, bg)
+        o_final, (o_g, o_s), o_bounds = oracle.detect(frames[i], i, bg)
+        assert r.search_bounds == o_bounds, f"bounds diverged at frame {i}"
+        assert r.pos_min_gradient == o_g, f"min-gradient diverged at frame {i}"
+        assert r.pos_rightmost_sobel == o_s, f"sobel diverged at frame {i}"
+        assert r.final_position == o_final, f"final diverged at frame {i}"
+
+    assert det.ddt_frame == oracle.ddt
+    ours = det.get_velocity_history()
+    theirs = [tuple(e) for e in oracle.vel]
+    assert len(ours) == len(theirs)
+    for a, b in zip(ours, theirs):
+        assert a[0] == b[0]
+        for x, y in zip(a[1:], b[1:]):
+            if y is None:
+                assert x is None
+            else:
+                assert x == pytest.approx(y, rel=1e-12)
+
+
+def test_detector_tracks_synthetic_trajectory(flame_video):
+    """Detected positions track the analytic front within a small error."""
+    frames, positions = flame_video
+    det = FlameDetector(FlameDetectorConfig(), 80_000, 0.0008)
+    bg = float(np.max(frames[0]))
+    errs = []
+    for i in range(len(frames)):
+        r = det.detect(frames[i], i, bg)
+        if r.final_position is not None and np.isfinite(positions[i]):
+            errs.append(abs(r.final_position - positions[i]))
+    assert len(errs) > 20
+    assert np.median(errs) < 12  # Sobel edge sits a few px around the sigmoid
+
+
+def test_ddt_latch_on_velocity_jump(flame_video):
+    frames, _ = flame_video
+    det = FlameDetector(FlameDetectorConfig(), 80_000, 0.0008)
+    bg = float(np.max(frames[0]))
+    for i in range(len(frames)):
+        det.detect(frames[i], i, bg)
+    # DDT was injected at frame 25 (v jumps by 30 px/frame = 1920 m/s > 1250).
+    assert det.ddt_detected
+    assert det.ddt_frame is not None and 25 <= det.ddt_frame <= 28
+    pre = det.get_pre_ddt_velocities()
+    post = det.get_post_ddt_velocities()
+    assert all(e[0] < det.ddt_frame for e in pre)
+    assert all(e[0] >= det.ddt_frame for e in post)
+
+
+# ---------------------------------------------------------------------------
+# FlameTracker unit semantics
+# ---------------------------------------------------------------------------
+
+
+def _profiles(width, edge_at, strength=100.0):
+    """Synthetic sobel/gradient lines with one sharp negative edge."""
+    sobel = np.zeros(width)
+    grad = np.zeros(width)
+    sobel[edge_at] = -strength
+    grad[edge_at] = -strength
+    return sobel, grad
+
+
+def test_tracker_search_bounds_and_step():
+    cfg = FlameDetectorConfig()
+    tr = FlameTracker(cfg, frame_rate=100_000, calibration_m_per_px=0.001)
+    # max displacement: 200 m/s / 100k fps = 2mm -> 2px, +1 = 3
+    assert tr.max_displacement_px == 3
+    width = 400
+    assert tr.get_search_bounds(0, width) == (10, 390)
+
+    r0 = tr.step(0, width, None, None)  # first frame: no profiles
+    assert r0.final_position is None
+    assert r0.search_bounds == (10, 390)
+
+    s, g = _profiles(width, 50)
+    r1 = tr.step(1, width, s, g)
+    assert r1.final_position == 50
+    # After a detection at 50: bounds start at 50.
+    assert tr.get_search_bounds(2, width) == (50, 50 + 3 + 100)
+
+    # Gap of 3 frames multiplies displacement allowance.
+    assert tr.get_search_bounds(4, width) == (50, 50 + 9 + 100)
+
+
+def test_tracker_candidates_rightmost_wins():
+    cfg = FlameDetectorConfig()
+    tr = FlameTracker(cfg, 100_000, 0.001)
+    width = 300
+    sobel = np.zeros(width)
+    grad = np.zeros(width)
+    grad[80] = -50.0          # min gradient at 80
+    sobel[120] = 40.0         # rightmost sobel above 0.1*40 at 120
+    r = tr.step(0, width, sobel, grad)
+    assert r.pos_min_gradient == 80
+    assert r.pos_rightmost_sobel == 120
+    assert r.final_position == 120  # rightmost candidate
+
+
+def test_tracker_weak_signals_rejected():
+    cfg = FlameDetectorConfig()  # min_gradient_strength = 10
+    tr = FlameTracker(cfg, 100_000, 0.001)
+    sobel, grad = _profiles(200, 50, strength=5.0)  # below threshold
+    r = tr.step(0, 200, sobel, grad)
+    assert r.final_position is None
+
+
+def test_tracker_velocities_hand_computed():
+    cfg = FlameDetectorConfig()
+    fps, cal = 10_000, 0.001
+    tr = FlameTracker(cfg, fps, cal)
+    width = 1000
+    for i, pos in enumerate([100, 120, 150]):
+        s, g = _profiles(width, pos)
+        tr.step(i, width, s, g)
+    hist = tr.get_velocity_history()
+    dt = 1.0 / fps
+    # v1 @ frame1: (120-100)*0.001/dt = 200
+    assert hist[0][1] == pytest.approx(200.0)
+    # v1 @ frame2: (150-120)*0.001/dt = 300
+    assert hist[1][1] == pytest.approx(300.0)
+    # v2 @ frame2: (3*150-4*120+100)*0.001/(2dt) = (450-480+100)/2 * 10 = 350
+    assert hist[1][2] == pytest.approx(350.0)
+    # vc retro-filled into frame1 entry: (150-100)*0.001/(2dt) = 250
+    assert hist[0][3] == pytest.approx(250.0)
+    assert hist[1][3] is None  # newest entry has no central diff yet
+    # clear_last_central_difference wipes entry[-2]'s vc
+    tr.clear_last_central_difference()
+    assert tr.get_velocity_history()[0][3] is None
+
+
+def test_tracker_gap_in_detection_resets_dt():
+    cfg = FlameDetectorConfig()
+    fps, cal = 10_000, 0.001
+    tr = FlameTracker(cfg, fps, cal)
+    width = 1000
+    s, g = _profiles(width, 100)
+    tr.step(0, width, s, g)
+    tr.step(1, width, np.zeros(width), np.zeros(width))  # no detection
+    s, g = _profiles(width, 160)
+    tr.step(2, width, s, g)
+    # prev entry has pos None -> no velocity computed at frame 2
+    assert tr.get_velocity_history() == []
+    s, g = _profiles(width, 190)
+    tr.step(3, width, s, g)
+    hist = tr.get_velocity_history()
+    assert len(hist) == 1
+    assert hist[0][1] == pytest.approx((190 - 160) * cal * fps)
+
+
+def test_tracker_reset():
+    tr = FlameTracker(FlameDetectorConfig(), 10_000, 0.001)
+    s, g = _profiles(100, 50)
+    tr.step(0, 100, s, g)
+    tr.reset()
+    assert tr.position_history == []
+    assert tr.last_position is None
+    assert not tr.ddt_detected
+
+
+# ---------------------------------------------------------------------------
+# Standalone profile detectors (README methods)
+# ---------------------------------------------------------------------------
+
+
+def _step_profile(width=200, front=120, level=1000.0, noise=0.0, seed=0):
+    rng = np.random.default_rng(seed)
+    p = np.zeros(width)
+    p[:front] = level
+    if noise:
+        p += rng.uniform(0, noise, width)
+    return p
+
+
+def test_detect_threshold_contiguous_edge():
+    p = _step_profile(front=120)
+    p[180] = 900.0  # detached noise blob right of the front — must be ignored
+    assert detect_threshold(p, fraction=0.5) == 119
+
+
+def test_detect_half_maximum():
+    xs = np.arange(300, dtype=np.float64)
+    p = 1000.0 / (1.0 + np.exp((xs - 150.0) / 3.0))  # sigmoid falling at 150
+    pos = detect_half_maximum(p)
+    assert pos == pytest.approx(150, abs=2)
+    # Never-falling profile: edge = window end.
+    assert detect_half_maximum(np.full(50, 10.0), min_intensity=0.0) == 49
+
+
+def test_detect_gradient():
+    p = _step_profile(front=80)
+    assert detect_gradient(p, min_strength=10.0) == pytest.approx(80, abs=1)
+    assert detect_gradient(np.zeros(100), min_strength=10.0) is None
+
+
+def test_detectors_empty_and_bounds():
+    p = _step_profile(front=120)
+    assert detect_threshold(np.zeros(100), min_intensity=5.0) is None
+    assert detect_half_maximum(np.zeros(100), min_intensity=5.0) is None
+    assert detect_threshold(p, bounds=(0, 60)) == 59
+    assert detect_gradient(p, min_strength=1.0, bounds=(100, 140)) == pytest.approx(80 + 20 + 0, abs=41)
+
+
+def test_detect_profile_dispatch():
+    p = _step_profile(front=100)
+    cfg = FlameDetectorConfig()
+    assert detect_profile(p, "threshold", cfg) == 99
+    assert detect_profile(p, "gradient", cfg) is not None
+    assert detect_profile(p, "half_maximum", cfg) is not None
+    with pytest.raises(ValueError):
+        detect_profile(p, "bogus", cfg)
+
+
+# ---------------------------------------------------------------------------
+# Smoothing spline
+# ---------------------------------------------------------------------------
+
+
+def test_spline_interpolates_at_s0():
+    x = np.arange(10, dtype=float)
+    y = x**2
+    sp = fit_smoothing_spline(x, y, s=0.0)
+    np.testing.assert_allclose(sp(x), y, atol=1e-8)
+
+
+def test_spline_hits_target_residual():
+    rng = np.random.default_rng(1)
+    x = np.arange(50, dtype=float)
+    y = 0.05 * x**2 + rng.normal(0, 2.0, 50)
+    s = 25.0
+    sp = fit_smoothing_spline(x, y, s=s)
+    resid = float(np.sum((sp(x) - y) ** 2))
+    assert resid == pytest.approx(s, rel=1e-3)
+
+
+def test_spline_degenerate_inputs():
+    assert fit_smoothing_spline(np.array([0.0, 1.0]), np.array([1.0, 2.0]), 1.0) is None
+    x = np.array([0.0, 1.0, 1.0, 2.0])
+    assert fit_smoothing_spline(x, x, 1.0) is None
+
+
+def test_spline_extrapolation_is_finite_and_sane():
+    x = np.arange(20, dtype=float)
+    y = 3.0 * x + 1.0
+    sp = fit_smoothing_spline(x, y, s=0.5 * len(x))
+    # Linear data -> near-linear spline; extrapolate one step ahead.
+    assert sp(20.0) == pytest.approx(61.0, rel=0.05)
+
+
+def test_spline_close_to_scipy_univariate():
+    """Plot-parity (loose): our smoother should land near scipy's
+    UnivariateSpline for the tracker's actual usage pattern."""
+    from scipy.interpolate import UnivariateSpline
+
+    rng = np.random.default_rng(3)
+    x = np.arange(30, dtype=float)
+    y = 50 + 6 * x + 0.3 * x**2 + rng.normal(0, 1.5, 30)
+    s = 0.5 * len(x)
+    ours = fit_smoothing_spline(x, y, s=s)
+    theirs = UnivariateSpline(x, y, s=s, k=3)
+    xq = np.linspace(0, 29, 97)
+    # Within a couple of pixels everywhere (both smooth the same data).
+    assert np.max(np.abs(ours(xq) - theirs(xq))) < 3.0
