@@ -1,0 +1,398 @@
+"""Pipeline orchestration (L4): per-source processing, results tables.
+
+Parity target: reference ``scripts/process_videos.py:1277-1699``
+(``process_video_source`` + ``main``) — file discovery, per-file calibration,
+background estimation, tracking, DDT-split results tables, diagnostics —
+rebuilt on the map-then-scan TPU driver (:mod:`hsip_tpu.track.scan`).
+
+Output tables are format-identical to the reference writer
+(``process_videos.py:1561-1604``): same header block, same column names,
+same ``%.9f`` / ``%.3f`` formatting, same space delimiting.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from . import open_video
+from .track.config import FlameDetectorConfig, VideoSourceConfig
+from .track.scan import TrackingOutput, track_video
+from .track.tracker import FlameDetector
+from .video import SpatialCalibration
+
+__all__ = [
+    "write_position_results",
+    "process_video_file",
+    "process_video_source",
+    "RESULT_COLUMNS",
+]
+
+RESULT_COLUMNS = [
+    "#Frame",
+    "Time_s",
+    "Position_px",
+    "Position_m",
+    "Vel_Backward1",
+    "Vel_Backward2",
+    "Vel_Central",
+]
+
+_HEADER_LINES = [
+    "# Flame Position and Velocity Data",
+    "#",
+    "# Velocity Extraction Methods:",
+    "#   Vel_Backward1: First-order backward difference",
+    "#                  v_n = (x_n - x_{n-1}) / dt",
+    "#                  Evaluates velocity at current time step",
+    "#",
+    "#   Vel_Backward2: Second-order backward difference",
+    "#                  v_n = (3*x_n - 4*x_{n-1} + x_{n-2}) / (2*dt)",
+    "#                  Higher accuracy at current time, requires 3 points",
+    "#",
+    "#   Vel_Central:   Second-order central difference",
+    "#                  v_{n-1} = (x_n - x_{n-2}) / (2*dt)",
+    "#                  Most accurate, but evaluates at PRIOR time step",
+    "#",
+]
+
+
+def write_position_results(data: List[Tuple], filepath, label: str = "") -> Path:
+    """Write a results table: documented header + space-delimited rows.
+
+    ``data`` rows are (frame, time_s, pos_px, pos_m, v1, v2, vc); velocity
+    entries may be None (written as empty fields).
+    """
+    filepath = Path(filepath)
+    with open(filepath, "w") as f:
+        for line in _HEADER_LINES:
+            f.write(line + "\n")
+        f.write(" ".join(RESULT_COLUMNS) + "\n")
+        for f_idx, t_s, pixel_pos, p_m, v1, v2, vc in data:
+            row = [
+                str(f_idx),
+                f"{t_s:.9f}",
+                str(pixel_pos),
+                f"{p_m:.9f}",
+                f"{v1:.3f}" if v1 is not None else "",
+                f"{v2:.3f}" if v2 is not None else "",
+                f"{vc:.3f}" if vc is not None else "",
+            ]
+            f.write(" ".join(row) + "\n")
+    if label:
+        print(f"  {label}: {filepath} ({len(data)} points)")
+    return filepath
+
+
+def _write_ddt_split_tables(
+    output: TrackingOutput, output_dir: Path, stem: str, verbose: bool = True
+) -> dict:
+    """All / pre-DDT / post-DDT tables for one video's tracking output."""
+    merged = output.merged_rows()
+    all_data = [(f, t, px, m, v1, v2, vc) for f, t, px, m, v1, v2, vc, _ in merged]
+    pre = [(f, t, px, m, v1, v2, vc) for f, t, px, m, v1, v2, vc, p in merged if not p]
+    post = [(f, t, px, m, v1, v2, vc) for f, t, px, m, v1, v2, vc, p in merged if p]
+
+    paths = {}
+    paths["all"] = write_position_results(
+        all_data, output_dir / f"{stem}-flame-position.txt",
+        "All results" if verbose else "",
+    )
+    if pre:
+        paths["pre_ddt"] = write_position_results(
+            pre, output_dir / f"{stem}-flame-position-pre-DDT.txt",
+            "Pre-DDT" if verbose else "",
+        )
+    if post:
+        paths["post_ddt"] = write_position_results(
+            post, output_dir / f"{stem}-flame-position-post-DDT.txt",
+            "Post-DDT" if verbose else "",
+        )
+    return paths
+
+
+def process_video_file(
+    cihx_file,
+    config: VideoSourceConfig,
+    detector_config: Optional[FlameDetectorConfig] = None,
+    backend: str = "tpu",
+    verbose: bool = True,
+    write_outputs: bool = True,
+    save_images: Optional[bool] = None,
+) -> TrackingOutput:
+    """Process one recording: track the flame front and write result tables.
+
+    ``backend``:
+      * 'tpu'   — batched device map phase + host float64 scan (default).
+      * 'exact' — frame-at-a-time host float64 :class:`FlameDetector`
+                  (bit-exact anchor; also used for full-frame visualization).
+    """
+    cihx_file = Path(cihx_file)
+    detector_config = detector_config or FlameDetectorConfig()
+    file_calibration, file_position_offset = config.get_calibration_for_file(
+        cihx_file.name
+    )
+
+    if verbose:
+        print(f"\nLoading: {cihx_file.name}")
+        print(
+            f"  Using calibration: {file_calibration} m/pixel, "
+            f"offset: {file_position_offset} m"
+        )
+
+    video = open_video(
+        str(cihx_file),
+        trigger_frame=config.trigger_frame,
+        calibration=SpatialCalibration(scale=file_calibration, units="m"),
+    )
+    try:
+        if verbose:
+            print(f"  Frames: {len(video)}")
+            print(f"  Frame rate: {video.frame_rate} fps")
+            print(f"  Frame shape: {video.frame_shape}")
+            print(f"  Duration: {video.duration:.6f} s")
+            if video.has_absolute_timing:
+                cihx = video.cihx_metadata
+                print("  CIHX Timing (parsed from XML):")
+                print(f"    Recording datetime: {cihx.get('recording_datetime')}")
+                print(f"    Record rate: {cihx.get('record_rate')} fps")
+                print(f"    Start frame: {cihx.get('start_frame')}")
+                print(f"    Skip frame: {cihx.get('skip_frame')}")
+
+        background_scalar = float(np.max(video[0]))
+        if verbose:
+            print(f"  Background scalar: {background_scalar}")
+
+        output_dir = Path(config.output_dir) if config.output_dir else None
+        frames_output_dir = None
+        do_images = config.save_frame_images if save_images is None else save_images
+        if write_outputs and output_dir is not None:
+            output_dir.mkdir(parents=True, exist_ok=True)
+            frames_output_dir = output_dir / f"{cihx_file.stem}-frames"
+            frames_output_dir.mkdir(parents=True, exist_ok=True)
+
+        # Paper-style stacked sequences (viz, root-only in distributed runs).
+        if (
+            write_outputs
+            and frames_output_dir is not None
+            and config.save_stacked_sequences
+        ):
+            from . import viz
+
+            total = len(video)
+            n_display = min(15, total)
+            step = max(1, total // n_display)
+            display_frames = list(range(0, total, step))[:n_display]
+            viz.generate_stacked_sequence(
+                video,
+                display_frames,
+                background_scalar,
+                frames_output_dir / f"{cihx_file.stem}-stacked-sequence.png",
+                title=cihx_file.stem,
+                show_frame_diff=True,
+                figsize_width=12.0,
+            )
+            viz.generate_stacked_sequence_single_column(
+                video,
+                display_frames,
+                background_scalar,
+                frames_output_dir / f"{cihx_file.stem}-stacked-single.png",
+                use_frame_diff=False,
+                title=cihx_file.stem,
+                figsize_width=8.0,
+            )
+
+        on_result = None
+        if do_images and frames_output_dir is not None and write_outputs:
+            from . import viz
+
+            def on_result(result, tracker):  # noqa: ANN001
+                # Full-frame intermediates for the diagnostic figure are
+                # recomputed on demand (host) — the hot path never makes them.
+                viz.save_frame_image_from_video(
+                    video,
+                    result,
+                    tracker,
+                    background_scalar,
+                    frames_output_dir,
+                    config.name,
+                    detector_config,
+                )
+
+        if backend == "tpu":
+            output = track_video(
+                video,
+                detector_config,
+                calibration_m_per_px=file_calibration,
+                position_offset_m=file_position_offset,
+                skip_frames=config.skip_frames,
+                use_absolute_time=config.use_absolute_time,
+                background_scalar=background_scalar,
+                on_result=on_result,
+            )
+        elif backend == "exact":
+            output = _track_video_exact(
+                video,
+                detector_config,
+                file_calibration,
+                file_position_offset,
+                config,
+                background_scalar,
+                on_result=on_result,
+            )
+        else:
+            raise ValueError(f"Unknown backend: {backend!r} (expected 'tpu' or 'exact')")
+
+        if verbose:
+            print(f"  Skipped {output.empty_frame_count} empty/noise-only frames")
+            if output.break_reason == "exit":
+                print(
+                    f"  Wave exited domain at frame {output.break_frame} (not recorded)"
+                )
+            elif output.break_reason == "velocity_drop":
+                print(
+                    f"  Velocity drop detected at frame {output.break_frame} "
+                    f"(not recorded)"
+                )
+            if output.tracker.ddt_detected:
+                print(f"  *** DDT DETECTED at frame {output.tracker.ddt_frame} ***")
+
+        if write_outputs and output_dir is not None and output.rows:
+            _write_ddt_split_tables(output, output_dir, cihx_file.stem, verbose)
+            if verbose:
+                print("\nResults summary:")
+                print(f"  Total detections: {len(output.rows)}")
+
+        return output
+    finally:
+        video.close()
+
+
+def _track_video_exact(
+    video,
+    detector_config: FlameDetectorConfig,
+    calibration: float,
+    position_offset: float,
+    config: VideoSourceConfig,
+    background_scalar: float,
+    on_result=None,
+) -> TrackingOutput:
+    """Bit-exact anchor: the reference's serial frame loop, float64 host ops.
+
+    Loop semantics parity: ``scripts/process_videos.py:1441-1527``.
+    """
+    from .kernels.reference import is_empty_frame, subtract_scalar_background
+    from .track.scan import MIN_SIGNAL_FRACTION, NOISE_THRESHOLD_FLOOR
+
+    detector = FlameDetector(
+        detector_config, video.frame_rate, calibration, keep_results=False
+    )
+    time_fn = video.get_absolute_time if config.use_absolute_time else video.get_time
+    skip = set(config.skip_frames)
+
+    rows: List[Tuple] = []
+    empty_count = 0
+    break_frame = None
+    break_reason = None
+    noise_thresh = max(NOISE_THRESHOLD_FLOOR, background_scalar * 0.5)
+
+    for frame_idx in range(len(video)):
+        if frame_idx in skip:
+            continue
+        frame = video[frame_idx]
+        time_s = time_fn(frame_idx)
+        frame_subtracted = subtract_scalar_background(frame, background_scalar)
+
+        if is_empty_frame(frame_subtracted, noise_thresh, MIN_SIGNAL_FRACTION):
+            empty_count += 1
+            detector.update_prior_frame(frame_subtracted)
+            continue
+
+        result = detector.detect(frame, frame_idx, background_scalar)
+        if on_result is not None:
+            on_result(result, detector.tracker)
+
+        flame_position = result.final_position
+        velocity = detector.last_velocity
+
+        if (
+            flame_position is not None
+            and flame_position >= video.width - detector_config.exit_margin_px
+        ):
+            detector.clear_last_central_difference()
+            break_frame, break_reason = frame_idx, "exit"
+            break
+
+        vel_history = detector.get_velocity_history()
+        if velocity is not None and len(vel_history) >= 2:
+            prev_v1 = vel_history[-2][1]
+            if prev_v1 is not None and prev_v1 > 100:
+                if (prev_v1 - velocity) / prev_v1 > 0.5:
+                    detector.clear_last_central_difference()
+                    break_frame, break_reason = frame_idx, "velocity_drop"
+                    break
+
+        if flame_position is not None:
+            pos_m = flame_position * calibration + position_offset
+            is_post = detector.ddt_detected and frame_idx >= detector.ddt_frame
+            rows.append((frame_idx, time_s, flame_position, pos_m, is_post))
+
+    return TrackingOutput(
+        rows=rows,
+        tracker=detector.tracker,
+        empty_frame_count=empty_count,
+        break_frame=break_frame,
+        break_reason=break_reason,
+    )
+
+
+def process_video_source(
+    config: VideoSourceConfig,
+    detector_config: Optional[FlameDetectorConfig] = None,
+    backend: str = "tpu",
+    processor=None,
+    verbose: bool = True,
+) -> List[TrackingOutput]:
+    """Process every ``*.cihx`` under a source's video path.
+
+    With a :class:`~hsip_tpu.parallel.TPUVideoProcessor`, whole videos are
+    distributed across processes (video-axis data parallelism — each video's
+    scan stays serial-identical); outputs are written by the owning process.
+    """
+    is_root = processor is None or processor.is_root
+    if verbose and is_root:
+        print(f"\n{'=' * 60}")
+        print(f"Processing: {config.name}")
+        print(f"Video path: {config.video_path}")
+        print(f"Default calibration: {config.calibration} m/pixel")
+        print(f"{'=' * 60}")
+
+    if not config.video_path:
+        return []
+    video_path = Path(config.video_path)
+    cihx_files = sorted(video_path.rglob("*.cihx"))
+    if not cihx_files:
+        if verbose and is_root:
+            print(f"No CIHX files found in {config.video_path}")
+        return []
+
+    if processor is not None:
+        my_indices = set(processor.distribute_indices(len(cihx_files)))
+        cihx_files = [f for i, f in enumerate(cihx_files) if i in my_indices]
+
+    outputs = []
+    for cihx_file in cihx_files:
+        outputs.append(
+            process_video_file(
+                cihx_file,
+                config,
+                detector_config,
+                backend=backend,
+                verbose=verbose and is_root,
+            )
+        )
+    if processor is not None:
+        processor.barrier()
+    return outputs

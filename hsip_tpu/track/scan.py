@@ -1,0 +1,298 @@
+"""Map-then-scan tracking driver: batched device profiles → host tracker.
+
+The TPU execution model for one video (SURVEY.md §7 design):
+
+1. **Map phase (parallel, device):** decode + background-subtract + frame-diff
+   + opening + blur + Sobel/gradient centerline extraction for ALL frames,
+   batched and band-optimized (:func:`hsip_tpu.kernels.preprocess.
+   batch_centerline_profiles`). Frames are streamed in chunks with one frame
+   of overlap so each chunk carries its differencing priors.
+2. **Scan phase (sequential, host, float64):** the :class:`FlameTracker`
+   state machine consumes the tiny (W,)-profiles per frame, applying the
+   reference's serial semantics exactly: empty-frame skipping, search bounds,
+   candidate selection, velocities, DDT latch, domain-exit and velocity-drop
+   truncation (parity: ``scripts/process_videos.py:1441-1527``).
+
+This split fixes the reference's MPI semantic quirks (rank-local detector
+state, §2.6 of SURVEY.md): results are defined as *identical to a serial
+run*, while the heavy pixel work is fully parallel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .config import FlameDetectorConfig
+from .tracker import FlameTracker
+
+__all__ = [
+    "FrameProfiles",
+    "TrackingOutput",
+    "compute_profiles_batched",
+    "run_tracking_scan",
+    "track_video",
+]
+
+# Empty-frame test constants (reference process_videos.py:1458-1459).
+MIN_SIGNAL_FRACTION = 0.0005
+NOISE_THRESHOLD_FLOOR = 10.0
+
+
+@dataclass
+class FrameProfiles:
+    """Per-video precomputed detection inputs (the map-phase output)."""
+
+    frame_indices: np.ndarray      # (M,) processed frame indices, ascending
+    sobel_lines: np.ndarray        # (M, W) float
+    gradient_lines: np.ndarray     # (M, W) float
+    signal_counts: np.ndarray      # (M,) int — above-noise pixel counts
+    has_prior: np.ndarray          # (M,) bool — False only for the first
+    width: int
+    total_pixels: int              # H * W, for the empty-frame fraction
+
+
+@dataclass
+class TrackingOutput:
+    """Scan-phase output for one video."""
+
+    rows: List[Tuple]              # (frame, time_s, pos_px, pos_m, is_post_ddt)
+    tracker: FlameTracker
+    empty_frame_count: int = 0
+    break_frame: Optional[int] = None
+    break_reason: Optional[str] = None   # 'exit' | 'velocity_drop' | None
+
+    def merged_rows(self) -> List[Tuple]:
+        """Rows with velocities merged from the final tracker history:
+        (frame, time_s, pos_px, pos_m, v1, v2, vc, is_post_ddt)."""
+        vel = {e[0]: (e[1], e[2], e[3]) for e in self.tracker.get_velocity_history()}
+        out = []
+        for f, t, px, m, is_post in self.rows:
+            v1, v2, vc = vel.get(f, (None, None, None))
+            out.append((f, t, px, m, v1, v2, vc, is_post))
+        return out
+
+
+def compute_profiles_batched(
+    read_batch: Callable[[int, int], np.ndarray],
+    n_frames: int,
+    frame_shape: Tuple[int, int],
+    background_scalar: float,
+    config: FlameDetectorConfig,
+    skip_frames: Sequence[int] = (),
+    chunk_size: int = 256,
+    device_fn=None,
+) -> FrameProfiles:
+    """Map phase: batched device computation of per-frame centerline profiles.
+
+    Args:
+        read_batch: callable (start, stop) -> (n, H, W) decoded frames.
+        n_frames: total frames in the video.
+        frame_shape: (H, W).
+        background_scalar: max of frame 0 (reference behavior).
+        config: detector configuration (thresholds, kernel, sigma).
+        skip_frames: explicitly excluded frame indices.
+        chunk_size: frames per device dispatch (static shape; last chunk pads).
+        device_fn: override for the batched kernel (testing/backends).
+
+    The differencing prior of each processed frame is the previous processed
+    frame (empty frames included — they advance the motion baseline).
+    Chunks overlap by one processed frame so priors never cross host↔device.
+    """
+    from ..kernels.preprocess import batch_centerline_profiles
+
+    if device_fn is None:
+        device_fn = batch_centerline_profiles
+
+    skip = set(int(s) for s in skip_frames)
+    processed = np.array([i for i in range(n_frames) if i not in skip], dtype=np.int64)
+    m = processed.size
+    h, w = frame_shape
+    noise_threshold = max(NOISE_THRESHOLD_FLOOR, background_scalar * 0.5)
+
+    sobel_lines = np.zeros((m, w), dtype=np.float32)
+    gradient_lines = np.zeros((m, w), dtype=np.float32)
+    signal_counts = np.zeros(m, dtype=np.int64)
+
+    # Process in chunks over the PROCESSED index list; each chunk includes the
+    # previous processed frame at its head (prior overlap), chunk j covers
+    # processed positions [start, stop).
+    pos = 0
+    while pos < m:
+        stop = min(m, pos + chunk_size)
+        head = processed[max(pos - 1, 0)]
+        lo = int(head) if pos > 0 else int(processed[pos])
+        hi = int(processed[stop - 1]) + 1
+        batch = read_batch(lo, hi)  # (hi-lo, H, W), contiguous
+
+        # Positions of this chunk's processed frames within the batch.
+        local = processed[pos:stop] - lo
+        prior_local = np.empty(stop - pos, dtype=np.int32)
+        if pos > 0:
+            prior_local[0] = int(head) - lo
+        else:
+            prior_local[0] = -1
+        prior_local[1:] = local[:-1].astype(np.int32)
+
+        # The kernel takes one prior index per BATCH row; rows that are not
+        # processed frames (skip_frames) get -1 and produce zeros.
+        prior_index_full = np.full(hi - lo, -1, dtype=np.int32)
+        prior_index_full[local] = prior_local
+        sob, grad, counts = device_fn(
+            batch,
+            np.float32(background_scalar),
+            prior_index_full,
+            np.float32(config.frame_diff_threshold),
+            np.float32(noise_threshold),
+            morphology_kernel_size=config.morphology_kernel_size,
+            gaussian_sigma=config.gaussian_sigma,
+        )
+        sob = np.asarray(sob)
+        grad = np.asarray(grad)
+        counts = np.asarray(counts)
+        # The kernel computed profiles for every batch row; keep processed ones.
+        sobel_lines[pos:stop] = sob[local]
+        gradient_lines[pos:stop] = grad[local]
+        signal_counts[pos:stop] = counts[local]
+        pos = stop
+
+    has_prior = np.ones(m, dtype=bool)
+    if m:
+        has_prior[0] = False
+    return FrameProfiles(
+        frame_indices=processed,
+        sobel_lines=sobel_lines,
+        gradient_lines=gradient_lines,
+        signal_counts=signal_counts,
+        has_prior=has_prior,
+        width=w,
+        total_pixels=h * w,
+    )
+
+
+def run_tracking_scan(
+    profiles: FrameProfiles,
+    config: FlameDetectorConfig,
+    frame_rate: float,
+    calibration_m_per_px: float,
+    position_offset_m: float = 0.0,
+    time_fn: Optional[Callable[[int], float]] = None,
+    on_result=None,
+) -> TrackingOutput:
+    """Scan phase: sequential tracker over precomputed profiles.
+
+    Replicates the reference frame loop exactly (empty skip → detect → exit
+    check → velocity-drop check → record), in float64 on host.
+
+    ``on_result(result, tracker)`` is invoked per detection (for viz hooks).
+    """
+    tracker = FlameTracker(config, frame_rate, calibration_m_per_px)
+    rows: List[Tuple] = []
+    empty_count = 0
+    break_frame = None
+    break_reason = None
+
+    if time_fn is None:
+        time_fn = lambda i: i / frame_rate if frame_rate > 0 else 0.0  # noqa: E731
+
+    width = profiles.width
+    total_px = profiles.total_pixels
+
+    for j, frame_idx in enumerate(profiles.frame_indices):
+        frame_idx = int(frame_idx)
+        time_s = time_fn(frame_idx)
+
+        # Empty-frame skip: advances the prior chain (already baked into the
+        # precomputed diffs) but never touches tracker state.
+        if profiles.signal_counts[j] / total_px < MIN_SIGNAL_FRACTION:
+            empty_count += 1
+            continue
+
+        if profiles.has_prior[j]:
+            sobel_line = np.asarray(profiles.sobel_lines[j], dtype=np.float64)
+            gradient_line = np.asarray(profiles.gradient_lines[j], dtype=np.float64)
+        else:
+            sobel_line = None
+            gradient_line = None
+
+        result = tracker.step(frame_idx, width, sobel_line, gradient_line)
+        if on_result is not None:
+            on_result(result, tracker)
+
+        flame_position = result.final_position
+        velocity = tracker.last_velocity
+
+        # Domain-exit check BEFORE recording: at-edge positions carry
+        # artificially low velocity and must not enter the table.
+        if (
+            flame_position is not None
+            and flame_position >= width - config.exit_margin_px
+        ):
+            tracker.clear_last_central_difference()
+            break_frame, break_reason = frame_idx, "exit"
+            break
+
+        # Sudden >50% velocity drop (edge artifact short of the margin).
+        vel_history = tracker.get_velocity_history()
+        if velocity is not None and len(vel_history) >= 2:
+            prev_v1 = vel_history[-2][1]
+            if prev_v1 is not None and prev_v1 > 100:
+                if (prev_v1 - velocity) / prev_v1 > 0.5:
+                    tracker.clear_last_central_difference()
+                    break_frame, break_reason = frame_idx, "velocity_drop"
+                    break
+
+        if flame_position is not None:
+            pos_m = flame_position * calibration_m_per_px + position_offset_m
+            is_post_ddt = tracker.ddt_detected and frame_idx >= tracker.ddt_frame
+            rows.append((frame_idx, time_s, flame_position, pos_m, is_post_ddt))
+
+    return TrackingOutput(
+        rows=rows,
+        tracker=tracker,
+        empty_frame_count=empty_count,
+        break_frame=break_frame,
+        break_reason=break_reason,
+    )
+
+
+def track_video(
+    video,
+    config: FlameDetectorConfig,
+    calibration_m_per_px: float,
+    position_offset_m: float = 0.0,
+    skip_frames: Sequence[int] = (),
+    use_absolute_time: bool = True,
+    chunk_size: int = 256,
+    background_scalar: Optional[float] = None,
+    on_result=None,
+) -> TrackingOutput:
+    """End-to-end tracking of one :class:`~hsip_tpu.video.PhotonVideo`.
+
+    Map phase on device, scan phase on host; background taken from frame 0's
+    max (reference behavior) unless given.
+    """
+    if background_scalar is None:
+        background_scalar = float(np.max(video[0]))
+
+    profiles = compute_profiles_batched(
+        read_batch=video.read_batch,
+        n_frames=len(video),
+        frame_shape=video.frame_shape,
+        background_scalar=background_scalar,
+        config=config,
+        skip_frames=skip_frames,
+        chunk_size=chunk_size,
+    )
+    time_fn = video.get_absolute_time if use_absolute_time else video.get_time
+    return run_tracking_scan(
+        profiles,
+        config,
+        frame_rate=video.frame_rate,
+        calibration_m_per_px=calibration_m_per_px,
+        position_offset_m=position_offset_m,
+        time_fn=time_fn,
+        on_result=on_result,
+    )

@@ -1,0 +1,427 @@
+"""Visualization: per-frame diagnostic figures and stacked-sequence plots.
+
+Parity target: reference ``scripts/process_videos.py:783-1270`` — the
+12-panel per-frame diagnostic (pipeline stages, centerline profiles, result
+overlay, position history + spline, velocity comparison) and the paper-style
+stacked sequences.
+
+TPU-design note: the hot tracking path never materializes full-frame
+intermediates (it runs the band-optimized kernel); when diagnostics are
+requested, :func:`save_frame_image_from_video` recomputes the full-frame
+stages on host for the frames being rendered. Rendering is matplotlib/Agg on
+host, fed asynchronously from the tracking loop.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+
+from .kernels import reference as hostops  # noqa: E402
+from .track.config import FlameDetectionResult, FlameDetectorConfig  # noqa: E402
+
+__all__ = [
+    "save_frame_image",
+    "save_frame_image_from_video",
+    "generate_stacked_sequence",
+    "generate_stacked_sequence_single_column",
+]
+
+
+def _imshow_panel(ax, img, title, cmap, center_row, symmetric=False):
+    """One image panel with a centerline marker and 99th-pct scaling."""
+    if img is None:
+        ax.text(0.5, 0.5, "N/A", ha="center", va="center",
+                transform=ax.transAxes, fontsize=12)
+        ax.set_facecolor("lightgray")
+    else:
+        if symmetric:
+            vmax = np.percentile(np.abs(img), 99) if np.any(img != 0) else 1
+            ax.imshow(img, cmap=cmap, aspect="auto", vmin=-vmax, vmax=vmax)
+        elif cmap == "gray":
+            ax.imshow(img, cmap=cmap, aspect="auto")
+        else:
+            vmax = np.percentile(img, 99) if np.any(img > 0) else 1
+            ax.imshow(img, cmap=cmap, aspect="auto", vmin=0, vmax=vmax)
+        line_color = "black" if symmetric else "cyan"
+        ax.axhline(y=center_row, color=line_color, linestyle="--",
+                   linewidth=0.5, alpha=0.5)
+    ax.set_title(title, fontsize=10)
+    ax.set_ylabel("Y")
+
+
+def _position_markers(ax, result: FlameDetectionResult, show_final=True):
+    if result.search_bounds:
+        ax.axvline(x=result.search_bounds[0], color="lime", linestyle="--",
+                   linewidth=1.5, alpha=0.8)
+        ax.axvline(x=result.search_bounds[1], color="lime", linestyle=":",
+                   linewidth=1.5, alpha=0.8)
+    if result.pos_min_gradient is not None:
+        ax.axvline(x=result.pos_min_gradient, color="purple", linestyle="-",
+                   linewidth=2, alpha=0.7)
+    if result.pos_rightmost_sobel is not None:
+        ax.axvline(x=result.pos_rightmost_sobel, color="orange", linestyle="-",
+                   linewidth=2, alpha=0.7)
+    if show_final and result.final_position is not None:
+        ax.axvline(x=result.final_position, color="red", linestyle="-",
+                   linewidth=3, alpha=0.9)
+
+
+def save_frame_image(
+    frame: np.ndarray,
+    result: FlameDetectionResult,
+    output_path: Path,
+    source_name: str,
+    detector=None,
+) -> Path:
+    """Render the 12-panel per-frame diagnostic figure.
+
+    Panels: 6 pipeline-stage images (BG-sub, frame diff, opening, blur,
+    Sobel, gradient), 3 centerline profiles with detection markers, result
+    overlay with all candidates, position history + spline, velocity
+    comparison (3 stencils + DDT marker). ``detector`` may be a
+    FlameDetector or FlameTracker (history/spline/velocity source).
+    """
+    height, width = frame.shape[:2]
+    center_row = height // 2
+    x_pixels = np.arange(width)
+
+    img_h, plot_h = 1.5, 2.5
+    fig = plt.figure(figsize=(14, 6 * img_h + 6 * plot_h))
+    ratios = [img_h] * 6 + [plot_h] * 3 + [img_h, plot_h, plot_h]
+    gs = fig.add_gridspec(12, 1, height_ratios=ratios, hspace=0.3)
+    axes = [fig.add_subplot(gs[i, 0]) for i in range(12)]
+
+    velocity_str = ""
+    if detector is not None and detector.last_velocity is not None:
+        velocity_str = f" | v={detector.last_velocity:.1f} m/s"
+
+    # 1-6: pipeline stages.
+    _imshow_panel(
+        axes[0], result.frame_subtracted,
+        f"1. BG Subtracted - Frame {result.frame_idx} | "
+        f"t={result.time_s * 1e6:.1f} µs{velocity_str}",
+        "gray", center_row,
+    )
+    _imshow_panel(axes[1], result.frame_diff, "2. Frame Diff (current - prior)",
+                  "hot", center_row)
+    _imshow_panel(axes[2], result.noise_removed,
+                  "3. Noise Removed (morphological opening)", "hot", center_row)
+    _imshow_panel(axes[3], result.blurred, "4. Gaussian Blur", "hot", center_row)
+    _imshow_panel(axes[4], result.sobel_output, "5. Sobel Filter (horizontal)",
+                  "RdBu", center_row, symmetric=True)
+    _imshow_panel(axes[5], result.gradient_output, "6. Gradient Filter",
+                  "RdBu", center_row, symmetric=True)
+    for i in range(6):
+        if [result.frame_subtracted, result.frame_diff, result.noise_removed,
+                result.blurred, result.sobel_output, result.gradient_output][i] is not None:
+            _position_markers(axes[i], result)
+
+    # 7: frame-diff centerline.
+    ax = axes[6]
+    if result.frame_diff is not None:
+        diff_line = result.frame_diff[center_row, :]
+        ax.plot(x_pixels, diff_line, "r-", linewidth=1.5, label="Frame Diff")
+        ax.fill_between(x_pixels, 0, diff_line, alpha=0.3, color="red")
+    if result.search_bounds:
+        ax.axvline(x=result.search_bounds[0], color="lime", linestyle="--",
+                   linewidth=2,
+                   label=f"Search: {result.search_bounds[0]}-{result.search_bounds[1]}")
+        ax.axvline(x=result.search_bounds[1], color="lime", linestyle=":", linewidth=2)
+    if result.pos_min_gradient is not None:
+        ax.axvline(x=result.pos_min_gradient, color="purple", linestyle="-",
+                   linewidth=2, label=f"Min Grad: {result.pos_min_gradient}")
+    if result.pos_rightmost_sobel is not None:
+        ax.axvline(x=result.pos_rightmost_sobel, color="orange", linestyle="-",
+                   linewidth=2, label=f"R-Sobel: {result.pos_rightmost_sobel}")
+    if result.final_position is not None:
+        ax.axvline(x=result.final_position, color="red", linestyle="-",
+                   linewidth=3, label=f"FINAL: {result.final_position}")
+    ax.set_xlim(0, width)
+    ax.set_ylabel("Intensity")
+    ax.set_title("7. Frame Diff Centerline", fontsize=10)
+    ax.legend(loc="upper right", fontsize=8, ncol=3)
+    ax.grid(True, alpha=0.3)
+
+    # 8: Sobel centerline; 9: gradient centerline.
+    for ax, img, pos, name, color in (
+        (axes[7], result.sobel_output, result.pos_rightmost_sobel,
+         "8. Sobel Centerline", "b-"),
+        (axes[8], result.gradient_output, result.pos_min_gradient,
+         "9. Gradient Centerline (min = leading edge)", "purple"),
+    ):
+        if img is not None:
+            line = img[center_row, :]
+            if isinstance(color, str) and color != "purple":
+                ax.plot(x_pixels, line, color, linewidth=1)
+            else:
+                ax.plot(x_pixels, line, color=color, linewidth=1)
+            ax.axhline(y=0, color="gray", linestyle="-", linewidth=0.5)
+        if result.search_bounds:
+            ax.axvline(x=result.search_bounds[0], color="lime", linestyle="--", linewidth=2)
+            ax.axvline(x=result.search_bounds[1], color="lime", linestyle=":", linewidth=2)
+        if pos is not None:
+            mcolor = "orange" if "Sobel" in name else "purple"
+            ax.axvline(x=pos, color=mcolor, linestyle="-", linewidth=2,
+                       label=f"{name.split('.')[1].strip()}: {pos}")
+        if result.final_position is not None:
+            ax.axvline(x=result.final_position, color="red", linestyle="-",
+                       linewidth=3, label=f"FINAL: {result.final_position}")
+        ax.set_xlim(0, width)
+        ax.set_title(name, fontsize=10)
+        ax.legend(loc="upper right", fontsize=8)
+        ax.grid(True, alpha=0.3)
+
+    # 10: result overlay with candidate markers.
+    ax = axes[9]
+    if result.frame_subtracted is not None:
+        ax.imshow(result.frame_subtracted, cmap="gray", aspect="auto")
+    ax.axhline(y=center_row, color="cyan", linestyle="--", linewidth=0.5, alpha=0.5)
+    if result.search_bounds:
+        ax.axvline(x=result.search_bounds[0], color="lime", linestyle="--",
+                   linewidth=2, alpha=0.8)
+        ax.axvline(x=result.search_bounds[1], color="lime", linestyle=":",
+                   linewidth=2, alpha=0.8)
+    if result.pos_min_gradient is not None:
+        ax.plot(result.pos_min_gradient, center_row, "p", color="purple",
+                markersize=6, label=f"Min Grad: {result.pos_min_gradient}")
+    if result.pos_rightmost_sobel is not None:
+        ax.plot(result.pos_rightmost_sobel, center_row, "s", color="orange",
+                markersize=6, label=f"R-Sobel: {result.pos_rightmost_sobel}")
+    if result.pos_spline_predicted is not None:
+        ax.plot(result.pos_spline_predicted, center_row, "^", color="cyan",
+                markersize=6, label=f"Spline: {result.pos_spline_predicted}")
+    if result.final_position is not None:
+        ax.plot(result.final_position, center_row, "o", color="red", markersize=8,
+                markeredgecolor="yellow", markeredgewidth=1,
+                label=f"FINAL: {result.final_position}")
+    ax.legend(loc="upper right", fontsize=8, ncol=2)
+    title = (f"FINAL: x={result.final_position} px"
+             if result.final_position else "No detection")
+    ax.set_title(f"10. Result: {title}{velocity_str}", fontsize=10)
+    ax.set_ylabel("Y")
+
+    # 11: position history + spline.
+    ax = axes[10]
+    if detector is not None and len(detector.position_history) > 0:
+        pts = [(f, p) for f, p in detector.position_history if p is not None]
+        if pts:
+            fh, ph = zip(*pts)
+            ax.scatter(fh, ph, c="blue", s=20, alpha=0.7,
+                       label="Detected positions", zorder=3)
+            spline_data = detector.get_spline_curve()
+            if spline_data is not None:
+                ax.plot(spline_data[0], spline_data[1], "g-", linewidth=2,
+                        label="Spline estimator", zorder=2)
+            ax.axvline(x=result.frame_idx, color="red", linestyle="--",
+                       linewidth=1.5, alpha=0.7)
+            if result.final_position is not None:
+                ax.scatter([result.frame_idx], [result.final_position], c="red",
+                           s=60, marker="*", zorder=5,
+                           label=f"Current: {result.final_position}")
+            if result.pos_spline_predicted is not None:
+                ax.scatter([result.frame_idx], [result.pos_spline_predicted],
+                           c="cyan", s=40, marker="^", zorder=4,
+                           label=f"Spline pred: {result.pos_spline_predicted}")
+            ax.legend(loc="upper left", fontsize=8)
+    else:
+        ax.text(0.5, 0.5, "No history yet", ha="center", va="center",
+                transform=ax.transAxes, fontsize=12)
+    ax.set_ylabel("Position (pixels)")
+    ax.set_title("11. Position History + Spline Estimator", fontsize=10)
+    ax.grid(True, alpha=0.3)
+
+    # 12: velocity comparison.
+    ax = axes[11]
+    vel_hist = detector.get_velocity_history() if detector is not None else []
+    if vel_hist:
+        frames_v = [e[0] for e in vel_hist]
+        v1 = [e[1] for e in vel_hist]
+        ax.plot(frames_v, v1, "b-", linewidth=1.5, alpha=0.8,
+                label="1st-order backward")
+        fb2 = [(e[0], e[2]) for e in vel_hist if e[2] is not None]
+        if fb2:
+            ax.plot(*zip(*fb2), "g--", linewidth=1.5, alpha=0.8,
+                    label="2nd-order backward")
+        fc = [(e[0], e[3]) for e in vel_hist if e[3] is not None]
+        if fc:
+            ax.plot(*zip(*fc), "r:", linewidth=2, alpha=0.8,
+                    label="2nd-order central")
+        ax.axhline(y=0, color="gray", linestyle="-", linewidth=0.5)
+        if detector.ddt_detected:
+            ax.axvline(x=detector.ddt_frame, color="magenta", linestyle="--",
+                       linewidth=2, label=f"DDT @ frame {detector.ddt_frame}")
+        lv = detector.last_velocity
+        if lv is not None:
+            ax.scatter([result.frame_idx], [lv], c="blue", s=40, marker="*", zorder=5)
+        ax.legend(loc="upper left", fontsize=7)
+    else:
+        ax.text(0.5, 0.5, "No velocity data yet", ha="center", va="center",
+                transform=ax.transAxes, fontsize=12)
+    ax.set_xlabel("Frame Index")
+    ax.set_ylabel("Velocity (m/s)")
+    ddt_str = (f" | DDT @ {detector.ddt_frame}"
+               if detector is not None and detector.ddt_detected else "")
+    ax.set_title(f"12. Velocity Comparison{ddt_str}", fontsize=10)
+    ax.grid(True, alpha=0.3)
+
+    output_file = Path(output_path) / f"{source_name}-Frame-{result.frame_idx:06d}.png"
+    plt.savefig(output_file, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return output_file
+
+
+def save_frame_image_from_video(
+    video,
+    result: FlameDetectionResult,
+    tracker,
+    background_scalar: float,
+    output_path: Path,
+    source_name: str,
+    config: Optional[FlameDetectorConfig] = None,
+) -> Path:
+    """Diagnostic figure for a band-path result: recompute full-frame
+    intermediates on host (the hot path never materializes them)."""
+    config = config or FlameDetectorConfig()
+    if result.frame_subtracted is None:
+        frame = video[result.frame_idx]
+        sub = hostops.subtract_scalar_background(frame, background_scalar)
+        result.frame_subtracted = sub
+        # Reconstruct the prior: previous entry in the tracker history, else
+        # leave diff stages empty (first processed frame).
+        hist = tracker.position_history
+        prior_idx = None
+        for f, _ in reversed(hist[:-1] if hist else []):
+            if f < result.frame_idx:
+                prior_idx = f
+                break
+        if prior_idx is not None:
+            prior_sub = hostops.subtract_scalar_background(
+                video[prior_idx], background_scalar
+            )
+            diff = hostops.subtract_prior_frame(
+                sub, prior_sub, config.frame_diff_threshold
+            )
+            k = config.morphology_kernel_size
+            result.frame_diff = diff
+            result.noise_removed = hostops.grey_opening(diff, (k, k))
+            result.blurred = hostops.gaussian_filter(
+                result.noise_removed, config.gaussian_sigma
+            )
+            result.sobel_output = hostops.sobel(result.blurred, axis=1)
+            result.gradient_output = hostops.gradient_x(result.blurred)
+    else:
+        frame = result.frame_subtracted
+    return save_frame_image(
+        result.frame_subtracted, result, Path(output_path), source_name, tracker
+    )
+
+
+def generate_stacked_sequence(
+    video,
+    frame_indices: List[int],
+    background_scalar: float,
+    output_path: Path,
+    title: str = "",
+    show_frame_diff: bool = True,
+    figsize_width: float = 10.0,
+) -> Path:
+    """Paper-style vertical frame stack (optionally BG-sub + frame-diff
+    columns), numbered rows, black background, dpi=300."""
+    n_frames = len(frame_indices)
+    height, width = video.frame_shape
+    n_cols = 2 if show_frame_diff else 1
+
+    aspect = width / height
+    panel_h = (figsize_width / n_cols) / aspect
+    fig, axes = plt.subplots(
+        n_frames, n_cols, figsize=(figsize_width, panel_h * n_frames)
+    )
+    axes = np.atleast_2d(axes)
+    if axes.shape != (n_frames, n_cols):
+        axes = axes.reshape(n_frames, n_cols)
+
+    prior = None
+    for i, frame_idx in enumerate(frame_indices):
+        frame = video[frame_idx]
+        sub = hostops.subtract_scalar_background(frame, background_scalar)
+        diff = (
+            hostops.subtract_prior_frame(frame, prior, 0.0)
+            if prior is not None
+            else np.zeros_like(sub)
+        )
+        axes[i, 0].imshow(sub, cmap="gray", aspect="equal", vmin=0)
+        axes[i, 0].set_ylabel(f"{i + 1}", rotation=0, labelpad=20, fontsize=10,
+                              fontweight="bold", color="white")
+        axes[i, 0].set_xticks([])
+        axes[i, 0].set_yticks([])
+        if n_cols > 1:
+            axes[i, 1].imshow(diff, cmap="gray", aspect="equal", vmin=0)
+            axes[i, 1].set_xticks([])
+            axes[i, 1].set_yticks([])
+        prior = frame.copy()
+
+    plt.subplots_adjust(wspace=0.02, hspace=0)
+    if title:
+        fig.suptitle(title, fontsize=12, fontweight="bold", color="white")
+    plt.savefig(output_path, dpi=300, bbox_inches="tight",
+                facecolor="black", edgecolor="none")
+    plt.close(fig)
+    print(f"Saved stacked sequence: {output_path}")
+    return Path(output_path)
+
+
+def generate_stacked_sequence_single_column(
+    video,
+    frame_indices: List[int],
+    background_scalar: float,
+    output_path: Path,
+    use_frame_diff: bool = False,
+    title: str = "",
+    figsize_width: float = 6.0,
+) -> Path:
+    """Compact single-column stack: frames composited into one tall image
+    with numbered separators."""
+    n_frames = len(frame_indices)
+    height, width = video.frame_shape
+    center_row = height // 2
+
+    stacked = np.zeros((height * n_frames, width), dtype=np.float64)
+    prior = None
+    for i, frame_idx in enumerate(frame_indices):
+        frame = video[frame_idx]
+        sub = hostops.subtract_scalar_background(frame, background_scalar)
+        diff = (
+            hostops.subtract_prior_frame(frame, prior, 0.0)
+            if prior is not None
+            else np.zeros_like(sub)
+        )
+        stacked[i * height : (i + 1) * height, :] = diff if use_frame_diff else sub
+        prior = frame.copy()
+
+    aspect = width / stacked.shape[0]
+    fig, ax = plt.subplots(figsize=(figsize_width, figsize_width / aspect))
+    ax.imshow(stacked, cmap="gray", aspect="equal", vmin=0)
+    for i in range(n_frames):
+        ax.text(-width * 0.02, i * height + center_row, f"{i + 1}", color="white",
+                fontsize=8, fontweight="bold", ha="right", va="center")
+        if i > 0:
+            ax.axhline(y=i * height - 0.5, color="white", linewidth=0.5, alpha=0.5)
+    ax.set_xlim(-width * 0.05, width)
+    ax.set_xticks([])
+    ax.set_yticks([])
+    ax.set_facecolor("black")
+    if title:
+        ax.set_title(title, color="white", fontsize=10, fontweight="bold")
+    plt.savefig(output_path, dpi=300, bbox_inches="tight",
+                facecolor="black", edgecolor="none")
+    plt.close(fig)
+    print(f"Saved stacked sequence: {output_path}")
+    return Path(output_path)

@@ -1,0 +1,129 @@
+"""TPU kernel parity: batched band preprocess vs host float64 reference ops."""
+
+import numpy as np
+import pytest
+
+from hsip_tpu.io import FlameSpec, synthesize_flame_video
+from hsip_tpu.kernels import reference as ref
+from hsip_tpu.kernels.preprocess import (
+    band_margin,
+    batch_centerline_profiles,
+    reflect_indices,
+)
+
+
+def host_profiles(sub_curr, sub_prior, k, sigma, threshold):
+    """Full-frame float64 chain (the validated scipy-parity path)."""
+    diff = sub_curr - sub_prior
+    diff[diff < threshold] = 0
+    opened = ref.grey_opening(diff, (k, k))
+    blurred = ref.gaussian_filter(opened, sigma)
+    c = sub_curr.shape[0] // 2
+    return ref.sobel(blurred, axis=1)[c], ref.gradient_x(blurred)[c]
+
+
+def test_band_margin_default():
+    assert band_margin(3, 1.5) == 9  # (3-1) + int(6.5) + 1
+
+
+def test_reflect_indices_identity_and_fold():
+    np.testing.assert_array_equal(
+        reflect_indices(10, 2, 64), np.array([8, 9, 10, 11, 12])
+    )
+    # Fold at top edge: rows -2, -1 reflect to 1, 0.
+    np.testing.assert_array_equal(
+        reflect_indices(0, 2, 64), np.array([1, 0, 0, 1, 2])
+    )
+    # Fold at bottom.
+    np.testing.assert_array_equal(
+        reflect_indices(63, 2, 64), np.array([61, 62, 63, 63, 62])
+    )
+
+
+@pytest.mark.parametrize("height,width", [(48, 256), (64, 640), (12, 128)])
+def test_batch_profiles_match_host_reference(height, width):
+    """Band-optimized batched f32 profiles must match full-frame f64 host ops
+    to float32 precision, for tall and short (band-folding) frames."""
+    flame = FlameSpec(x0=20.0, v0_px=5.0, ignition_frame=1, seed=11)
+    frames, _ = synthesize_flame_video(10, height=height, width=width, flame=flame)
+    bg = float(np.max(frames[0]))
+    k, sigma, thresh = 3, 1.5, 5.0
+
+    prior_index = np.arange(-1, 9, dtype=np.int32)  # chain: i-1, first has none
+    sob, grad, counts = batch_centerline_profiles(
+        frames.astype(np.float32),
+        np.float32(bg),
+        prior_index,
+        np.float32(thresh),
+        np.float32(max(10.0, bg * 0.5)),
+        morphology_kernel_size=k,
+        gaussian_sigma=sigma,
+    )
+    sob, grad, counts = np.array(sob), np.array(grad), np.array(counts)
+
+    for i in range(1, 10):
+        sub_curr = ref.subtract_scalar_background(frames[i], bg)
+        sub_prior = ref.subtract_scalar_background(frames[i - 1], bg)
+        h_sob, h_grad = host_profiles(sub_curr, sub_prior, k, sigma, thresh)
+        scale = max(1.0, np.abs(h_sob).max())
+        np.testing.assert_allclose(sob[i], h_sob, atol=2e-3 * scale, rtol=1e-4)
+        scale_g = max(1.0, np.abs(h_grad).max())
+        np.testing.assert_allclose(grad[i], h_grad, atol=2e-3 * scale_g, rtol=1e-4)
+
+    # Frame 0 has no prior: zeros.
+    assert np.all(sob[0] == 0) and np.all(grad[0] == 0)
+
+    # Empty-frame counts match the host computation exactly.
+    for i in range(10):
+        sub = ref.subtract_scalar_background(frames[i], bg)
+        expected = int(np.sum(sub > max(10.0, bg * 0.5)))
+        assert int(counts[i]) == expected
+
+
+def test_batch_profiles_positions_match_host_decisions():
+    """The f32 band path must produce the SAME argmin/rightmost decisions as
+    the f64 host path across a long synthetic run (ties are the only risk)."""
+    flame = FlameSpec(x0=30.0, v0_px=6.0, accel_px=0.2, ignition_frame=2, seed=5)
+    frames, _ = synthesize_flame_video(30, height=48, width=512, flame=flame)
+    bg = float(np.max(frames[0]))
+    prior_index = np.arange(-1, 29, dtype=np.int32)
+    sob, grad, _ = batch_centerline_profiles(
+        frames.astype(np.float32), np.float32(bg), prior_index,
+        np.float32(5.0), np.float32(max(10.0, bg * 0.5)),
+    )
+    sob, grad = np.array(sob), np.array(grad)
+    for i in range(1, 30):
+        sub_curr = ref.subtract_scalar_background(frames[i], bg)
+        sub_prior = ref.subtract_scalar_background(frames[i - 1], bg)
+        h_sob, h_grad = host_profiles(sub_curr, sub_prior, 3, 1.5, 5.0)
+        if np.min(h_grad) < -10.0:
+            assert int(np.argmin(grad[i])) == int(np.argmin(h_grad)), f"frame {i}"
+        smax = np.max(np.abs(h_sob))
+        if smax > 10.0:
+            h_above = np.nonzero(np.abs(h_sob) > 0.1 * smax)[0]
+            d_smax = np.max(np.abs(sob[i]))
+            d_above = np.nonzero(np.abs(sob[i]) > 0.1 * d_smax)[0]
+            assert h_above[-1] == d_above[-1], f"frame {i}"
+
+
+@pytest.mark.parametrize("k", [2, 3, 5])
+def test_band_opening_matches_scipy_any_kernel(k):
+    """Opening inside the band pipeline must track scipy for non-default k."""
+    import scipy.ndimage as ndi
+
+    rng = np.random.default_rng(3)
+    frames = rng.uniform(0, 100, size=(3, 40, 96)).astype(np.float32)
+    sigma = 1.5
+    prior_index = np.array([-1, 0, 1], dtype=np.int32)
+    sob, grad, _ = batch_centerline_profiles(
+        frames, np.float32(0.0), prior_index, np.float32(0.0), np.float32(10.0),
+        morphology_kernel_size=k, gaussian_sigma=sigma,
+    )
+    c = 20
+    for i in (1, 2):
+        diff = frames[i].astype(np.float64) - frames[i - 1].astype(np.float64)
+        diff[diff < 0.0] = 0
+        opened = ndi.grey_opening(diff, size=(k, k))
+        blurred = ndi.gaussian_filter(opened, sigma=sigma)
+        h_sob = ndi.sobel(blurred, axis=1)[c]
+        np.testing.assert_allclose(np.array(sob)[i], h_sob, atol=5e-3, rtol=1e-4)

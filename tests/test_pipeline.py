@@ -1,0 +1,190 @@
+"""End-to-end pipeline tests: TPU-batched vs exact backends, output tables."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
+from hsip_tpu.pipeline import (
+    process_video_file,
+    process_video_source,
+    write_position_results,
+)
+from hsip_tpu.track import FileCalibration, FlameDetectorConfig, VideoSourceConfig
+
+
+@pytest.fixture(scope="module")
+def recording(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("pipe")
+    flame = FlameSpec(
+        x0=30.0, v0_px=8.0, accel_px=0.3, ignition_frame=3,
+        ddt_frame=28, v_jump_px=25.0, seed=21,
+    )
+    frames, positions = synthesize_flame_video(
+        n_frames=60, height=48, width=512, flame=flame
+    )
+    spec = CihxSpec(
+        width=512, height=48, total_frames=60, record_rate=100_000,
+        bit_depth=12, start_frame=-10,
+    )
+    meta = write_recording(tmp, "nova-run-1-003", frames, spec=spec)
+    return {"path": meta, "dir": tmp, "frames": frames, "positions": positions}
+
+
+def _source_config(recording, out, **kw):
+    cfg = VideoSourceConfig(
+        name="Nova", enabled=True,
+        save_frame_images=False, save_stacked_sequences=False, **kw,
+    )
+    cfg.video_path = str(recording["dir"])
+    cfg.output_dir = str(out)
+    cfg.file_calibrations = [
+        FileCalibration(calibration=0.000833333, position_offset=1.0159,
+                        files=["run-1-"]),
+    ]
+    return cfg
+
+
+def test_tpu_backend_matches_exact_backend(recording, tmp_path):
+    """The batched band TPU path must produce IDENTICAL rows to the
+    frame-at-a-time float64 exact path."""
+    cfg = _source_config(recording, tmp_path / "o1")
+    out_tpu = process_video_file(
+        recording["path"], cfg, backend="tpu", verbose=False, write_outputs=False
+    )
+    out_exact = process_video_file(
+        recording["path"], cfg, backend="exact", verbose=False, write_outputs=False
+    )
+
+    assert out_tpu.empty_frame_count == out_exact.empty_frame_count
+    assert out_tpu.break_reason == out_exact.break_reason
+    assert out_tpu.break_frame == out_exact.break_frame
+    assert len(out_tpu.rows) == len(out_exact.rows)
+    for a, b in zip(out_tpu.rows, out_exact.rows):
+        assert a[0] == b[0]                      # frame
+        assert a[1] == pytest.approx(b[1], abs=0)  # time (both from TimingInfo)
+        assert a[2] == b[2]                      # position px — must be exact
+        assert a[3] == pytest.approx(b[3], rel=1e-15)  # position m
+        assert a[4] == b[4]                      # is_post_ddt
+    # Velocity histories identical.
+    va = out_tpu.tracker.get_velocity_history()
+    vb = out_exact.tracker.get_velocity_history()
+    assert len(va) == len(vb)
+    for ea, eb in zip(va, vb):
+        assert ea[0] == eb[0]
+        for x, y in zip(ea[1:], eb[1:]):
+            assert (x is None) == (y is None)
+            if x is not None:
+                assert x == pytest.approx(y, rel=1e-12)
+    assert out_tpu.tracker.ddt_frame == out_exact.tracker.ddt_frame
+
+
+def test_pipeline_tracks_trajectory_and_ddt(recording, tmp_path):
+    cfg = _source_config(recording, tmp_path / "o2")
+    out = process_video_file(
+        recording["path"], cfg, backend="tpu", verbose=False, write_outputs=False
+    )
+    assert len(out.rows) > 20
+    assert out.tracker.ddt_detected
+    # Positions track analytic trajectory.
+    pos = recording["positions"]
+    errs = [abs(px - pos[f]) for f, _, px, _, _ in out.rows if np.isfinite(pos[f])]
+    assert np.median(errs) < 12
+    # Positions are monotone non-decreasing (flame moves right).
+    pxs = [r[2] for r in out.rows]
+    assert all(b >= a for a, b in zip(pxs, pxs[1:]))
+    # Calibration applied: pos_m = px * cal + offset.
+    f, t, px, m, _ = out.rows[0]
+    assert m == pytest.approx(px * 0.000833333 + 1.0159, rel=1e-12)
+    # Absolute timing: t = (start_frame + f) / fps with start_frame=-10.
+    assert t == pytest.approx((-10 + f) / 100_000)
+
+
+def test_results_tables_written_with_reference_format(recording, tmp_path):
+    out_dir = tmp_path / "o3"
+    cfg = _source_config(recording, out_dir)
+    outputs = process_video_source(cfg, backend="tpu", verbose=False)
+    assert len(outputs) == 1
+    stem = "nova-run-1-003"
+    main_table = out_dir / f"{stem}-flame-position.txt"
+    assert main_table.exists()
+    lines = main_table.read_text().splitlines()
+    # Header block then column header.
+    assert lines[0] == "# Flame Position and Velocity Data"
+    col_line = next(l for l in lines if l.startswith("#Frame"))
+    assert col_line == ("#Frame Time_s Position_px Position_m "
+                       "Vel_Backward1 Vel_Backward2 Vel_Central")
+    data_lines = [l for l in lines if l and not l.startswith("#")]
+    assert len(data_lines) == len(outputs[0].rows)
+    first = data_lines[0].split(" ")
+    assert len(first) == 7
+    int(first[0])           # frame parses as int
+    assert "." in first[1] and len(first[1].split(".")[1]) == 9  # %.9f
+    int(first[2])
+    assert len(first[3].split(".")[1]) == 9
+    # DDT split files exist (DDT occurs in this recording).
+    assert (out_dir / f"{stem}-flame-position-pre-DDT.txt").exists()
+    assert (out_dir / f"{stem}-flame-position-post-DDT.txt").exists()
+    # Frame images were disabled but the frames dir exists for sequences.
+    assert (out_dir / f"{stem}-frames").exists()
+
+
+def test_write_position_results_none_velocities(tmp_path):
+    rows = [(5, 0.000123456789, 42, 1.23456789, None, None, None),
+            (6, 0.0002, 50, 1.3, 100.0, 150.5, 125.25)]
+    path = write_position_results(rows, tmp_path / "t.txt")
+    lines = [l for l in path.read_text().splitlines() if not l.startswith("#")]
+    assert lines[0] == "5 0.000123457 42 1.234567890   "
+    assert lines[1] == "6 0.000200000 50 1.300000000 100.000 150.500 125.250"
+
+
+def test_empty_video_no_rows(tmp_path):
+    """A recording with no flame at all: everything empty-skipped, no crash,
+    no results rows."""
+    frames, _ = synthesize_flame_video(
+        10, height=32, width=128,
+        flame=FlameSpec(ignition_frame=100),  # never ignites
+    )
+    meta = write_recording(tmp_path, "empty-run-1-a", frames)
+    cfg = VideoSourceConfig(name="T", save_frame_images=False,
+                            save_stacked_sequences=False)
+    cfg.output_dir = str(tmp_path / "out")
+    out = process_video_file(meta, cfg, backend="tpu", verbose=False)
+    assert out.rows == []
+    assert out.empty_frame_count == 10
+    assert not (tmp_path / "out" / "empty-run-1-a-flame-position.txt").exists()
+
+
+def test_skip_frames_respected(recording, tmp_path):
+    cfg = _source_config(recording, tmp_path / "o4", skip_frames=[5, 6, 7])
+    out = process_video_file(
+        recording["path"], cfg, backend="tpu", verbose=False, write_outputs=False
+    )
+    out_exact = process_video_file(
+        recording["path"], cfg, backend="exact", verbose=False, write_outputs=False
+    )
+    recorded = {r[0] for r in out.rows}
+    assert not recorded & {5, 6, 7}
+    assert [r[:3] for r in out.rows] == [r[:3] for r in out_exact.rows]
+
+
+def test_exit_truncation(tmp_path):
+    """Flame reaching the right margin stops recording at the exit frame."""
+    flame = FlameSpec(x0=60.0, v0_px=20.0, ignition_frame=1, seed=3)
+    frames, _ = synthesize_flame_video(30, height=32, width=256, flame=flame)
+    meta = write_recording(tmp_path, "exit-run-1-b", frames,
+                           spec=CihxSpec(width=256, height=32, total_frames=30,
+                                         record_rate=50_000))
+    cfg = VideoSourceConfig(name="T", save_frame_images=False,
+                            save_stacked_sequences=False)
+    out = process_video_file(meta, cfg, backend="tpu", verbose=False,
+                             write_outputs=False)
+    out_e = process_video_file(meta, cfg, backend="exact", verbose=False,
+                               write_outputs=False)
+    assert out.break_reason in ("exit", "velocity_drop")
+    assert out.break_reason == out_e.break_reason
+    assert out.break_frame == out_e.break_frame
+    assert [r[:3] for r in out.rows] == [r[:3] for r in out_e.rows]
+    # No recorded position inside the exit margin.
+    assert all(r[2] < 256 - 15 for r in out.rows)
