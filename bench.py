@@ -1,0 +1,140 @@
+"""Benchmark: MRAW frames/sec/chip for the end-to-end decode+track pipeline.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Pipeline measured (the north-star metric, BASELINE.json): open a synthetic
+CIHX/MRAW recording from disk, decode packed 12-bit frames, run the batched
+band preprocess on the TPU, run the float64 host tracking scan, produce the
+results rows. Baseline: the reference-equivalent serial scipy chain
+(full-frame grey_opening → gaussian_filter → sobel → gradient per frame)
+measured on this host and extrapolated per-frame.
+
+Usage: python bench.py [--frames N] [--height H] [--width W] [--repeat R]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def build_recording(tmpdir: Path, n_frames: int, height: int, width: int):
+    from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
+
+    flame = FlameSpec(
+        x0=30.0,
+        v0_px=width / (1.3 * n_frames),  # front crosses ~77% of the image
+        accel_px=0.0,
+        ignition_frame=2,
+        seed=42,
+    )
+    frames, _ = synthesize_flame_video(n_frames, height=height, width=width, flame=flame)
+    spec = CihxSpec(
+        width=width, height=height, total_frames=n_frames,
+        record_rate=100_000, bit_depth=12,
+    )
+    return write_recording(tmpdir, "bench-run-1-001", frames, spec=spec)
+
+
+def run_tpu_pipeline(meta_path, config, chunk_size=256):
+    from hsip_tpu import open_video
+    from hsip_tpu.track.scan import track_video
+
+    with open_video(str(meta_path)) as video:
+        out = track_video(
+            video, config,
+            calibration_m_per_px=0.000833333,
+            position_offset_m=1.0159,
+            chunk_size=chunk_size,
+        )
+    return out
+
+
+def time_scipy_baseline(meta_path, config, n_sample: int) -> float:
+    """Per-frame seconds of the reference-equivalent serial scipy chain."""
+    import scipy.ndimage as ndi
+
+    from hsip_tpu import open_video
+
+    with open_video(str(meta_path)) as video:
+        frames = video.read_batch(0, n_sample + 1).astype(np.float64)
+    bg = float(frames[0].max())
+    sub = np.maximum(frames - bg, 0.0)
+    k, sigma = config.morphology_kernel_size, config.gaussian_sigma
+
+    start = time.perf_counter()
+    for i in range(1, n_sample + 1):
+        diff = sub[i] - sub[i - 1]
+        diff[diff < config.frame_diff_threshold] = 0
+        opened = ndi.grey_opening(diff, size=(k, k))
+        blurred = ndi.gaussian_filter(opened, sigma=sigma)
+        sob = ndi.sobel(blurred, axis=1)
+        grad = np.gradient(blurred, axis=1)
+        c = blurred.shape[0] // 2
+        _ = sob[c], grad[c]
+        if np.min(grad[c]) < -config.min_gradient_strength:
+            _ = np.argmin(grad[c])
+    elapsed = time.perf_counter() - start
+    return elapsed / n_sample
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--frames", type=int, default=2048)
+    parser.add_argument("--height", type=int, default=128)
+    parser.add_argument("--width", type=int, default=1024)
+    parser.add_argument("--repeat", type=int, default=3)
+    parser.add_argument("--baseline-sample", type=int, default=48)
+    parser.add_argument("--chunk-size", type=int, default=256)
+    args = parser.parse_args()
+
+    from hsip_tpu.track import FlameDetectorConfig
+
+    config = FlameDetectorConfig()
+
+    with tempfile.TemporaryDirectory() as tmp:
+        tmpdir = Path(tmp)
+        meta = build_recording(tmpdir, args.frames, args.height, args.width)
+
+        # Warm-up: compile + cache.
+        run_tpu_pipeline(meta, config, args.chunk_size)
+
+        best = float("inf")
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            out = run_tpu_pipeline(meta, config, args.chunk_size)
+            best = min(best, time.perf_counter() - t0)
+
+        fps = args.frames / best
+        baseline_per_frame = time_scipy_baseline(meta, config, args.baseline_sample)
+        baseline_fps = 1.0 / baseline_per_frame
+
+        print(
+            json.dumps(
+                {
+                    "metric": "mraw_frames_per_sec_per_chip_decode_track",
+                    "value": round(fps, 1),
+                    "unit": "frames/s",
+                    "vs_baseline": round(fps / baseline_fps, 2),
+                }
+            )
+        )
+        # Diagnostics on stderr (driver reads stdout's single JSON line).
+        print(
+            f"frames={args.frames} {args.height}x{args.width} "
+            f"end_to_end_s={best:.3f} rows={len(out.rows)} "
+            f"scipy_serial_fps={baseline_fps:.1f}",
+            file=sys.stderr,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

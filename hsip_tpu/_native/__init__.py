@@ -1,0 +1,130 @@
+"""Native (C++) MRAW codec: ctypes bindings with build-on-first-import.
+
+The shared library is compiled from ``mraw_decode.cpp`` with g++ on first
+use and cached next to the source; callers fall back to the numpy decoder
+(:mod:`hsip_tpu.io.mraw`) when no toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["native_decoder", "NativeDecoder", "build_library"]
+
+_SRC = Path(__file__).parent / "mraw_decode.cpp"
+_LIB = Path(__file__).parent / "libmraw_decode.so"
+_BUILD_LOCK = threading.Lock()
+_DECODER: Optional["NativeDecoder"] = None
+_FAILED = False
+
+
+def build_library(force: bool = False) -> Path:
+    """Compile the shared library (cached; thread-safe)."""
+    with _BUILD_LOCK:
+        if _LIB.exists() and not force:
+            if _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+                return _LIB
+        cmd = [
+            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
+            str(_SRC), "-o", str(_LIB),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        except (subprocess.CalledProcessError, FileNotFoundError):
+            # Retry without -march=native / OpenMP (portability fallbacks).
+            cmd = ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB)]
+            subprocess.run(cmd, check=True, capture_output=True, text=True)
+        return _LIB
+
+
+class NativeDecoder:
+    """ctypes wrapper over the native codec."""
+
+    def __init__(self, lib_path: Path):
+        lib = ctypes.CDLL(str(lib_path))
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+        lib.unpack12.argtypes = [u8p, u16p, ctypes.c_int64]
+        lib.pack12.argtypes = [u16p, u8p, ctypes.c_int64]
+        lib.unpack10.argtypes = [u8p, u16p, ctypes.c_int64]
+        lib.pack10.argtypes = [u16p, u8p, ctypes.c_int64]
+        lib.unpack12_bgsub_f32.argtypes = [u8p, f32p, ctypes.c_int64, ctypes.c_float]
+        lib.native_num_threads.restype = ctypes.c_int
+        self._lib = lib
+
+    @property
+    def num_threads(self) -> int:
+        return int(self._lib.native_num_threads())
+
+    def unpack_12bit(self, packed: np.ndarray) -> np.ndarray:
+        packed = np.ascontiguousarray(packed, dtype=np.uint8).reshape(-1)
+        if packed.size % 3:
+            raise ValueError("12-bit packed length must be a multiple of 3")
+        n_pairs = packed.size // 3
+        out = np.empty(n_pairs * 2, dtype=np.uint16)
+        self._lib.unpack12(packed, out, n_pairs)
+        return out
+
+    def pack_12bit(self, pixels: np.ndarray) -> np.ndarray:
+        pixels = np.ascontiguousarray(pixels, dtype=np.uint16).reshape(-1)
+        if pixels.size % 2:
+            raise ValueError("12-bit packing requires an even pixel count")
+        n_pairs = pixels.size // 2
+        out = np.empty(n_pairs * 3, dtype=np.uint8)
+        self._lib.pack12(pixels, out, n_pairs)
+        return out
+
+    def unpack_10bit(self, packed: np.ndarray) -> np.ndarray:
+        packed = np.ascontiguousarray(packed, dtype=np.uint8).reshape(-1)
+        if packed.size % 5:
+            raise ValueError("10-bit packed length must be a multiple of 5")
+        n_quads = packed.size // 5
+        out = np.empty(n_quads * 4, dtype=np.uint16)
+        self._lib.unpack10(packed, out, n_quads)
+        return out
+
+    def pack_10bit(self, pixels: np.ndarray) -> np.ndarray:
+        pixels = np.ascontiguousarray(pixels, dtype=np.uint16).reshape(-1)
+        if pixels.size % 4:
+            raise ValueError("10-bit packing requires a multiple-of-4 pixel count")
+        n_quads = pixels.size // 4
+        out = np.empty(n_quads * 5, dtype=np.uint8)
+        self._lib.pack10(pixels, out, n_quads)
+        return out
+
+    def unpack_12bit_bgsub(self, packed: np.ndarray, background: float) -> np.ndarray:
+        """Fused unpack + background-subtract-clamp to float32."""
+        packed = np.ascontiguousarray(packed, dtype=np.uint8).reshape(-1)
+        if packed.size % 3:
+            raise ValueError("12-bit packed length must be a multiple of 3")
+        n_pairs = packed.size // 3
+        out = np.empty(n_pairs * 2, dtype=np.float32)
+        self._lib.unpack12_bgsub_f32(packed, out, n_pairs, float(background))
+        return out
+
+
+def native_decoder() -> NativeDecoder:
+    """The process-wide decoder, building the library on first use.
+
+    Raises on toolchain/build failure — callers catch and fall back to numpy.
+    """
+    global _DECODER, _FAILED
+    if _DECODER is not None:
+        return _DECODER
+    if _FAILED:
+        raise RuntimeError("native decoder build previously failed")
+    try:
+        _DECODER = NativeDecoder(build_library())
+    except Exception:
+        _FAILED = True
+        raise
+    return _DECODER

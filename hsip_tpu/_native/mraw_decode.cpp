@@ -1,0 +1,107 @@
+// Native MRAW codec: packed 10/12-bit <-> uint16, multithreaded.
+//
+// Host-side staging path of the framework (the TPU path ships raw packed
+// bytes to HBM and unpacks on-device; this decoder serves PhotonVideo's
+// host frame access and validates the device kernel). Replaces the
+// reference's dependency on pyMRAW's numpy decode (reference
+// src/photron/video.py:332) with a ~GB/s parallel C++ implementation.
+//
+// Packing (MSB-first, Photron MRAW):
+//   12-bit: 3 bytes -> 2 px:  p0 = b0<<4 | b1>>4,  p1 = (b1&0xF)<<8 | b2
+//   10-bit: 5 bytes -> 4 px:  p0 = b0<<2 | b1>>6,  p1 = (b1&0x3F)<<4 | b2>>4,
+//                             p2 = (b2&0xF)<<6 | b3>>2, p3 = (b3&0x3)<<8 | b4
+//
+// Build: g++ -O3 -march=native -shared -fPIC -fopenmp mraw_decode.cpp
+//        -o libmraw_decode.so
+// ABI: plain C functions, driven from Python via ctypes.
+
+#include <cstdint>
+#include <cstddef>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// Unpack 12-bit MSB-first packed bytes into uint16 pixels.
+// n_pairs = number of 3-byte groups (= n_pixels / 2).
+void unpack12(const uint8_t* __restrict src, uint16_t* __restrict dst,
+              int64_t n_pairs) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n_pairs; ++i) {
+        const uint8_t* s = src + 3 * i;
+        uint16_t* d = dst + 2 * i;
+        d[0] = (uint16_t)((s[0] << 4) | (s[1] >> 4));
+        d[1] = (uint16_t)(((s[1] & 0x0F) << 8) | s[2]);
+    }
+}
+
+// Pack uint16 pixels (< 4096) into 12-bit MSB-first bytes.
+void pack12(const uint16_t* __restrict src, uint8_t* __restrict dst,
+            int64_t n_pairs) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n_pairs; ++i) {
+        const uint16_t* s = src + 2 * i;
+        uint8_t* d = dst + 3 * i;
+        d[0] = (uint8_t)(s[0] >> 4);
+        d[1] = (uint8_t)(((s[0] & 0x0F) << 4) | (s[1] >> 8));
+        d[2] = (uint8_t)(s[1] & 0xFF);
+    }
+}
+
+// Unpack 10-bit MSB-first packed bytes into uint16 pixels.
+// n_quads = number of 5-byte groups (= n_pixels / 4).
+void unpack10(const uint8_t* __restrict src, uint16_t* __restrict dst,
+              int64_t n_quads) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n_quads; ++i) {
+        const uint8_t* s = src + 5 * i;
+        uint16_t* d = dst + 4 * i;
+        d[0] = (uint16_t)((s[0] << 2) | (s[1] >> 6));
+        d[1] = (uint16_t)(((s[1] & 0x3F) << 4) | (s[2] >> 4));
+        d[2] = (uint16_t)(((s[2] & 0x0F) << 6) | (s[3] >> 2));
+        d[3] = (uint16_t)(((s[3] & 0x03) << 8) | s[4]);
+    }
+}
+
+// Pack uint16 pixels (< 1024) into 10-bit MSB-first bytes.
+void pack10(const uint16_t* __restrict src, uint8_t* __restrict dst,
+            int64_t n_quads) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n_quads; ++i) {
+        const uint16_t* s = src + 4 * i;
+        uint8_t* d = dst + 5 * i;
+        d[0] = (uint8_t)(s[0] >> 2);
+        d[1] = (uint8_t)(((s[0] & 0x03) << 6) | (s[1] >> 4));
+        d[2] = (uint8_t)(((s[1] & 0x0F) << 4) | (s[2] >> 6));
+        d[3] = (uint8_t)(((s[2] & 0x3F) << 2) | (s[3] >> 8));
+        d[4] = (uint8_t)(s[3] & 0xFF);
+    }
+}
+
+// Fused: unpack 12-bit directly to float32 with scalar background
+// subtraction clamped at zero — saves one memory round-trip when the host
+// path feeds preprocessing directly.
+void unpack12_bgsub_f32(const uint8_t* __restrict src, float* __restrict dst,
+                        int64_t n_pairs, float background) {
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n_pairs; ++i) {
+        const uint8_t* s = src + 3 * i;
+        float* d = dst + 2 * i;
+        float p0 = (float)((s[0] << 4) | (s[1] >> 4)) - background;
+        float p1 = (float)(((s[1] & 0x0F) << 8) | s[2]) - background;
+        d[0] = p0 < 0.0f ? 0.0f : p0;
+        d[1] = p1 < 0.0f ? 0.0f : p1;
+    }
+}
+
+int native_num_threads() {
+#ifdef _OPENMP
+    return omp_get_max_threads();
+#else
+    return 1;
+#endif
+}
+
+}  // extern "C"

@@ -16,6 +16,8 @@ from .mraw import (
     MRAWReader,
     unpack_12bit,
     pack_12bit,
+    unpack_10bit,
+    pack_10bit,
     find_mraw_payload,
     frame_nbytes,
 )
@@ -38,6 +40,8 @@ __all__ = [
     "MRAWReader",
     "unpack_12bit",
     "pack_12bit",
+    "unpack_10bit",
+    "pack_10bit",
     "find_mraw_payload",
     "frame_nbytes",
     "CihxSpec",

@@ -31,6 +31,8 @@ __all__ = [
     "MRAWReader",
     "unpack_12bit",
     "pack_12bit",
+    "unpack_10bit",
+    "pack_10bit",
     "find_mraw_payload",
     "frame_nbytes",
 ]
@@ -43,6 +45,10 @@ def frame_nbytes(width: int, height: int, bit_depth: int) -> int:
     npix = width * height
     if bit_depth == 8:
         return npix
+    if bit_depth == 10:
+        if npix % 4:
+            raise ValueError("10-bit packing requires a multiple-of-4 pixel count")
+        return npix * 5 // 4
     if bit_depth == 12:
         if npix % 2:
             raise ValueError("12-bit packing requires an even pixel count per frame")
@@ -81,6 +87,37 @@ def pack_12bit(pixels: np.ndarray) -> np.ndarray:
     out[:, 0] = (p[:, 0] >> 4).astype(np.uint8)
     out[:, 1] = (((p[:, 0] & 0x0F) << 4) | (p[:, 1] >> 8)).astype(np.uint8)
     out[:, 2] = (p[:, 1] & 0xFF).astype(np.uint8)
+    return out.reshape(-1)
+
+
+def unpack_10bit(packed: np.ndarray) -> np.ndarray:
+    """Decode MSB-first 10-bit packed bytes to uint16 (5 bytes → 4 px)."""
+    packed = np.ascontiguousarray(packed, dtype=np.uint8)
+    if packed.size % 5:
+        raise ValueError("10-bit packed buffer length must be a multiple of 5")
+    b = packed.reshape(-1, 5).astype(np.uint16)
+    out = np.empty((b.shape[0], 4), dtype=np.uint16)
+    out[:, 0] = (b[:, 0] << 2) | (b[:, 1] >> 6)
+    out[:, 1] = ((b[:, 1] & 0x3F) << 4) | (b[:, 2] >> 4)
+    out[:, 2] = ((b[:, 2] & 0x0F) << 6) | (b[:, 3] >> 2)
+    out[:, 3] = ((b[:, 3] & 0x03) << 8) | b[:, 4]
+    return out.reshape(-1)
+
+
+def pack_10bit(pixels: np.ndarray) -> np.ndarray:
+    """Encode uint16 pixels (values < 1024) into MSB-first 10-bit bytes."""
+    pixels = np.ascontiguousarray(pixels, dtype=np.uint16).reshape(-1)
+    if pixels.size % 4:
+        raise ValueError("10-bit packing requires a multiple-of-4 pixel count")
+    if pixels.size and int(pixels.max()) > 0x3FF:
+        raise ValueError("10-bit packing requires pixel values < 1024")
+    p = pixels.reshape(-1, 4)
+    out = np.empty((p.shape[0], 5), dtype=np.uint8)
+    out[:, 0] = (p[:, 0] >> 2).astype(np.uint8)
+    out[:, 1] = (((p[:, 0] & 0x03) << 6) | (p[:, 1] >> 4)).astype(np.uint8)
+    out[:, 2] = (((p[:, 1] & 0x0F) << 4) | (p[:, 2] >> 6)).astype(np.uint8)
+    out[:, 3] = (((p[:, 2] & 0x3F) << 2) | (p[:, 3] >> 8)).astype(np.uint8)
+    out[:, 4] = (p[:, 3] & 0xFF).astype(np.uint8)
     return out.reshape(-1)
 
 
@@ -145,7 +182,7 @@ class MRAWReader:
         )
 
         self._native = None
-        if use_native and self.bit_depth == 12:
+        if use_native and self.bit_depth in (10, 12):
             try:
                 from hsip_tpu._native import native_decoder
 
@@ -195,11 +232,19 @@ class MRAWReader:
         if self.bit_depth == 16:
             flat = np.frombuffer(np.ascontiguousarray(packed).tobytes(), dtype="<u2")
             return flat.reshape(n, self.height, self.width).copy()
-        # 12-bit
-        if self._native is not None:
-            out = self._native.unpack_12bit(np.ascontiguousarray(packed).reshape(-1))
-        else:
-            out = unpack_12bit(np.ascontiguousarray(packed).reshape(-1))
+        flat = np.ascontiguousarray(packed).reshape(-1)
+        if self.bit_depth == 10:
+            out = (
+                self._native.unpack_10bit(flat)
+                if self._native is not None
+                else unpack_10bit(flat)
+            )
+        else:  # 12-bit
+            out = (
+                self._native.unpack_12bit(flat)
+                if self._native is not None
+                else unpack_12bit(flat)
+            )
         return out.reshape(n, self.height, self.width)
 
     def read_frame(self, index: int) -> np.ndarray:

@@ -20,7 +20,7 @@ from typing import Optional, Sequence, Union
 
 import numpy as np
 
-from .mraw import pack_12bit
+from .mraw import pack_10bit, pack_12bit
 
 __all__ = [
     "CihxSpec",
@@ -156,6 +156,8 @@ def write_mraw(path: PathLike, frames: np.ndarray, bit_depth: int = 12) -> Path:
             f.write(frames.astype("<u2").tobytes())
         elif bit_depth == 12:
             f.write(pack_12bit(frames.astype(np.uint16)).tobytes())
+        elif bit_depth == 10:
+            f.write(pack_10bit(frames.astype(np.uint16)).tobytes())
         else:
             raise ValueError(f"Unsupported bit depth: {bit_depth}")
     return path

@@ -84,6 +84,7 @@ def compute_profiles_batched(
     skip_frames: Sequence[int] = (),
     chunk_size: int = 256,
     device_fn=None,
+    read_packed: Optional[Callable[[int, int], np.ndarray]] = None,
 ) -> FrameProfiles:
     """Map phase: batched device computation of per-frame centerline profiles.
 
@@ -96,12 +97,16 @@ def compute_profiles_batched(
         skip_frames: explicitly excluded frame indices.
         chunk_size: frames per device dispatch (static shape; last chunk pads).
         device_fn: override for the batched kernel (testing/backends).
+        read_packed: callable (start, stop) -> (n, frame_nbytes) PACKED bytes.
+            When given (12-bit recordings), raw bytes ship to the device and
+            decode there — no host decode, 1.33-2.67x less transfer.
 
     The differencing prior of each processed frame is the previous processed
     frame (empty frames included — they advance the motion baseline).
     Chunks overlap by one processed frame so priors never cross host↔device.
     """
     from ..kernels.preprocess import batch_centerline_profiles
+    from ..kernels.unpack import packed_centerline_profiles
 
     if device_fn is None:
         device_fn = batch_centerline_profiles
@@ -116,16 +121,16 @@ def compute_profiles_batched(
     gradient_lines = np.zeros((m, w), dtype=np.float32)
     signal_counts = np.zeros(m, dtype=np.int64)
 
-    # Process in chunks over the PROCESSED index list; each chunk includes the
+    # Chunk plan over the PROCESSED index list; each chunk includes the
     # previous processed frame at its head (prior overlap), chunk j covers
     # processed positions [start, stop).
+    chunks = []  # (pos, stop, lo, hi, local, prior_index_full)
     pos = 0
     while pos < m:
         stop = min(m, pos + chunk_size)
         head = processed[max(pos - 1, 0)]
         lo = int(head) if pos > 0 else int(processed[pos])
         hi = int(processed[stop - 1]) + 1
-        batch = read_batch(lo, hi)  # (hi-lo, H, W), contiguous
 
         # Positions of this chunk's processed frames within the batch.
         local = processed[pos:stop] - lo
@@ -140,23 +145,64 @@ def compute_profiles_batched(
         # processed frames (skip_frames) get -1 and produce zeros.
         prior_index_full = np.full(hi - lo, -1, dtype=np.int32)
         prior_index_full[local] = prior_local
-        sob, grad, counts = device_fn(
-            batch,
-            np.float32(background_scalar),
-            prior_index_full,
-            np.float32(config.frame_diff_threshold),
-            np.float32(noise_threshold),
-            morphology_kernel_size=config.morphology_kernel_size,
-            gaussian_sigma=config.gaussian_sigma,
-        )
-        sob = np.asarray(sob)
-        grad = np.asarray(grad)
-        counts = np.asarray(counts)
-        # The kernel computed profiles for every batch row; keep processed ones.
-        sobel_lines[pos:stop] = sob[local]
-        gradient_lines[pos:stop] = grad[local]
-        signal_counts[pos:stop] = counts[local]
+        chunks.append((pos, stop, lo, hi, local, prior_index_full))
         pos = stop
+
+    # Three-stage software pipeline: (A) async host->device transfers with a
+    # bounded in-flight window (hides PCIe behind compute), (B) kernel
+    # dispatch per resident chunk, (C) one fetch pass at the end.
+    import jax
+
+    max_in_flight = 8
+    staged = {}  # chunk index -> device array
+    pending = []  # (pos, stop, local, sob, grad, counts)
+
+    def stage(ci: int) -> None:
+        _, _, lo, hi, _, _ = chunks[ci]
+        host = (
+            np.ascontiguousarray(read_packed(lo, hi))
+            if read_packed is not None
+            else read_batch(lo, hi)
+        )
+        staged[ci] = jax.device_put(host)
+
+    for ci in range(min(max_in_flight, len(chunks))):
+        stage(ci)
+
+    for ci, (pos, stop, lo, hi, local, prior_index_full) in enumerate(chunks):
+        dev = staged.pop(ci)
+        if read_packed is not None:
+            sob, grad, counts = packed_centerline_profiles(
+                dev,
+                h,
+                w,
+                np.float32(background_scalar),
+                prior_index_full,
+                np.float32(config.frame_diff_threshold),
+                np.float32(noise_threshold),
+                morphology_kernel_size=config.morphology_kernel_size,
+                gaussian_sigma=config.gaussian_sigma,
+            )
+        else:
+            sob, grad, counts = device_fn(
+                dev,
+                np.float32(background_scalar),
+                prior_index_full,
+                np.float32(config.frame_diff_threshold),
+                np.float32(noise_threshold),
+                morphology_kernel_size=config.morphology_kernel_size,
+                gaussian_sigma=config.gaussian_sigma,
+            )
+        pending.append((pos, stop, local, sob, grad, counts))
+        nxt = ci + max_in_flight
+        if nxt < len(chunks):
+            stage(nxt)
+
+    for pos, stop, local, sob, grad, counts in pending:
+        # The kernel computed profiles for every batch row; keep processed ones.
+        sobel_lines[pos:stop] = np.asarray(sob)[local]
+        gradient_lines[pos:stop] = np.asarray(grad)[local]
+        signal_counts[pos:stop] = np.asarray(counts)[local]
 
     has_prior = np.ones(m, dtype=bool)
     if m:
@@ -217,7 +263,12 @@ def run_tracking_scan(
             sobel_line = None
             gradient_line = None
 
-        result = tracker.step(frame_idx, width, sobel_line, gradient_line)
+        # Spline prediction is plot-only; skip it unless a viz hook consumes
+        # the result (an every-frame refit would make the scan O(N^2)).
+        result = tracker.step(
+            frame_idx, width, sobel_line, gradient_line,
+            predict_spline=on_result is not None,
+        )
         if on_result is not None:
             on_result(result, tracker)
 
@@ -277,6 +328,8 @@ def track_video(
     if background_scalar is None:
         background_scalar = float(np.max(video[0]))
 
+    # 12-bit recordings decode on-device from raw packed bytes.
+    read_packed = video.frame_bytes if video.bit_depth == 12 else None
     profiles = compute_profiles_batched(
         read_batch=video.read_batch,
         n_frames=len(video),
@@ -285,6 +338,7 @@ def track_video(
         config=config,
         skip_frames=skip_frames,
         chunk_size=chunk_size,
+        read_packed=read_packed,
     )
     time_fn = video.get_absolute_time if use_absolute_time else video.get_time
     return run_tracking_scan(

@@ -61,6 +61,7 @@ class FlameTracker:
         # v_central is retro-filled one frame later.
         self._velocity_history: List[List] = []
         self._spline: Optional[SmoothingSpline] = None
+        self._spline_dirty: bool = True
         self._ddt_frame_idx: Optional[int] = None
 
         self._max_displacement_px = self._compute_max_displacement()
@@ -82,6 +83,7 @@ class FlameTracker:
         self._position_history.clear()
         self._velocity_history.clear()
         self._spline = None
+        self._spline_dirty = True
         self._ddt_frame_idx = None
 
     # -- search bounds ------------------------------------------------------
@@ -114,6 +116,16 @@ class FlameTracker:
     # -- spline -------------------------------------------------------------
 
     def _update_spline(self) -> None:
+        """Refit the smoothing spline to the valid position history.
+
+        Fitting is LAZY: the spline never participates in position selection
+        (it is plot/prediction-only, reference behavior), so the fit is
+        deferred until a prediction or curve is actually requested — an
+        every-frame refit would make the scan O(N^2).
+        """
+        if not self._spline_dirty:
+            return
+        self._spline_dirty = False
         valid = [(f, p) for f, p in self._position_history if p is not None]
         if len(valid) < self.config.min_points_for_spline:
             self._spline = None
@@ -127,6 +139,7 @@ class FlameTracker:
     def predict_with_spline(self, frame_idx: int) -> Optional[int]:
         """Spline-extrapolated position (informational; never drives
         final_position)."""
+        self._update_spline()
         if self._spline is None:
             return None
         try:
@@ -138,6 +151,7 @@ class FlameTracker:
         self, frame_range: Optional[Tuple[int, int]] = None
     ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """100-point sampled spline curve for plotting, or None."""
+        self._update_spline()
         if self._spline is None:
             return None
         valid = [(f, p) for f, p in self._position_history if p is not None]
@@ -198,11 +212,14 @@ class FlameTracker:
         width: int,
         sobel_line: Optional[np.ndarray],
         gradient_line: Optional[np.ndarray],
+        predict_spline: bool = True,
     ) -> FlameDetectionResult:
         """Advance the tracker by one frame given its centerline profiles.
 
         Returns a result carrying positions/bounds only (no images); callers
         doing full-frame detection attach intermediates themselves.
+        ``predict_spline=False`` skips the (plot-only) spline prediction —
+        the hot path uses this since the prediction never affects selection.
         """
         time_s = frame_idx / self.frame_rate if self.frame_rate > 0 else 0
 
@@ -216,7 +233,7 @@ class FlameTracker:
             )
 
         pos_spline_predicted = None
-        if self.config.use_spline_estimator:
+        if self.config.use_spline_estimator and predict_spline:
             pos_spline_predicted = self.predict_with_spline(frame_idx)
 
         # Final position: rightmost candidate (the leading edge for
@@ -227,7 +244,7 @@ class FlameTracker:
         final_position = max(candidates) if candidates else None
 
         self._position_history.append((frame_idx, final_position))
-        self._update_spline()
+        self._spline_dirty = True
         self._update_velocities(frame_idx, final_position)
 
         return FlameDetectionResult(

@@ -8,12 +8,20 @@ Must be set before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the environment wires JAX to the TPU plugin (and an import
+# hook rewrites JAX_PLATFORMS), so env vars alone don't stick. Update the jax
+# config AFTER import but before any backend initialization — tests must run
+# on virtual CPU devices (fast, deterministic, no chip contention).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

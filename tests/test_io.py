@@ -60,10 +60,13 @@ def test_frame_nbytes():
     assert frame_nbytes(128, 64, 8) == 128 * 64
     assert frame_nbytes(128, 64, 12) == 128 * 64 * 3 // 2
     assert frame_nbytes(128, 64, 16) == 128 * 64 * 2
+    assert frame_nbytes(128, 64, 10) == 128 * 64 * 5 // 4
     with pytest.raises(ValueError):
         frame_nbytes(3, 3, 12)  # odd pixel count can't pack
     with pytest.raises(ValueError):
-        frame_nbytes(128, 64, 10)
+        frame_nbytes(2, 3, 10)  # not a multiple of 4
+    with pytest.raises(ValueError):
+        frame_nbytes(128, 64, 14)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,134 @@
+"""Parallel layer tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from hsip_tpu import open_collection
+from hsip_tpu.io import FlameSpec, synthesize_flame_video, write_recording
+from hsip_tpu.kernels.preprocess import batch_centerline_profiles
+from hsip_tpu.parallel import (
+    TPUVideoProcessor,
+    make_mesh,
+    sharded_centerline_profiles,
+    video_frame_mesh,
+)
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+# ---------------------------------------------------------------------------
+# Mesh construction
+# ---------------------------------------------------------------------------
+
+
+def test_make_mesh():
+    mesh = make_mesh("frame")
+    assert mesh.shape["frame"] == 8
+    mesh4 = make_mesh("frame", n_devices=4)
+    assert mesh4.shape["frame"] == 4
+
+
+def test_video_frame_mesh():
+    mesh = video_frame_mesh(2)
+    assert mesh.shape["video"] == 2
+    assert mesh.shape["frame"] == 4
+    with pytest.raises(ValueError):
+        video_frame_mesh(3)
+
+
+# ---------------------------------------------------------------------------
+# Sharded map phase: halo exchange must reproduce the serial chain exactly
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_profiles_match_single_device(n_dev):
+    flame = FlameSpec(x0=25.0, v0_px=6.0, ignition_frame=2, seed=9)
+    frames, _ = synthesize_flame_video(24, height=32, width=256, flame=flame)
+    bg = float(np.max(frames[0]))
+    noise = max(10.0, bg * 0.5)
+
+    mesh = make_mesh("frame", n_devices=n_dev)
+    s_sob, s_grad, s_cnt = sharded_centerline_profiles(
+        frames, bg, 5.0, noise, mesh
+    )
+
+    prior_index = np.arange(-1, 23, dtype=np.int32)
+    r_sob, r_grad, r_cnt = batch_centerline_profiles(
+        frames.astype(np.float32), np.float32(bg), prior_index,
+        np.float32(5.0), np.float32(noise),
+    )
+    # Same math, different partitioning — float32-exact equality expected
+    # except where reduction order could differ (none here: pointwise chain).
+    np.testing.assert_allclose(s_sob, np.asarray(r_sob), atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(s_grad, np.asarray(r_grad), atol=1e-4, rtol=1e-5)
+    np.testing.assert_array_equal(s_cnt, np.asarray(r_cnt))
+
+
+def test_sharded_profiles_pad_to_shards():
+    # 10 frames over 8 devices: pads to 16, returns 10.
+    frames, _ = synthesize_flame_video(10, height=32, width=128)
+    bg = float(np.max(frames[0]))
+    mesh = make_mesh("frame")
+    sob, grad, cnt = sharded_centerline_profiles(frames, bg, 5.0, 10.0, mesh)
+    assert sob.shape == (10, 128) and grad.shape == (10, 128) and cnt.shape == (10,)
+
+
+# ---------------------------------------------------------------------------
+# TPUVideoProcessor (serial-fallback contract; multi-process needs real hosts)
+# ---------------------------------------------------------------------------
+
+
+def test_processor_serial_identity():
+    p = TPUVideoProcessor(use_distributed=False)
+    assert p.rank == 0 and p.size == 1 and p.is_root and not p.is_parallel
+    assert p.broadcast({"a": 1}) == {"a": 1}
+    assert p.gather([1, 2]) == [[1, 2]]
+    assert p.allgather("x") == ["x"]
+    assert p.scatter([42]) == 42
+    assert p.scatter(None) is None
+    arr = np.arange(4.0)
+    np.testing.assert_array_equal(p.allreduce_sum(arr), arr)
+    np.testing.assert_array_equal(p.reduce_sum(arr), arr)
+    p.barrier()  # no-op
+    assert "serial" in repr(p)
+
+
+def test_processor_distribute_indices():
+    p = TPUVideoProcessor(use_distributed=False)
+    assert p.distribute_indices(5) == [0, 1, 2, 3, 4]
+    assert p.distribute_indices(5, "contiguous") == [0, 1, 2, 3, 4]
+    with pytest.raises(ValueError):
+        p.distribute_indices(5, "bogus")
+
+    # Simulate multi-rank index math directly.
+    class Fake(TPUVideoProcessor):
+        def __init__(self, rank, size):
+            self._distributed = True
+            self._rank, self._size = rank, size
+
+    rr = [Fake(r, 4).distribute_indices(10) for r in range(4)]
+    assert rr[0] == [0, 4, 8]
+    assert rr[1] == [1, 5, 9]
+    assert sorted(i for sub in rr for i in sub) == list(range(10))
+    ct = [Fake(r, 4).distribute_indices(10, "contiguous") for r in range(4)]
+    assert ct[0] == [0, 1, 2] and ct[1] == [3, 4, 5] and ct[3] == [8, 9]
+    assert sorted(i for sub in ct for i in sub) == list(range(10))
+
+
+def test_processor_process_collection(tmp_path):
+    frames, _ = synthesize_flame_video(6, height=32, width=128)
+    write_recording(tmp_path, "v1", frames)
+    write_recording(tmp_path, "v2", frames[:4])
+    coll = open_collection(str(tmp_path))
+    p = TPUVideoProcessor(use_distributed=False)
+    res = p.process_collection(coll, lambda fr, g: float(fr.mean()))
+    assert len(res) == 10
+    assert [g for g, _ in res] == list(range(10))
+    res_v = p.process_videos(coll, lambda v, i: len(v))
+    assert res_v == [(0, 6), (1, 4)]
+    coll.close_all()
