@@ -1,0 +1,213 @@
+"""Command-line entry point: configured video-source processing.
+
+The reference had no CLI at all — configuration was edited in source
+(``scripts/process_videos.py:1645-1685``, README.md:47-65). Here the same
+config objects load from TOML/JSON files with argparse overrides:
+
+    hsip --video-path ./Nova-Video-Files --output-dir ./out --name Nova
+    hsip --config run.toml
+    hsip --config run.toml --backend exact --no-images
+
+Config file schema (TOML):
+
+    [[source]]
+    name = "Nova"
+    enabled = true
+    video_path = "./Nova-Video-Files"
+    output_dir = "./Processed-Photos/Nova-Output"
+    calibration = 1.0
+    position_offset = 0.0
+    use_absolute_time = true
+    skip_frames = []
+
+    [[source.file_calibration]]
+    calibration = 0.000833333
+    position_offset = 1.0159
+    files = ["run-1-"]
+
+    [detector]
+    frame_diff_threshold = 5.0
+    gaussian_sigma = 1.5
+    # ... any FlameDetectorConfig field
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+from .track.config import FileCalibration, FlameDetectorConfig, VideoSourceConfig
+
+__all__ = ["main", "load_config", "build_parser"]
+
+
+def _load_config_file(path: Path) -> Dict[str, Any]:
+    if path.suffix.lower() == ".json":
+        return json.loads(path.read_text())
+    if path.suffix.lower() == ".toml":
+        import tomllib
+
+        return tomllib.loads(path.read_text())
+    raise ValueError(f"Unsupported config format: {path.suffix} (use .toml or .json)")
+
+
+def _source_from_dict(d: Dict[str, Any], base_path: Optional[str]) -> VideoSourceConfig:
+    fcs = [
+        FileCalibration(
+            calibration=fc["calibration"],
+            position_offset=fc.get("position_offset", 0.0),
+            files=list(fc.get("files", [])),
+        )
+        for fc in d.get("file_calibration", d.get("file_calibrations", []))
+    ]
+    cfg = VideoSourceConfig(
+        name=d.get("name", "source"),
+        enabled=d.get("enabled", True),
+        calibration=d.get("calibration", 1.0),
+        position_offset=d.get("position_offset", 0.0),
+        trigger_frame=d.get("trigger_frame"),
+        detection_method=d.get("detection_method", "combined"),
+        use_frame_diff=d.get("use_frame_diff", True),
+        use_absolute_time=d.get("use_absolute_time", True),
+        skip_frames=list(d.get("skip_frames", [])),
+        file_calibrations=fcs,
+        save_frame_images=d.get("save_frame_images", True),
+        save_stacked_sequences=d.get("save_stacked_sequences", True),
+        base_path=base_path,
+    )
+    if d.get("video_path"):
+        cfg.video_path = d["video_path"]
+    if d.get("output_dir"):
+        cfg.output_dir = d["output_dir"]
+    return cfg
+
+
+def _detector_from_dict(d: Dict[str, Any]) -> FlameDetectorConfig:
+    valid = {f.name for f in dataclasses.fields(FlameDetectorConfig)}
+    unknown = set(d) - valid
+    if unknown:
+        raise ValueError(f"Unknown detector config keys: {sorted(unknown)}")
+    return FlameDetectorConfig(**d)
+
+
+def load_config(path) -> tuple:
+    """Load (sources, detector_config) from a TOML/JSON config file."""
+    path = Path(path)
+    raw = _load_config_file(path)
+    base = str(path.parent.resolve())
+    sources = [_source_from_dict(s, base) for s in raw.get("source", [])]
+    detector = _detector_from_dict(raw.get("detector", {}))
+    return sources, detector
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="hsip",
+        description=(
+            "TPU-native high-speed camera processing: flame-front tracking "
+            "and DDT detection over Photron CIHX/MRAW recordings."
+        ),
+    )
+    parser.add_argument("--config", type=Path, help="TOML/JSON config file")
+    parser.add_argument("--video-path", help="directory of .cihx recordings")
+    parser.add_argument("--output-dir", help="output directory")
+    parser.add_argument("--name", default="source", help="source name")
+    parser.add_argument(
+        "--calibration", type=float, default=1.0, help="default m/pixel"
+    )
+    parser.add_argument(
+        "--position-offset", type=float, default=0.0, help="default offset (m)"
+    )
+    parser.add_argument("--trigger-frame", type=int, default=None)
+    parser.add_argument(
+        "--relative-time",
+        action="store_true",
+        help="trigger-relative time instead of absolute (PFV4) time",
+    )
+    parser.add_argument(
+        "--backend",
+        choices=("tpu", "exact"),
+        default="tpu",
+        help="tpu: batched device pipeline; exact: serial float64 host",
+    )
+    parser.add_argument(
+        "--no-images", action="store_true", help="skip per-frame diagnostic figures"
+    )
+    parser.add_argument(
+        "--no-sequences", action="store_true", help="skip stacked-sequence plots"
+    )
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument(
+        "--distributed",
+        action="store_true",
+        help="multi-process run (videos distributed across JAX processes)",
+    )
+    return parser
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    detector_config = FlameDetectorConfig()
+    sources: List[VideoSourceConfig] = []
+
+    if args.config:
+        sources, detector_config = load_config(args.config)
+    if args.video_path:
+        cfg = VideoSourceConfig(
+            name=args.name,
+            enabled=True,
+            calibration=args.calibration,
+            position_offset=args.position_offset,
+            trigger_frame=args.trigger_frame,
+            use_absolute_time=not args.relative_time,
+        )
+        cfg.video_path = args.video_path
+        cfg.output_dir = args.output_dir or "./hsip-output"
+        sources.append(cfg)
+
+    if not sources:
+        print("No sources configured: pass --video-path or --config", file=sys.stderr)
+        return 2
+
+    for cfg in sources:
+        if args.no_images:
+            cfg.save_frame_images = False
+        if args.no_sequences:
+            cfg.save_stacked_sequences = False
+
+    processor = None
+    if args.distributed:
+        from .parallel import TPUVideoProcessor, initialize_distributed
+
+        initialize_distributed()
+        processor = TPUVideoProcessor()
+        if processor.is_root:
+            print(f"Running distributed: {processor.size} processes")
+
+    from .pipeline import process_video_source
+
+    for cfg in sources:
+        if not cfg.enabled:
+            continue
+        process_video_source(
+            cfg,
+            detector_config,
+            backend=args.backend,
+            processor=processor,
+            verbose=not args.quiet,
+        )
+
+    if processor is not None:
+        processor.barrier()
+    if processor is None or processor.is_root:
+        print("\nProcessing complete!")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

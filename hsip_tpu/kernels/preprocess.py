@@ -198,7 +198,9 @@ def signal_count(sub: jnp.ndarray, noise_threshold: float) -> jnp.ndarray:
 
 @partial(
     jax.jit,
-    static_argnames=("morphology_kernel_size", "gaussian_sigma", "center_row"),
+    static_argnames=(
+        "morphology_kernel_size", "gaussian_sigma", "center_row", "use_pallas",
+    ),
 )
 def batch_centerline_profiles(
     frames: jnp.ndarray,
@@ -209,6 +211,7 @@ def batch_centerline_profiles(
     morphology_kernel_size: int = 3,
     gaussian_sigma: float = 1.5,
     center_row: Optional[int] = None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full batched preprocess: frames → centerline profiles + empty stats.
 
@@ -238,13 +241,21 @@ def batch_centerline_profiles(
     counts = signal_count(sub, noise_threshold)
 
     band = sub[:, rows, :]  # (N, 2M+1, W)
-    prior_band = band[jnp.maximum(prior_index, 0)]
-    diff = band - prior_band
-    diff = jnp.where(diff < frame_diff_threshold, 0.0, diff)
+    if use_pallas:
+        from .pallas_preprocess import pallas_band_profiles
 
-    sobel_lines, gradient_lines = diff_profiles_from_band(
-        diff, morphology_kernel_size, taps
-    )
+        sobel_lines, gradient_lines = pallas_band_profiles(
+            band, prior_index, frame_diff_threshold,
+            morphology_kernel_size=morphology_kernel_size,
+            gaussian_sigma=gaussian_sigma,
+        )
+    else:
+        prior_band = band[jnp.maximum(prior_index, 0)]
+        diff = band - prior_band
+        diff = jnp.where(diff < frame_diff_threshold, 0.0, diff)
+        sobel_lines, gradient_lines = diff_profiles_from_band(
+            diff, morphology_kernel_size, taps
+        )
 
     valid = (prior_index >= 0)[:, None]
     sobel_lines = jnp.where(valid, sobel_lines, 0.0)

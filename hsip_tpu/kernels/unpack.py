@@ -72,7 +72,8 @@ def _unpack_rows_12bit(packed: jnp.ndarray, rows: jnp.ndarray, height: int,
 @partial(
     jax.jit,
     static_argnames=(
-        "height", "width", "morphology_kernel_size", "gaussian_sigma", "center_row",
+        "height", "width", "morphology_kernel_size", "gaussian_sigma",
+        "center_row", "use_pallas",
     ),
 )
 def packed_centerline_profiles(
@@ -86,6 +87,7 @@ def packed_centerline_profiles(
     morphology_kernel_size: int = 3,
     gaussian_sigma: float = 1.5,
     center_row: Optional[int] = None,
+    use_pallas: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Packed 12-bit bytes (N, frame_nbytes) → centerline profiles + counts.
 
@@ -110,13 +112,21 @@ def packed_centerline_profiles(
     band_pixels = _unpack_rows_12bit(packed, rows, height, width)
     band = jnp.maximum(band_pixels - background_scalar, 0.0)
 
-    prior_band = band[jnp.maximum(prior_index, 0)]
-    diff = band - prior_band
-    diff = jnp.where(diff < frame_diff_threshold, 0.0, diff)
+    if use_pallas:
+        from .pallas_preprocess import pallas_band_profiles
 
-    sobel_lines, gradient_lines = diff_profiles_from_band(
-        diff, morphology_kernel_size, taps
-    )
+        sobel_lines, gradient_lines = pallas_band_profiles(
+            band, prior_index, frame_diff_threshold,
+            morphology_kernel_size=morphology_kernel_size,
+            gaussian_sigma=gaussian_sigma,
+        )
+    else:
+        prior_band = band[jnp.maximum(prior_index, 0)]
+        diff = band - prior_band
+        diff = jnp.where(diff < frame_diff_threshold, 0.0, diff)
+        sobel_lines, gradient_lines = diff_profiles_from_band(
+            diff, morphology_kernel_size, taps
+        )
     valid = (prior_index >= 0)[:, None]
     sobel_lines = jnp.where(valid, sobel_lines, 0.0)
     gradient_lines = jnp.where(valid, gradient_lines, 0.0)

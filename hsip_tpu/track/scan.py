@@ -85,6 +85,7 @@ def compute_profiles_batched(
     chunk_size: int = 256,
     device_fn=None,
     read_packed: Optional[Callable[[int, int], np.ndarray]] = None,
+    use_pallas: Optional[bool] = None,
 ) -> FrameProfiles:
     """Map phase: batched device computation of per-frame centerline profiles.
 
@@ -105,11 +106,17 @@ def compute_profiles_batched(
     frame (empty frames included — they advance the motion baseline).
     Chunks overlap by one processed frame so priors never cross host↔device.
     """
+    import jax
+
     from ..kernels.preprocess import batch_centerline_profiles
     from ..kernels.unpack import packed_centerline_profiles
 
     if device_fn is None:
         device_fn = batch_centerline_profiles
+    if use_pallas is None:
+        # The fused Mosaic kernel is bit-identical to the jnp chain on TPU;
+        # on CPU backends Pallas would run interpreted (slow), so skip it.
+        use_pallas = jax.default_backend() == "tpu"
 
     skip = set(int(s) for s in skip_frames)
     processed = np.array([i for i in range(n_frames) if i not in skip], dtype=np.int64)
@@ -148,29 +155,35 @@ def compute_profiles_batched(
         chunks.append((pos, stop, lo, hi, local, prior_index_full))
         pos = stop
 
-    # Three-stage software pipeline: (A) async host->device transfers with a
-    # bounded in-flight window (hides PCIe behind compute), (B) kernel
-    # dispatch per resident chunk, (C) one fetch pass at the end.
-    import jax
+    # Three-stage software pipeline: (A) host read + host->device transfers
+    # staged from a worker pool with a bounded in-flight window (overlaps
+    # file IO, decode and PCIe with compute even when transfers are
+    # synchronous), (B) kernel dispatch per resident chunk, (C) one fetch
+    # pass at the end.
+    from concurrent.futures import ThreadPoolExecutor
 
     max_in_flight = 8
-    staged = {}  # chunk index -> device array
+    pool = ThreadPoolExecutor(max_workers=2)
+    staged = {}  # chunk index -> Future[device array]
     pending = []  # (pos, stop, local, sob, grad, counts)
 
-    def stage(ci: int) -> None:
+    def stage_task(ci: int):
         _, _, lo, hi, _, _ = chunks[ci]
         host = (
             np.ascontiguousarray(read_packed(lo, hi))
             if read_packed is not None
             else read_batch(lo, hi)
         )
-        staged[ci] = jax.device_put(host)
+        return jax.device_put(host)
+
+    def stage(ci: int) -> None:
+        staged[ci] = pool.submit(stage_task, ci)
 
     for ci in range(min(max_in_flight, len(chunks))):
         stage(ci)
 
     for ci, (pos, stop, lo, hi, local, prior_index_full) in enumerate(chunks):
-        dev = staged.pop(ci)
+        dev = staged.pop(ci).result()
         if read_packed is not None:
             sob, grad, counts = packed_centerline_profiles(
                 dev,
@@ -182,6 +195,7 @@ def compute_profiles_batched(
                 np.float32(noise_threshold),
                 morphology_kernel_size=config.morphology_kernel_size,
                 gaussian_sigma=config.gaussian_sigma,
+                use_pallas=use_pallas,
             )
         else:
             sob, grad, counts = device_fn(
@@ -192,12 +206,14 @@ def compute_profiles_batched(
                 np.float32(noise_threshold),
                 morphology_kernel_size=config.morphology_kernel_size,
                 gaussian_sigma=config.gaussian_sigma,
+                use_pallas=use_pallas,
             )
         pending.append((pos, stop, local, sob, grad, counts))
         nxt = ci + max_in_flight
         if nxt < len(chunks):
             stage(nxt)
 
+    pool.shutdown(wait=True)
     for pos, stop, local, sob, grad, counts in pending:
         # The kernel computed profiles for every batch row; keep processed ones.
         sobel_lines[pos:stop] = np.asarray(sob)[local]

@@ -1,0 +1,102 @@
+"""CLI tests: arg parsing, TOML/JSON config loading, end-to-end run."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from hsip_tpu.cli import build_parser, load_config, main
+from hsip_tpu.io import FlameSpec, synthesize_flame_video, write_recording
+
+
+TOML = """
+[[source]]
+name = "Nova"
+enabled = true
+video_path = "{video_path}"
+output_dir = "{output_dir}"
+calibration = 0.001
+use_absolute_time = true
+skip_frames = [3]
+
+[[source.file_calibration]]
+calibration = 0.000833333
+position_offset = 1.0159
+files = ["run-1-"]
+
+[detector]
+gaussian_sigma = 1.5
+frame_diff_threshold = 5.0
+"""
+
+
+@pytest.fixture(scope="module")
+def videos(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("cli_videos")
+    frames, _ = synthesize_flame_video(
+        25, height=48, width=256,
+        flame=FlameSpec(x0=25.0, v0_px=6.0, ignition_frame=2, seed=13),
+    )
+    write_recording(tmp, "cli-run-1-a", frames)
+    return tmp
+
+
+def test_load_toml_config(tmp_path, videos):
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(
+        TOML.format(video_path=str(videos), output_dir=str(tmp_path / "out"))
+    )
+    sources, det = load_config(cfg_path)
+    assert len(sources) == 1
+    src = sources[0]
+    assert src.name == "Nova"
+    assert src.skip_frames == [3]
+    assert src.file_calibrations[0].position_offset == 1.0159
+    assert src.get_calibration_for_file("cli-run-1-a.cihx") == (0.000833333, 1.0159)
+    assert det.gaussian_sigma == 1.5
+
+
+def test_load_json_config(tmp_path, videos):
+    cfg = {
+        "source": [{"name": "J", "video_path": str(videos), "output_dir": str(tmp_path / "o")}],
+        "detector": {"exit_margin_px": 20},
+    }
+    p = tmp_path / "run.json"
+    p.write_text(json.dumps(cfg))
+    sources, det = load_config(p)
+    assert sources[0].name == "J"
+    assert det.exit_margin_px == 20
+
+
+def test_config_rejects_unknown_detector_keys(tmp_path):
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"detector": {"bogus_knob": 1}}))
+    with pytest.raises(ValueError, match="bogus_knob"):
+        load_config(p)
+
+
+def test_cli_end_to_end(videos, tmp_path, capsys):
+    out_dir = tmp_path / "cli_out"
+    rc = main([
+        "--video-path", str(videos),
+        "--output-dir", str(out_dir),
+        "--name", "CLI",
+        "--calibration", "0.001",
+        "--no-images", "--no-sequences", "--quiet",
+    ])
+    assert rc == 0
+    table = out_dir / "cli-run-1-a-flame-position.txt"
+    assert table.exists()
+    rows = [l for l in table.read_text().splitlines() if l and not l.startswith("#")]
+    assert len(rows) > 10
+
+
+def test_cli_no_sources_errors(capsys):
+    assert main([]) == 2
+    assert "No sources" in capsys.readouterr().err
+
+
+def test_cli_parser_defaults():
+    args = build_parser().parse_args(["--video-path", "x"])
+    assert args.backend == "tpu"
+    assert not args.no_images

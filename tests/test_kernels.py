@@ -127,3 +127,30 @@ def test_band_opening_matches_scipy_any_kernel(k):
         blurred = ndi.gaussian_filter(opened, sigma=sigma)
         h_sob = ndi.sobel(blurred, axis=1)[c]
         np.testing.assert_allclose(np.array(sob)[i], h_sob, atol=5e-3, rtol=1e-4)
+
+
+def test_pallas_band_profiles_matches_jnp_interpret():
+    """Fused Pallas kernel (interpret mode on CPU) must match the jnp chain;
+    on real TPU hardware the compiled kernel is bit-identical (verified on
+    chip)."""
+    import jax.numpy as jnp
+
+    from hsip_tpu.kernels.pallas_preprocess import pallas_band_profiles
+    from hsip_tpu.kernels.preprocess import diff_profiles_from_band, gaussian_taps
+
+    rng = np.random.default_rng(0)
+    n, b, w = 5, 19, 256
+    band = rng.uniform(0, 100, (n, b, w)).astype(np.float32)
+    pidx = np.arange(-1, n - 1, dtype=np.int32)
+
+    sob, grad = pallas_band_profiles(band, pidx, np.float32(5.0), interpret=True)
+
+    prior = band[np.maximum(pidx, 0)]
+    diff = np.where(band - prior < 5.0, 0.0, band - prior)
+    r_sob, r_grad = diff_profiles_from_band(
+        jnp.asarray(diff), 3, jnp.asarray(gaussian_taps(1.5))
+    )
+    np.testing.assert_allclose(np.asarray(sob)[1:], np.asarray(r_sob)[1:],
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(grad)[1:], np.asarray(r_grad)[1:],
+                               atol=1e-4, rtol=1e-5)
