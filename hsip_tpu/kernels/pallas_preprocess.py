@@ -73,7 +73,8 @@ def _make_kernel(k: int, taps: np.ndarray, width: int, band: int,
     radius = (ntaps - 1) // 2
     taps_f = [float(t) for t in taps]
 
-    def kernel(pidx_ref, thresh_ref, band_ref, prior_ref, sobel_ref, grad_ref):
+    def kernel(pidx_ref, thresh_ref, band_ref, prior_ref, sobel_ref, grad_ref,
+               intens_ref):
         cur = band_ref[0]          # (B, W)
         pri = prior_ref[0]
         thresh = thresh_ref[0]
@@ -113,6 +114,9 @@ def _make_kernel(k: int, taps: np.ndarray, width: int, band: int,
         interior = (center[:, 2:width] - center[:, 0 : width - 2]) * 0.5
         right_edge = center[:, width - 1 : width] - center[:, width - 2 : width - 1]
         grad_ref[0] = jnp.concatenate([left_edge, interior, right_edge], axis=1)
+
+        # Blurred diff centerline intensity (profile-detector input).
+        intens_ref[0] = center
 
     return kernel
 
@@ -159,15 +163,17 @@ def pallas_band_profiles(
             # equal to the array dims (Mosaic tiling constraint).
             pl.BlockSpec((1, 1, w), lambda i, pidx, th: (i, 0, 0)),
             pl.BlockSpec((1, 1, w), lambda i, pidx, th: (i, 0, 0)),
+            pl.BlockSpec((1, 1, w), lambda i, pidx, th: (i, 0, 0)),
         ],
     )
-    sobel, grad = pl.pallas_call(
+    sobel, grad, intensity = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n, 1, w), jnp.float32),
             jax.ShapeDtypeStruct((n, 1, w), jnp.float32),
+            jax.ShapeDtypeStruct((n, 1, w), jnp.float32),
         ],
         interpret=interpret,
     )(prior_clamped, thresh_arr, band, band)
-    return sobel[:, 0], grad[:, 0]
+    return sobel[:, 0], grad[:, 0], intensity[:, 0]

@@ -144,12 +144,16 @@ def blur_band(band: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def sobel_gradient_lines(blurred3: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Centerline Sobel + gradient from a 3-row blurred band.
+def sobel_gradient_lines(
+    blurred3: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Centerline (Sobel, gradient, intensity) from a 3-row blurred band.
 
     ``blurred3`` is (..., 3, W): rows center-1, center, center+1.
     Sobel(axis=1) = [-1,0,1] along width ∘ [1,2,1] along rows;
-    gradient = np.gradient along width (central diff, one-sided edges).
+    gradient = np.gradient along width (central diff, one-sided edges);
+    intensity = the blurred center row itself (input to the threshold /
+    half_maximum / gradient profile detectors).
     """
     w = blurred3.shape[-1]
     # Vertical [1, 2, 1] smoothing onto the center row.
@@ -167,15 +171,16 @@ def sobel_gradient_lines(blurred3: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarra
     left = (center[..., 1:2] - center[..., 0:1])
     right = (center[..., -1:] - center[..., -2:-1])
     gradient_line = jnp.concatenate([left, interior, right], axis=-1)
-    return sobel_line, gradient_line
+    return sobel_line, gradient_line, center
 
 
 def diff_profiles_from_band(
     diff_band: jnp.ndarray,
     morphology_kernel_size: int,
     taps: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Thresholded diff band (..., 2M+1, W) → centerline (sobel, gradient)."""
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Thresholded diff band (..., 2M+1, W) → centerline
+    (sobel, gradient, intensity)."""
     opened = grey_opening_band(diff_band, morphology_kernel_size)
     blurred = blur_band(opened, taps)
     return sobel_gradient_lines(blurred)
@@ -227,8 +232,11 @@ def batch_centerline_profiles(
         center_row: centerline row (defaults to H // 2; static).
 
     Returns:
-        (sobel_lines (N, W) f32, gradient_lines (N, W) f32,
-        signal_counts (N,) i32). Rows with prior_index < 0 are zero.
+        (sobel_lines (N, W), gradient_lines (N, W), intensity_lines (N, W) —
+        the blurred diff centerline consumed by the threshold/half_maximum/
+        gradient profile detectors, raw_center_lines (N, W) — the BG-
+        subtracted centerline, signal_counts (N,) i32). Diff-derived rows
+        with prior_index < 0 are zero.
     """
     n, h, w = frames.shape
     if center_row is None:
@@ -241,10 +249,11 @@ def batch_centerline_profiles(
     counts = signal_count(sub, noise_threshold)
 
     band = sub[:, rows, :]  # (N, 2M+1, W)
+    raw_center_lines = band[:, margin, :]
     if use_pallas:
         from .pallas_preprocess import pallas_band_profiles
 
-        sobel_lines, gradient_lines = pallas_band_profiles(
+        sobel_lines, gradient_lines, intensity_lines = pallas_band_profiles(
             band, prior_index, frame_diff_threshold,
             morphology_kernel_size=morphology_kernel_size,
             gaussian_sigma=gaussian_sigma,
@@ -253,11 +262,12 @@ def batch_centerline_profiles(
         prior_band = band[jnp.maximum(prior_index, 0)]
         diff = band - prior_band
         diff = jnp.where(diff < frame_diff_threshold, 0.0, diff)
-        sobel_lines, gradient_lines = diff_profiles_from_band(
+        sobel_lines, gradient_lines, intensity_lines = diff_profiles_from_band(
             diff, morphology_kernel_size, taps
         )
 
     valid = (prior_index >= 0)[:, None]
     sobel_lines = jnp.where(valid, sobel_lines, 0.0)
     gradient_lines = jnp.where(valid, gradient_lines, 0.0)
-    return sobel_lines, gradient_lines, counts
+    intensity_lines = jnp.where(valid, intensity_lines, 0.0)
+    return sobel_lines, gradient_lines, intensity_lines, raw_center_lines, counts

@@ -111,11 +111,12 @@ def packed_centerline_profiles(
 
     band_pixels = _unpack_rows_12bit(packed, rows, height, width)
     band = jnp.maximum(band_pixels - background_scalar, 0.0)
+    raw_center_lines = band[:, margin, :]
 
     if use_pallas:
         from .pallas_preprocess import pallas_band_profiles
 
-        sobel_lines, gradient_lines = pallas_band_profiles(
+        sobel_lines, gradient_lines, intensity_lines = pallas_band_profiles(
             band, prior_index, frame_diff_threshold,
             morphology_kernel_size=morphology_kernel_size,
             gaussian_sigma=gaussian_sigma,
@@ -124,10 +125,11 @@ def packed_centerline_profiles(
         prior_band = band[jnp.maximum(prior_index, 0)]
         diff = band - prior_band
         diff = jnp.where(diff < frame_diff_threshold, 0.0, diff)
-        sobel_lines, gradient_lines = diff_profiles_from_band(
+        sobel_lines, gradient_lines, intensity_lines = diff_profiles_from_band(
             diff, morphology_kernel_size, taps
         )
     valid = (prior_index >= 0)[:, None]
     sobel_lines = jnp.where(valid, sobel_lines, 0.0)
     gradient_lines = jnp.where(valid, gradient_lines, 0.0)
-    return sobel_lines, gradient_lines, counts
+    intensity_lines = jnp.where(valid, intensity_lines, 0.0)
+    return sobel_lines, gradient_lines, intensity_lines, raw_center_lines, counts

@@ -59,7 +59,7 @@ def build_multichip_step(mesh, height: int, width: int, axis_frame: str = "frame
         prior = jnp.concatenate([halo, band[:, :-1]], axis=1)
         diff = jnp.where(band - prior < diff_threshold, 0.0, band - prior)
 
-        sob, grad = diff_profiles_from_band(diff, 3, jnp.asarray(taps))
+        sob, grad, _intens = diff_profiles_from_band(diff, 3, jnp.asarray(taps))
 
         # Zero the global first frame of each video (no prior).
         fid = jax.lax.axis_index(axis_frame)

@@ -81,9 +81,10 @@ def make_sharded_profile_fn(
 
         diff = band - prior_band
         diff = jnp.where(diff < diff_threshold, 0.0, diff)
-        sob, grad = diff_profiles_from_band(
+        sob, grad, intens = diff_profiles_from_band(
             diff, morphology_kernel_size, jnp.asarray(taps_np)
         )
+        raw_center = band[:, margin, :]
 
         # Global frame 0 (shard 0, local row 0) has no prior: zero it.
         shard_id = jax.lax.axis_index(axis_name)
@@ -92,13 +93,20 @@ def make_sharded_profile_fn(
         )
         sob = jnp.where(is_first, 0.0, sob)
         grad = jnp.where(is_first, 0.0, grad)
-        return sob, grad, counts
+        intens = jnp.where(is_first, 0.0, intens)
+        return sob, grad, intens, raw_center, counts
 
     sharded = shard_map(
         per_shard,
         mesh=mesh,
         in_specs=(P(axis_name, None, None), P(), P(), P()),
-        out_specs=(P(axis_name, None), P(axis_name, None), P(axis_name)),
+        out_specs=(
+            P(axis_name, None),
+            P(axis_name, None),
+            P(axis_name, None),
+            P(axis_name, None),
+            P(axis_name),
+        ),
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -130,13 +138,16 @@ def sharded_centerline_profiles(
     )
     sharding = NamedSharding(mesh, P(axis_name, None, None))
     frames_dev = jax.device_put(frames.astype(np.float32), sharding)
-    sob, grad, counts = fn(
+    sob, grad, intens, raw_center, counts = fn(
         frames_dev,
         jnp.float32(background_scalar),
         jnp.float32(frame_diff_threshold),
         jnp.float32(noise_threshold),
     )
-    sob = np.asarray(sob)[:n]
-    grad = np.asarray(grad)[:n]
-    counts = np.asarray(counts)[:n]
-    return sob, grad, counts
+    return (
+        np.asarray(sob)[:n],
+        np.asarray(grad)[:n],
+        np.asarray(intens)[:n],
+        np.asarray(raw_center)[:n],
+        np.asarray(counts)[:n],
+    )

@@ -231,6 +231,7 @@ def process_video_file(
                 use_absolute_time=config.use_absolute_time,
                 background_scalar=background_scalar,
                 on_result=on_result,
+                detection_method=config.detection_method,
             )
         elif backend == "exact":
             output = _track_video_exact(
@@ -287,7 +288,8 @@ def _track_video_exact(
     from .track.scan import MIN_SIGNAL_FRACTION, NOISE_THRESHOLD_FLOOR
 
     detector = FlameDetector(
-        detector_config, video.frame_rate, calibration, keep_results=False
+        detector_config, video.frame_rate, calibration, keep_results=False,
+        detection_method=config.detection_method,
     )
     time_fn = video.get_absolute_time if config.use_absolute_time else video.get_time
     skip = set(config.skip_frames)

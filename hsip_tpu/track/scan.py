@@ -48,6 +48,8 @@ class FrameProfiles:
     frame_indices: np.ndarray      # (M,) processed frame indices, ascending
     sobel_lines: np.ndarray        # (M, W) float
     gradient_lines: np.ndarray     # (M, W) float
+    intensity_lines: np.ndarray    # (M, W) denoised diff centerline (profile
+                                   # detector input)
     signal_counts: np.ndarray      # (M,) int — above-noise pixel counts
     has_prior: np.ndarray          # (M,) bool — False only for the first
     width: int
@@ -126,6 +128,7 @@ def compute_profiles_batched(
 
     sobel_lines = np.zeros((m, w), dtype=np.float32)
     gradient_lines = np.zeros((m, w), dtype=np.float32)
+    intensity_lines = np.zeros((m, w), dtype=np.float32)
     signal_counts = np.zeros(m, dtype=np.int64)
 
     # Chunk plan over the PROCESSED index list; each chunk includes the
@@ -185,7 +188,7 @@ def compute_profiles_batched(
     for ci, (pos, stop, lo, hi, local, prior_index_full) in enumerate(chunks):
         dev = staged.pop(ci).result()
         if read_packed is not None:
-            sob, grad, counts = packed_centerline_profiles(
+            sob, grad, intens, _rawc, counts = packed_centerline_profiles(
                 dev,
                 h,
                 w,
@@ -198,7 +201,7 @@ def compute_profiles_batched(
                 use_pallas=use_pallas,
             )
         else:
-            sob, grad, counts = device_fn(
+            sob, grad, intens, _rawc, counts = device_fn(
                 dev,
                 np.float32(background_scalar),
                 prior_index_full,
@@ -208,16 +211,17 @@ def compute_profiles_batched(
                 gaussian_sigma=config.gaussian_sigma,
                 use_pallas=use_pallas,
             )
-        pending.append((pos, stop, local, sob, grad, counts))
+        pending.append((pos, stop, local, sob, grad, intens, counts))
         nxt = ci + max_in_flight
         if nxt < len(chunks):
             stage(nxt)
 
     pool.shutdown(wait=True)
-    for pos, stop, local, sob, grad, counts in pending:
+    for pos, stop, local, sob, grad, intens, counts in pending:
         # The kernel computed profiles for every batch row; keep processed ones.
         sobel_lines[pos:stop] = np.asarray(sob)[local]
         gradient_lines[pos:stop] = np.asarray(grad)[local]
+        intensity_lines[pos:stop] = np.asarray(intens)[local]
         signal_counts[pos:stop] = np.asarray(counts)[local]
 
     has_prior = np.ones(m, dtype=bool)
@@ -227,6 +231,7 @@ def compute_profiles_batched(
         frame_indices=processed,
         sobel_lines=sobel_lines,
         gradient_lines=gradient_lines,
+        intensity_lines=intensity_lines,
         signal_counts=signal_counts,
         has_prior=has_prior,
         width=w,
@@ -242,6 +247,7 @@ def run_tracking_scan(
     position_offset_m: float = 0.0,
     time_fn: Optional[Callable[[int], float]] = None,
     on_result=None,
+    detection_method: str = "combined",
 ) -> TrackingOutput:
     """Scan phase: sequential tracker over precomputed profiles.
 
@@ -275,15 +281,21 @@ def run_tracking_scan(
         if profiles.has_prior[j]:
             sobel_line = np.asarray(profiles.sobel_lines[j], dtype=np.float64)
             gradient_line = np.asarray(profiles.gradient_lines[j], dtype=np.float64)
+            intensity_line = np.asarray(
+                profiles.intensity_lines[j], dtype=np.float64
+            )
         else:
             sobel_line = None
             gradient_line = None
+            intensity_line = None
 
         # Spline prediction is plot-only; skip it unless a viz hook consumes
         # the result (an every-frame refit would make the scan O(N^2)).
         result = tracker.step(
             frame_idx, width, sobel_line, gradient_line,
             predict_spline=on_result is not None,
+            intensity_line=intensity_line,
+            method=detection_method,
         )
         if on_result is not None:
             on_result(result, tracker)
@@ -335,6 +347,7 @@ def track_video(
     chunk_size: int = 256,
     background_scalar: Optional[float] = None,
     on_result=None,
+    detection_method: str = "combined",
 ) -> TrackingOutput:
     """End-to-end tracking of one :class:`~hsip_tpu.video.PhotonVideo`.
 
@@ -365,4 +378,5 @@ def track_video(
         position_offset_m=position_offset_m,
         time_fn=time_fn,
         on_result=on_result,
+        detection_method=detection_method,
     )

@@ -213,6 +213,8 @@ class FlameTracker:
         sobel_line: Optional[np.ndarray],
         gradient_line: Optional[np.ndarray],
         predict_spline: bool = True,
+        intensity_line: Optional[np.ndarray] = None,
+        method: str = "combined",
     ) -> FlameDetectionResult:
         """Advance the tracker by one frame given its centerline profiles.
 
@@ -220,6 +222,11 @@ class FlameTracker:
         doing full-frame detection attach intermediates themselves.
         ``predict_spline=False`` skips the (plot-only) spline prediction —
         the hot path uses this since the prediction never affects selection.
+
+        ``method`` selects the detector: 'combined' (min-gradient +
+        rightmost-Sobel, the reference tracker) or one of the named profile
+        methods 'threshold' / 'gradient' / 'half_maximum', which run on
+        ``intensity_line`` (the denoised frame-diff centerline).
         """
         time_s = frame_idx / self.frame_rate if self.frame_rate > 0 else 0
 
@@ -227,21 +234,32 @@ class FlameTracker:
 
         pos_min_gradient = None
         pos_rightmost_sobel = None
-        if sobel_line is not None and gradient_line is not None:
-            pos_min_gradient, pos_rightmost_sobel = self._find_candidates(
-                sobel_line, gradient_line, search_start, search_end
-            )
+        final_position = None
+        if method == "combined":
+            if sobel_line is not None and gradient_line is not None:
+                pos_min_gradient, pos_rightmost_sobel = self._find_candidates(
+                    sobel_line, gradient_line, search_start, search_end
+                )
+            # Final position: rightmost candidate (the leading edge for
+            # left-to-right propagation); detection trusted over prediction.
+            candidates = [
+                p for p in (pos_min_gradient, pos_rightmost_sobel) if p is not None
+            ]
+            final_position = max(candidates) if candidates else None
+        else:
+            from .detectors import detect_profile
+
+            if intensity_line is not None:
+                final_position = detect_profile(
+                    intensity_line,
+                    method,
+                    self.config,
+                    bounds=(search_start, search_end),
+                )
 
         pos_spline_predicted = None
         if self.config.use_spline_estimator and predict_spline:
             pos_spline_predicted = self.predict_with_spline(frame_idx)
-
-        # Final position: rightmost candidate (the leading edge for
-        # left-to-right propagation); detection is trusted over prediction.
-        candidates = [
-            p for p in (pos_min_gradient, pos_rightmost_sobel) if p is not None
-        ]
-        final_position = max(candidates) if candidates else None
 
         self._position_history.append((frame_idx, final_position))
         self._spline_dirty = True
@@ -379,10 +397,12 @@ class FlameDetector:
         frame_rate: float,
         calibration_m_per_px: float,
         keep_results: bool = True,
+        detection_method: str = "combined",
     ):
         self.config = config
         self.frame_rate = frame_rate
         self.calibration = calibration_m_per_px
+        self.detection_method = detection_method
         self.tracker = FlameTracker(config, frame_rate, calibration_m_per_px)
         self._prior_frame: Optional[np.ndarray] = None
         self._keep_results = keep_results
@@ -418,6 +438,7 @@ class FlameDetector:
         gradient_output = None
         sobel_line = None
         gradient_line = None
+        intensity_line = None
 
         if self._prior_frame is not None:
             frame_diff = hostops.subtract_prior_frame(
@@ -430,8 +451,16 @@ class FlameDetector:
             gradient_output = hostops.gradient_x(blurred)
             sobel_line = sobel_output[center_row, :]
             gradient_line = gradient_output[center_row, :]
+            intensity_line = blurred[center_row, :]
 
-        result = self.tracker.step(frame_idx, width, sobel_line, gradient_line)
+        result = self.tracker.step(
+            frame_idx,
+            width,
+            sobel_line,
+            gradient_line,
+            intensity_line=intensity_line,
+            method=self.detection_method,
+        )
 
         self._prior_frame = frame_subtracted.copy()
 

@@ -50,7 +50,7 @@ def test_batch_profiles_match_host_reference(height, width):
     k, sigma, thresh = 3, 1.5, 5.0
 
     prior_index = np.arange(-1, 9, dtype=np.int32)  # chain: i-1, first has none
-    sob, grad, counts = batch_centerline_profiles(
+    sob, grad, intens, rawc, counts = batch_centerline_profiles(
         frames.astype(np.float32),
         np.float32(bg),
         prior_index,
@@ -60,6 +60,7 @@ def test_batch_profiles_match_host_reference(height, width):
         gaussian_sigma=sigma,
     )
     sob, grad, counts = np.array(sob), np.array(grad), np.array(counts)
+    intens, rawc = np.array(intens), np.array(rawc)
 
     for i in range(1, 10):
         sub_curr = ref.subtract_scalar_background(frames[i], bg)
@@ -70,8 +71,12 @@ def test_batch_profiles_match_host_reference(height, width):
         scale_g = max(1.0, np.abs(h_grad).max())
         np.testing.assert_allclose(grad[i], h_grad, atol=2e-3 * scale_g, rtol=1e-4)
 
-    # Frame 0 has no prior: zeros.
-    assert np.all(sob[0] == 0) and np.all(grad[0] == 0)
+    # Frame 0 has no prior: zeros (intensity too); raw center always present.
+    assert np.all(sob[0] == 0) and np.all(grad[0] == 0) and np.all(intens[0] == 0)
+    c = height // 2
+    np.testing.assert_allclose(
+        rawc[0], np.maximum(frames[0, c].astype(np.float64) - bg, 0.0), atol=1e-3
+    )
 
     # Empty-frame counts match the host computation exactly.
     for i in range(10):
@@ -87,7 +92,7 @@ def test_batch_profiles_positions_match_host_decisions():
     frames, _ = synthesize_flame_video(30, height=48, width=512, flame=flame)
     bg = float(np.max(frames[0]))
     prior_index = np.arange(-1, 29, dtype=np.int32)
-    sob, grad, _ = batch_centerline_profiles(
+    sob, grad, _intens, _rawc, _ = batch_centerline_profiles(
         frames.astype(np.float32), np.float32(bg), prior_index,
         np.float32(5.0), np.float32(max(10.0, bg * 0.5)),
     )
@@ -115,7 +120,7 @@ def test_band_opening_matches_scipy_any_kernel(k):
     frames = rng.uniform(0, 100, size=(3, 40, 96)).astype(np.float32)
     sigma = 1.5
     prior_index = np.array([-1, 0, 1], dtype=np.int32)
-    sob, grad, _ = batch_centerline_profiles(
+    sob, grad, _intens, _rawc, _ = batch_centerline_profiles(
         frames, np.float32(0.0), prior_index, np.float32(0.0), np.float32(10.0),
         morphology_kernel_size=k, gaussian_sigma=sigma,
     )
@@ -143,14 +148,18 @@ def test_pallas_band_profiles_matches_jnp_interpret():
     band = rng.uniform(0, 100, (n, b, w)).astype(np.float32)
     pidx = np.arange(-1, n - 1, dtype=np.int32)
 
-    sob, grad = pallas_band_profiles(band, pidx, np.float32(5.0), interpret=True)
+    sob, grad, intens = pallas_band_profiles(
+        band, pidx, np.float32(5.0), interpret=True
+    )
 
     prior = band[np.maximum(pidx, 0)]
     diff = np.where(band - prior < 5.0, 0.0, band - prior)
-    r_sob, r_grad = diff_profiles_from_band(
+    r_sob, r_grad, r_intens = diff_profiles_from_band(
         jnp.asarray(diff), 3, jnp.asarray(gaussian_taps(1.5))
     )
     np.testing.assert_allclose(np.asarray(sob)[1:], np.asarray(r_sob)[1:],
                                atol=1e-4, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(grad)[1:], np.asarray(r_grad)[1:],
+                               atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(intens)[1:], np.asarray(r_intens)[1:],
                                atol=1e-4, rtol=1e-5)

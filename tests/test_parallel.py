@@ -53,12 +53,12 @@ def test_sharded_profiles_match_single_device(n_dev):
     noise = max(10.0, bg * 0.5)
 
     mesh = make_mesh("frame", n_devices=n_dev)
-    s_sob, s_grad, s_cnt = sharded_centerline_profiles(
+    s_sob, s_grad, s_int, s_raw, s_cnt = sharded_centerline_profiles(
         frames, bg, 5.0, noise, mesh
     )
 
     prior_index = np.arange(-1, 23, dtype=np.int32)
-    r_sob, r_grad, r_cnt = batch_centerline_profiles(
+    r_sob, r_grad, r_int, r_raw, r_cnt = batch_centerline_profiles(
         frames.astype(np.float32), np.float32(bg), prior_index,
         np.float32(5.0), np.float32(noise),
     )
@@ -66,6 +66,8 @@ def test_sharded_profiles_match_single_device(n_dev):
     # except where reduction order could differ (none here: pointwise chain).
     np.testing.assert_allclose(s_sob, np.asarray(r_sob), atol=1e-4, rtol=1e-5)
     np.testing.assert_allclose(s_grad, np.asarray(r_grad), atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(s_int, np.asarray(r_int), atol=1e-4, rtol=1e-5)
+    np.testing.assert_allclose(s_raw, np.asarray(r_raw), atol=1e-4, rtol=1e-5)
     np.testing.assert_array_equal(s_cnt, np.asarray(r_cnt))
 
 
@@ -74,8 +76,12 @@ def test_sharded_profiles_pad_to_shards():
     frames, _ = synthesize_flame_video(10, height=32, width=128)
     bg = float(np.max(frames[0]))
     mesh = make_mesh("frame")
-    sob, grad, cnt = sharded_centerline_profiles(frames, bg, 5.0, 10.0, mesh)
-    assert sob.shape == (10, 128) and grad.shape == (10, 128) and cnt.shape == (10,)
+    sob, grad, intens, raw, cnt = sharded_centerline_profiles(
+        frames, bg, 5.0, 10.0, mesh
+    )
+    assert sob.shape == (10, 128) and grad.shape == (10, 128)
+    assert intens.shape == (10, 128) and raw.shape == (10, 128)
+    assert cnt.shape == (10,)
 
 
 # ---------------------------------------------------------------------------

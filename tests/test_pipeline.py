@@ -188,3 +188,25 @@ def test_exit_truncation(tmp_path):
     assert [r[:3] for r in out.rows] == [r[:3] for r in out_e.rows]
     # No recorded position inside the exit margin.
     assert all(r[2] < 256 - 15 for r in out.rows)
+
+
+@pytest.mark.parametrize("method", ["threshold", "gradient", "half_maximum"])
+def test_detection_methods_tpu_matches_exact(recording, tmp_path, method):
+    """Each named profile method must agree between the TPU-batched and the
+    exact float64 backends and produce a plausible trajectory."""
+    cfg = _source_config(recording, tmp_path / f"m_{method}",
+                         detection_method=method)
+    out = process_video_file(
+        recording["path"], cfg, backend="tpu", verbose=False, write_outputs=False
+    )
+    out_e = process_video_file(
+        recording["path"], cfg, backend="exact", verbose=False, write_outputs=False
+    )
+    assert len(out.rows) > 10
+    assert [r[:3] for r in out.rows] == [r[:3] for r in out_e.rows]
+    assert out.break_reason == out_e.break_reason
+    # The detected front should land within tens of px of the analytic edge
+    # (method-dependent bias over the ~9px-wide blurred diff region is fine).
+    pos = recording["positions"]
+    errs = [abs(px - pos[f]) for f, _, px, _, _ in out.rows if np.isfinite(pos[f])]
+    assert np.median(errs) < 25
