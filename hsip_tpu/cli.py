@@ -142,6 +142,16 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip recordings already completed (checkpoint ledger in output dir)",
+    )
+    parser.add_argument(
+        "--profile-dir",
+        default=None,
+        help="capture a jax.profiler trace into this directory",
+    )
+    parser.add_argument(
         "--distributed",
         action="store_true",
         help="multi-process run (videos distributed across JAX processes)",
@@ -190,17 +200,20 @@ def main(argv: Optional[List[str]] = None) -> int:
             print(f"Running distributed: {processor.size} processes")
 
     from .pipeline import process_video_source
+    from .utils.profiling import profile_trace
 
-    for cfg in sources:
-        if not cfg.enabled:
-            continue
-        process_video_source(
-            cfg,
-            detector_config,
-            backend=args.backend,
-            processor=processor,
-            verbose=not args.quiet,
-        )
+    with profile_trace(args.profile_dir):
+        for cfg in sources:
+            if not cfg.enabled:
+                continue
+            process_video_source(
+                cfg,
+                detector_config,
+                backend=args.backend,
+                processor=processor,
+                verbose=not args.quiet,
+                resume=args.resume,
+            )
 
     if processor is not None:
         processor.barrier()

@@ -356,13 +356,24 @@ def process_video_source(
     backend: str = "tpu",
     processor=None,
     verbose: bool = True,
+    resume: bool = False,
 ) -> List[TrackingOutput]:
     """Process every ``*.cihx`` under a source's video path.
 
     With a :class:`~hsip_tpu.parallel.TPUVideoProcessor`, whole videos are
     distributed across processes (video-axis data parallelism — each video's
     scan stays serial-identical); outputs are written by the owning process.
+
+    ``resume=True`` skips recordings already marked complete in the output
+    directory's checkpoint ledger (crash-safe batch restarts); a
+    ``run-summary.json`` is written either way.
     """
+    import hashlib
+    import time as _time
+
+    from .utils.checkpoint import BatchCheckpoint
+    from .utils.summary import RunSummary
+
     is_root = processor is None or processor.is_root
     if verbose and is_root:
         print(f"\n{'=' * 60}")
@@ -384,17 +395,51 @@ def process_video_source(
         my_indices = set(processor.distribute_indices(len(cihx_files)))
         cihx_files = [f for i, f in enumerate(cihx_files) if i in my_indices]
 
+    checkpoint = None
+    summary = None
+    if config.output_dir:
+        cfg_hash = hashlib.sha256(
+            repr((config, detector_config, backend)).encode()
+        ).hexdigest()[:16]
+        checkpoint = BatchCheckpoint(config.output_dir, run_config_hash=cfg_hash)
+        if not resume:
+            checkpoint.clear()
+        summary = RunSummary(
+            config.name,
+            config_echo={"source": config, "detector": detector_config,
+                         "backend": backend},
+        )
+
     outputs = []
     for cihx_file in cihx_files:
-        outputs.append(
-            process_video_file(
-                cihx_file,
-                config,
-                detector_config,
-                backend=backend,
-                verbose=verbose and is_root,
-            )
+        if resume and checkpoint is not None and checkpoint.is_done(cihx_file.name):
+            if verbose and is_root:
+                print(f"  Skipping {cihx_file.name} (already complete)")
+            continue
+        t0 = _time.perf_counter()
+        output = process_video_file(
+            cihx_file,
+            config,
+            detector_config,
+            backend=backend,
+            verbose=verbose and is_root,
         )
+        wall = _time.perf_counter() - t0
+        outputs.append(output)
+        if checkpoint is not None:
+            checkpoint.mark_done(cihx_file.name, rows=len(output.rows))
+        if summary is not None:
+            cal, off = config.get_calibration_for_file(cihx_file.name)
+            n_frames = (
+                len(output.rows) + output.empty_frame_count
+                if output.rows
+                else output.empty_frame_count
+            )
+            summary.add_file(
+                cihx_file.name, output, cal, off, wall, n_frames
+            )
+    if summary is not None and config.output_dir:
+        summary.write(config.output_dir)
     if processor is not None:
         processor.barrier()
     return outputs

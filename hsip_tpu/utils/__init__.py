@@ -1,0 +1,21 @@
+"""Utilities: structured logging, profiling, run summaries, checkpointing.
+
+The reference's only observability was ``print()`` (SURVEY.md §5); these are
+the production replacements: leveled structured logging, ``jax.profiler``
+integration, machine-readable per-run summary JSON, and resumable batch
+state.
+"""
+
+from .logging import get_logger, set_log_level
+from .profiling import profile_trace, start_profiler_server
+from .summary import RunSummary
+from .checkpoint import BatchCheckpoint
+
+__all__ = [
+    "get_logger",
+    "set_log_level",
+    "profile_trace",
+    "start_profiler_server",
+    "RunSummary",
+    "BatchCheckpoint",
+]

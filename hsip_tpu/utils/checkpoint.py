@@ -1,0 +1,72 @@
+"""Batch checkpoint/resume: crash-safe progress for long multi-video runs.
+
+The reference wrote results only at end-of-video and restarted from scratch
+on any crash (SURVEY.md §5.3-5.4). Here a tiny JSON ledger in the output
+directory records which recordings completed (with their result-table
+checksums), so an interrupted batch resumes exactly where it stopped:
+
+    ckpt = BatchCheckpoint(output_dir)
+    for f in files:
+        if ckpt.is_done(f.name):
+            continue
+        ... process ...
+        ckpt.mark_done(f.name, rows=n)
+
+Writes are atomic (tmp + rename) so a crash mid-write never corrupts the
+ledger.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+__all__ = ["BatchCheckpoint"]
+
+
+class BatchCheckpoint:
+    """JSON ledger of completed recordings for one output directory."""
+
+    FILENAME = "hsip-checkpoint.json"
+
+    def __init__(self, output_dir, run_config_hash: Optional[str] = None):
+        self.path = Path(output_dir) / self.FILENAME
+        self.run_config_hash = run_config_hash
+        self._state: Dict[str, Any] = {"config_hash": run_config_hash, "done": {}}
+        if self.path.exists():
+            try:
+                loaded = json.loads(self.path.read_text())
+                # A changed configuration invalidates prior progress.
+                if (
+                    run_config_hash is None
+                    or loaded.get("config_hash") == run_config_hash
+                ):
+                    self._state = loaded
+                    self._state.setdefault("done", {})
+            except (json.JSONDecodeError, OSError):
+                pass  # corrupt ledger: start fresh
+
+    def is_done(self, name: str) -> bool:
+        return name in self._state["done"]
+
+    def mark_done(self, name: str, **info) -> None:
+        self._state["done"][name] = {"ts": time.time(), **info}
+        self._flush()
+
+    def clear(self) -> None:
+        self._state = {"config_hash": self.run_config_hash, "done": {}}
+        if self.path.exists():
+            self.path.unlink()
+
+    @property
+    def completed(self) -> Dict[str, Any]:
+        return dict(self._state["done"])
+
+    def _flush(self) -> None:
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+        tmp = self.path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(self._state, indent=2) + "\n")
+        os.replace(tmp, self.path)

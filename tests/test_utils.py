@@ -1,0 +1,87 @@
+"""Utils tests: logging, summaries, checkpoint/resume."""
+
+import json
+import logging
+
+import numpy as np
+import pytest
+
+from hsip_tpu.io import FlameSpec, synthesize_flame_video, write_recording
+from hsip_tpu.pipeline import process_video_source
+from hsip_tpu.track import VideoSourceConfig
+from hsip_tpu.utils import BatchCheckpoint, get_logger, set_log_level
+from hsip_tpu.utils.logging import kv
+
+
+def test_logger_namespacing_and_kv(capsys):
+    log = get_logger("test")
+    assert log.name == "hsip_tpu.test"
+    set_log_level("DEBUG")
+    kv(log, logging.INFO, "hello", frames=10, fps=100)
+    err = capsys.readouterr().err
+    assert "hello" in err and "frames=10" in err
+    set_log_level("INFO")
+
+
+def test_batch_checkpoint_roundtrip(tmp_path):
+    ckpt = BatchCheckpoint(tmp_path, run_config_hash="abc")
+    assert not ckpt.is_done("a.cihx")
+    ckpt.mark_done("a.cihx", rows=5)
+    assert ckpt.is_done("a.cihx")
+    # A new instance with the same config hash sees the progress.
+    again = BatchCheckpoint(tmp_path, run_config_hash="abc")
+    assert again.is_done("a.cihx")
+    assert again.completed["a.cihx"]["rows"] == 5
+    # A changed config invalidates it.
+    fresh = BatchCheckpoint(tmp_path, run_config_hash="DIFFERENT")
+    assert not fresh.is_done("a.cihx")
+    # Corrupt ledger: start clean, no crash.
+    (tmp_path / BatchCheckpoint.FILENAME).write_text("{broken")
+    corrupt = BatchCheckpoint(tmp_path, run_config_hash="abc")
+    assert not corrupt.is_done("a.cihx")
+
+
+@pytest.fixture()
+def source_dir(tmp_path):
+    frames, _ = synthesize_flame_video(
+        20, height=32, width=256,
+        flame=FlameSpec(x0=30, v0_px=7, ignition_frame=2, seed=2),
+    )
+    write_recording(tmp_path / "v", "sum-run-1-a", frames)
+    write_recording(tmp_path / "v", "sum-run-2-b", frames)
+    return tmp_path
+
+
+def _cfg(source_dir):
+    cfg = VideoSourceConfig(name="S", save_frame_images=False,
+                            save_stacked_sequences=False)
+    cfg.video_path = str(source_dir / "v")
+    cfg.output_dir = str(source_dir / "out")
+    return cfg
+
+
+def test_run_summary_written(source_dir):
+    cfg = _cfg(source_dir)
+    outputs = process_video_source(cfg, verbose=False)
+    assert len(outputs) == 2
+    summary = json.loads((source_dir / "out" / "run-summary.json").read_text())
+    assert summary["source"] == "S"
+    assert summary["total_files"] == 2
+    assert summary["total_rows"] == sum(len(o.rows) for o in outputs)
+    f0 = summary["files"][0]
+    assert f0["file"] == "sum-run-1-a.cihx"
+    assert f0["rows"] > 5 and f0["wall_s"] >= 0
+    assert summary["config"]["backend"] == "tpu"
+
+
+def test_resume_skips_completed(source_dir, capsys):
+    cfg = _cfg(source_dir)
+    out1 = process_video_source(cfg, verbose=False)
+    assert len(out1) == 2
+    # Resume: both complete -> nothing reprocessed.
+    out2 = process_video_source(cfg, verbose=True, resume=True)
+    assert out2 == []
+    assert "already complete" in capsys.readouterr().out
+    # Without resume the ledger resets and everything reruns.
+    out3 = process_video_source(cfg, verbose=False)
+    assert len(out3) == 2
