@@ -18,6 +18,8 @@ from .detectors import (
     detect_profile,
     detect_threshold,
 )
+from .batch import ScanHistory, track_collection_device
+from .device_scan import DeviceScanResult, device_tracking_scan, velocities_from_positions
 from .spline import SmoothingSpline, fit_smoothing_spline
 from .tracker import FlameDetector, FlameTracker
 
@@ -35,4 +37,9 @@ __all__ = [
     "detect_gradient",
     "detect_profile",
     "DETECTION_METHODS",
+    "track_collection_device",
+    "ScanHistory",
+    "device_tracking_scan",
+    "velocities_from_positions",
+    "DeviceScanResult",
 ]

@@ -1,0 +1,224 @@
+"""Collection-scale tracking: many videos, one device dispatch.
+
+The pod-scale path (BASELINE.json config #5): every video's centerline
+profiles are computed by the batched map phase, padded to a common length,
+and the WHOLE tracking state machine runs as ``vmap(lax.scan)`` over the
+video axis on device — positions, DDT, exit truncation for the entire
+library in one dispatch, no per-frame host round-trips. Host work is only
+table formatting plus exact float64 velocity columns.
+
+Contrast with the reference: one Python loop per frame per rank, with
+rank-local tracking state that silently changed results under MPI
+(SURVEY.md §2.6).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from .config import FlameDetectorConfig, VideoSourceConfig
+from .device_scan import device_tracking_scan, velocities_from_positions
+from .scan import (
+    MIN_SIGNAL_FRACTION,
+    FrameProfiles,
+    TrackingOutput,
+    compute_profiles_batched,
+)
+from .tracker import FlameTracker
+
+__all__ = ["track_collection_device", "ScanHistory"]
+
+
+class ScanHistory:
+    """Tracker-shaped view over device-scan results (velocity history, DDT).
+
+    Quacks like :class:`FlameTracker` for the surfaces consumers use
+    (``get_velocity_history``, ``ddt_frame``, ``ddt_detected``,
+    ``position_history``, ``last_position``).
+    """
+
+    def __init__(self, entries, velocity_map, ddt_frame):
+        self._entries = entries  # [(frame, pos|None), ...]
+        self._vel = velocity_map  # {frame: (v1, v2, vc)}
+        self._ddt = ddt_frame
+
+    @property
+    def position_history(self):
+        return list(self._entries)
+
+    @property
+    def last_position(self):
+        for _, p in reversed(self._entries):
+            if p is not None:
+                return p
+        return None
+
+    @property
+    def ddt_frame(self):
+        return self._ddt
+
+    @property
+    def ddt_detected(self):
+        return self._ddt is not None
+
+    def get_velocity_history(self):
+        return [(f, v1, v2, vc) for f, (v1, v2, vc) in sorted(self._vel.items())]
+
+    def get_pre_ddt_velocities(self):
+        if self._ddt is None:
+            return self.get_velocity_history()
+        return [e for e in self.get_velocity_history() if e[0] < self._ddt]
+
+    def get_post_ddt_velocities(self):
+        if self._ddt is None:
+            return []
+        return [e for e in self.get_velocity_history() if e[0] >= self._ddt]
+
+
+def track_collection_device(
+    collection,
+    config: Optional[FlameDetectorConfig] = None,
+    source_config: Optional[VideoSourceConfig] = None,
+    use_absolute_time: bool = True,
+    chunk_size: int = 256,
+) -> List[TrackingOutput]:
+    """Track every video of a collection with one vmapped device scan.
+
+    All videos must share (H, W). Per-video calibration/offset come from
+    ``source_config.get_calibration_for_file`` (defaults 1.0 / 0.0).
+    Returns one :class:`TrackingOutput` per video, identical to running the
+    serial host scan on each.
+    """
+    config = config or FlameDetectorConfig()
+    videos = list(collection)
+    if not videos:
+        return []
+    shapes = {v.frame_shape for v in videos}
+    if len(shapes) != 1:
+        raise ValueError(
+            f"track_collection_device requires uniform frame shapes, got {shapes}"
+        )
+    h, w = shapes.pop()
+
+    # --- map phase per video (chunked, packed on-device decode) ---
+    profiles: List[FrameProfiles] = []
+    backgrounds = []
+    for video in videos:
+        bg = float(np.max(video[0]))
+        backgrounds.append(bg)
+        read_packed = video.frame_bytes if video.bit_depth == 12 else None
+        profiles.append(
+            compute_profiles_batched(
+                read_batch=video.read_batch,
+                n_frames=len(video),
+                frame_shape=video.frame_shape,
+                background_scalar=bg,
+                config=config,
+                chunk_size=chunk_size,
+                read_packed=read_packed,
+            )
+        )
+
+    # --- pad to a common step count; padding rows are 'empty' (no-ops) ---
+    n_max = max(p.frame_indices.size for p in profiles)
+    V = len(videos)
+    fi = np.zeros((V, n_max), dtype=np.int32)
+    sob = np.zeros((V, n_max, w), dtype=np.float32)
+    grad = np.zeros((V, n_max, w), dtype=np.float32)
+    empty = np.ones((V, n_max), dtype=bool)
+    has_prior = np.ones((V, n_max), dtype=bool)
+    cals = np.zeros(V, dtype=np.float32)
+    fpss = np.zeros(V, dtype=np.float32)
+    max_disps = np.zeros(V, dtype=np.int32)
+
+    calibs: List[Tuple[float, float]] = []
+    for i, (video, p) in enumerate(zip(videos, profiles)):
+        m = p.frame_indices.size
+        fi[i, :m] = p.frame_indices
+        fi[i, m:] = (p.frame_indices[-1] if m else 0) + np.arange(1, n_max - m + 1)
+        sob[i, :m] = p.sobel_lines
+        grad[i, :m] = p.gradient_lines
+        empty[i, :m] = p.signal_counts / p.total_pixels < MIN_SIGNAL_FRACTION
+        has_prior[i, :m] = p.has_prior
+        if source_config is not None:
+            cal, off = source_config.get_calibration_for_file(video.filepath.name)
+        else:
+            cal, off = 1.0, 0.0
+        calibs.append((cal, off))
+        cals[i] = cal
+        fpss[i] = video.frame_rate
+        max_disps[i] = FlameTracker(config, video.frame_rate, cal).max_displacement_px
+
+    # --- one vmapped device scan over the video axis ---
+    scan_v = jax.vmap(
+        lambda f, s, g, e, hp, c, r, md: device_tracking_scan(
+            f, s, g, e, hp,
+            width=w,
+            min_gradient_strength=np.float32(config.min_gradient_strength),
+            sobel_threshold_fraction=np.float32(config.sobel_threshold_fraction),
+            ddt_velocity_jump=np.float32(config.ddt_velocity_jump_m_s),
+            calibration=c,
+            frame_rate=r,
+            max_displacement_px=md,
+            edge_margin_px=config.edge_margin_px,
+            search_window_px=config.search_window_px,
+            exit_margin_px=config.exit_margin_px,
+        )
+    )
+    res = scan_v(
+        fi, sob, grad, empty, has_prior,
+        cals, fpss, max_disps,
+    )
+
+    # --- host: rows + exact velocities per video ---
+    outputs: List[TrackingOutput] = []
+    finals = np.asarray(res.final_position)
+    recs = np.asarray(res.recorded)
+    posts = np.asarray(res.is_post_ddt)
+    stop_steps = np.asarray(res.stop_step)
+    stop_reasons = np.asarray(res.stop_reason)
+    ddt_frames = np.asarray(res.ddt_frame)
+    clear_entries = np.asarray(res.clear_vc_entry)
+    reason_map = {0: None, 1: "exit", 2: "velocity_drop"}
+
+    for i, (video, p) in enumerate(zip(videos, profiles)):
+        m = p.frame_indices.size
+        stop = int(stop_steps[i])
+        limit = m if stop < 0 else min(m, stop + 1)
+        cal, off = calibs[i]
+        time_fn = video.get_absolute_time if use_absolute_time else video.get_time
+
+        entries = []
+        rows = []
+        n_empty = 0
+        for j in range(limit):
+            if empty[i, j]:
+                n_empty += 1
+                continue
+            frame = int(fi[i, j])
+            pos = int(finals[i, j]) if finals[i, j] >= 0 else None
+            entries.append((frame, pos))
+            if recs[i, j]:
+                rows.append(
+                    (frame, time_fn(frame), pos, pos * cal + off, bool(posts[i, j]))
+                )
+        # Empty frames beyond the stop step still counted? Reference breaks
+        # the loop, so no. (limit already excludes them.)
+        vel = velocities_from_positions(
+            entries, video.frame_rate, cal, clear_vc_entry=int(clear_entries[i])
+        )
+        ddt = int(ddt_frames[i])
+        history = ScanHistory(entries, vel, ddt if ddt >= 0 else None)
+        outputs.append(
+            TrackingOutput(
+                rows=rows,
+                tracker=history,  # duck-typed tracker view
+                empty_frame_count=n_empty,
+                break_frame=int(fi[i, stop]) if stop >= 0 else None,
+                break_reason=reason_map[int(stop_reasons[i])],
+            )
+        )
+    return outputs

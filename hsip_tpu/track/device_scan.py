@@ -1,0 +1,318 @@
+"""On-device tracking scan: the full state machine as a ``jax.lax.scan``.
+
+The north-star scale path (BASELINE.json): flame-exit detection and result
+truncation WITHOUT host round-trips. The sequential tracker — search bounds,
+candidate selection, velocity stencils, DDT latch, domain-exit and
+velocity-drop truncation — runs as a ``lax.scan`` over the per-frame
+centerline profiles, entirely on device, and is ``vmap``-able over a video
+axis: a whole library of videos tracks in one dispatch (see
+:func:`hsip_tpu.track.batch.track_collection_device`).
+
+Division of labor with the host scan (:mod:`hsip_tpu.track.scan`):
+
+* positions, candidate choices, truncation and DDT come from the device in
+  int32/f32 (integer positions are exact; the float compares have huge
+  margins relative to f32 eps);
+* the velocity COLUMNS of the output table are recomputed on host in float64
+  from the integer positions (:func:`velocities_from_positions`) so tables
+  stay bit-identical to the serial reference — velocities are tiny
+  per-row arithmetic, not a bandwidth concern.
+
+The spline predictor is absent by design: it never influences selection
+(reference behavior) and exists for plots only.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import FlameDetectorConfig
+
+__all__ = [
+    "device_tracking_scan",
+    "velocities_from_positions",
+    "DeviceScanResult",
+]
+
+_NEG = jnp.float32(-3.0e38)
+_POS = jnp.float32(3.0e38)
+
+
+class DeviceScanResult(NamedTuple):
+    """Per-frame outputs of the device scan (arrays of length M)."""
+
+    final_position: jnp.ndarray   # int32, -1 = no detection
+    recorded: jnp.ndarray         # bool — row enters the results table
+    is_post_ddt: jnp.ndarray      # bool — at record time
+    search_start: jnp.ndarray     # int32
+    search_end: jnp.ndarray       # int32
+    stop_step: jnp.ndarray        # int32 scalar, -1 = ran to completion
+    stop_reason: jnp.ndarray      # int32 scalar: 0 none, 1 exit, 2 velocity drop
+    ddt_frame: jnp.ndarray        # int32 scalar, -1 = none
+    clear_vc_entry: jnp.ndarray   # int32 scalar: velocity-entry ordinal whose
+                                  # central difference was invalidated (-1 none)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "edge_margin_px",
+        "search_window_px",
+        "exit_margin_px",
+    ),
+)
+def device_tracking_scan(
+    frame_indices: jnp.ndarray,     # (M,) int32
+    sobel_lines: jnp.ndarray,       # (M, W) f32
+    gradient_lines: jnp.ndarray,    # (M, W) f32
+    empty: jnp.ndarray,             # (M,) bool — empty-frame skip
+    has_prior: jnp.ndarray,         # (M,) bool — False only for the first
+    width: int,
+    min_gradient_strength: jnp.ndarray,
+    sobel_threshold_fraction: jnp.ndarray,
+    ddt_velocity_jump: jnp.ndarray,
+    calibration: jnp.ndarray,       # m/px, f32
+    frame_rate: jnp.ndarray,        # fps, f32
+    max_displacement_px: jnp.ndarray = 3,  # traced (per-video under vmap)
+    edge_margin_px: int = 10,
+    search_window_px: int = 100,
+    exit_margin_px: int = 15,
+) -> DeviceScanResult:
+    """Run the combined-method tracking state machine on device.
+
+    Semantics mirror :class:`hsip_tpu.track.tracker.FlameTracker` +
+    the pipeline truncation checks (reference loop
+    ``process_videos.py:1441-1527``) exactly, in float32.
+    """
+    m, w = sobel_lines.shape
+    cols = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
+
+    class S(NamedTuple):
+        lv_pos: jnp.ndarray       # last VALID position (search bounds), -1
+        lv_frame: jnp.ndarray
+        p1_frame: jnp.ndarray     # history[-1] (every step appends)
+        p1_pos: jnp.ndarray       # -1 = None
+        p2_frame: jnp.ndarray     # history[-2]
+        p2_pos: jnp.ndarray
+        v_latest: jnp.ndarray     # last appended v1 (f32)
+        v_latest_ok: jnp.ndarray  # bool
+        v_prev: jnp.ndarray       # second-last appended v1
+        v_prev_ok: jnp.ndarray
+        n_entries: jnp.ndarray    # appended velocity entries so far
+        last_entry_step: jnp.ndarray   # step idx of entry[-1], -1
+        prev_entry_step: jnp.ndarray   # step idx of entry[-2], -1
+        ddt_frame: jnp.ndarray    # -1
+        stopped: jnp.ndarray      # bool
+        stop_step: jnp.ndarray
+        stop_reason: jnp.ndarray
+        clear_vc_entry: jnp.ndarray
+
+    init = S(
+        lv_pos=jnp.int32(-1), lv_frame=jnp.int32(0),
+        p1_frame=jnp.int32(0), p1_pos=jnp.int32(-1),
+        p2_frame=jnp.int32(0), p2_pos=jnp.int32(-1),
+        v_latest=jnp.float32(0), v_latest_ok=jnp.bool_(False),
+        v_prev=jnp.float32(0), v_prev_ok=jnp.bool_(False),
+        n_entries=jnp.int32(0),
+        last_entry_step=jnp.int32(-1), prev_entry_step=jnp.int32(-1),
+        ddt_frame=jnp.int32(-1),
+        stopped=jnp.bool_(False), stop_step=jnp.int32(-1),
+        stop_reason=jnp.int32(0), clear_vc_entry=jnp.int32(-1),
+    )
+
+    def step(state: S, inputs):
+        step_idx, frame, sob, grad, is_empty, prior_ok = inputs
+        active = jnp.logical_not(state.stopped) & jnp.logical_not(is_empty)
+
+        # ---- search bounds (velocity-constrained, monotone rightward) ----
+        no_hist = state.lv_pos < 0
+        frames_elapsed = jnp.maximum(1, frame - state.lv_frame)
+        s0 = jnp.where(no_hist, edge_margin_px, state.lv_pos)
+        s1 = jnp.where(
+            no_hist,
+            width - edge_margin_px,
+            jnp.minimum(
+                width - edge_margin_px,
+                state.lv_pos + max_displacement_px * frames_elapsed
+                + search_window_px,
+            ),
+        )
+        in_window = (cols >= s0) & (cols < s1)
+        window_nonempty = s1 > s0
+
+        # ---- candidates ----
+        grad_m = jnp.where(in_window, grad, _POS)
+        gmin = jnp.min(grad_m)
+        pos_g = jnp.argmin(grad_m).astype(jnp.int32)
+        g_ok = window_nonempty & (gmin < -min_gradient_strength)
+
+        abs_sob = jnp.where(in_window, jnp.abs(sob), _NEG)
+        smax = jnp.max(abs_sob)
+        above = in_window & (abs_sob > smax * sobel_threshold_fraction)
+        pos_s = jnp.max(jnp.where(above, cols, -1)).astype(jnp.int32)
+        s_ok = window_nonempty & (smax > min_gradient_strength) & (pos_s >= 0)
+
+        final = jnp.maximum(
+            jnp.where(g_ok, pos_g, -1), jnp.where(s_ok, pos_s, -1)
+        )
+        final = jnp.where(active & prior_ok, final, jnp.where(active, -1, -1))
+        detected = active & (final >= 0)
+
+        # ---- history append (every active step) ----
+        new_p2_frame = jnp.where(active, state.p1_frame, state.p2_frame)
+        new_p2_pos = jnp.where(active, state.p1_pos, state.p2_pos)
+        new_p1_frame = jnp.where(active, frame, state.p1_frame)
+        new_p1_pos = jnp.where(active, final, state.p1_pos)
+        new_lv_pos = jnp.where(detected, final, state.lv_pos)
+        new_lv_frame = jnp.where(detected, frame, state.lv_frame)
+
+        # ---- velocities ----
+        # Conditions mirror FlameTracker._update_velocities: need a detection,
+        # a previous history entry with a valid position, positive dt.
+        have_prev_entry = active & (state.p1_pos >= 0) & detected
+        dt = (frame - state.p1_frame).astype(jnp.float32) / frame_rate
+        vel_ok = have_prev_entry & (dt > 0)
+        v1 = jnp.where(
+            vel_ok,
+            (final - state.p1_pos).astype(jnp.float32) * calibration / dt,
+            0.0,
+        )
+        # v_central retro-fills the PREVIOUS entry — emitted here with its
+        # target ordinal for the host-side velocity reconstruction.
+        vc_ok = vel_ok & (state.p2_pos >= 0) & (state.n_entries >= 1)
+
+        new_v_prev = jnp.where(vel_ok, state.v_latest, state.v_prev)
+        new_v_prev_ok = jnp.where(vel_ok, state.v_latest_ok, state.v_prev_ok)
+        new_v_latest = jnp.where(vel_ok, v1, state.v_latest)
+        new_v_latest_ok = vel_ok | state.v_latest_ok
+        new_n_entries = state.n_entries + jnp.where(vel_ok, 1, 0)
+        new_prev_entry_step = jnp.where(
+            vel_ok, state.last_entry_step, state.prev_entry_step
+        )
+        new_last_entry_step = jnp.where(vel_ok, step_idx, state.last_entry_step)
+
+        # ---- DDT latch (first v1 jump above threshold) ----
+        ddt_hit = (
+            vel_ok
+            & (state.ddt_frame < 0)
+            & state.v_latest_ok
+            & (v1 - state.v_latest > ddt_velocity_jump)
+        )
+        new_ddt = jnp.where(ddt_hit, frame, state.ddt_frame)
+
+        # ---- exit check (before recording) ----
+        exit_hit = detected & (final >= width - exit_margin_px)
+        # ---- velocity-drop check ----
+        vel_now = new_v_latest
+        vel_now_ok = new_v_latest_ok & (new_n_entries >= 1)
+        prev_v1 = new_v_prev
+        prev_ok = new_v_prev_ok & (new_n_entries >= 2)
+        vdrop_hit = (
+            active
+            & jnp.logical_not(exit_hit)
+            & vel_now_ok
+            & prev_ok
+            & (prev_v1 > 100.0)
+            & ((prev_v1 - vel_now) / prev_v1 > 0.5)
+        )
+
+        stopped_now = exit_hit | vdrop_hit
+        # clear_last_central_difference targets velocity entry[-2] (ordinal).
+        clear_entry = jnp.where(
+            stopped_now & (new_n_entries >= 2),
+            new_n_entries - 2,
+            state.clear_vc_entry,
+        )
+
+        recorded = detected & jnp.logical_not(stopped_now)
+        is_post = (new_ddt >= 0) & (frame >= new_ddt)
+
+        new_state = S(
+            lv_pos=new_lv_pos, lv_frame=new_lv_frame,
+            p1_frame=new_p1_frame, p1_pos=new_p1_pos,
+            p2_frame=new_p2_frame, p2_pos=new_p2_pos,
+            v_latest=new_v_latest, v_latest_ok=new_v_latest_ok,
+            v_prev=new_v_prev, v_prev_ok=new_v_prev_ok,
+            n_entries=new_n_entries,
+            last_entry_step=new_last_entry_step,
+            prev_entry_step=new_prev_entry_step,
+            ddt_frame=new_ddt,
+            stopped=state.stopped | stopped_now,
+            stop_step=jnp.where(
+                stopped_now & (state.stop_step < 0), step_idx, state.stop_step
+            ),
+            stop_reason=jnp.where(
+                stopped_now & (state.stop_reason == 0),
+                jnp.where(exit_hit, 1, 2),
+                state.stop_reason,
+            ),
+            clear_vc_entry=clear_entry,
+        )
+        outputs = (final, recorded, is_post, s0, s1)
+        return new_state, outputs
+
+    steps = jnp.arange(m, dtype=jnp.int32)
+    final_state, (finals, recs, posts, s0s, s1s) = jax.lax.scan(
+        step,
+        init,
+        (steps, frame_indices.astype(jnp.int32), sobel_lines, gradient_lines,
+         empty, has_prior),
+    )
+    return DeviceScanResult(
+        final_position=finals,
+        recorded=recs,
+        is_post_ddt=posts,
+        search_start=s0s,
+        search_end=s1s,
+        stop_step=final_state.stop_step,
+        stop_reason=final_state.stop_reason,
+        ddt_frame=final_state.ddt_frame,
+        clear_vc_entry=final_state.clear_vc_entry,
+    )
+
+
+def velocities_from_positions(
+    entries,
+    frame_rate: float,
+    calibration: float,
+    clear_vc_entry: int = -1,
+):
+    """Exact float64 velocity reconstruction from integer positions.
+
+    ``entries`` is the ordered history [(frame_idx, pos_or_None), ...] of
+    every tracker step that ran (device scan: all active steps up to and
+    including the stop step). Returns {frame: (v1, v2, vc)} — identical to
+    :meth:`FlameTracker.get_velocity_history` merged as a dict, including
+    the central-difference retro-fill and the ``clear_vc_entry``
+    invalidation applied on truncation.
+    """
+    vel = []  # [frame, v1, v2, vc]
+    for i in range(len(entries)):
+        frame, pos = entries[i]
+        if pos is None or i < 1:
+            continue
+        prev_frame, prev_pos = entries[i - 1]
+        if prev_pos is None or frame_rate <= 0:
+            continue
+        dt = (frame - prev_frame) / frame_rate
+        if dt <= 0:
+            continue
+        v1 = (pos - prev_pos) * calibration / dt
+        v2 = vc = None
+        if i >= 2:
+            _, p2 = entries[i - 2]
+            if p2 is not None:
+                v2 = (3 * pos - 4 * prev_pos + p2) * calibration / (2 * dt)
+                vc = (pos - p2) * calibration / (2 * dt)
+                if vel:
+                    vel[-1][3] = vc
+        vel.append([frame, v1, v2, None])
+    if 0 <= clear_vc_entry < len(vel):
+        vel[clear_vc_entry][3] = None
+    return {e[0]: (e[1], e[2], e[3]) for e in vel}

@@ -1,0 +1,178 @@
+"""Device (lax.scan) tracker vs the host float64 scan: identical decisions."""
+
+import numpy as np
+import pytest
+
+from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
+from hsip_tpu.pipeline import process_video_file
+from hsip_tpu.track import FlameDetectorConfig, VideoSourceConfig
+from hsip_tpu.track.device_scan import (
+    device_tracking_scan,
+    velocities_from_positions,
+)
+from hsip_tpu.track.scan import (
+    MIN_SIGNAL_FRACTION,
+    compute_profiles_batched,
+    run_tracking_scan,
+)
+from hsip_tpu.track.tracker import FlameTracker
+
+
+def _run_both(frames, fps=100_000, cal=0.0008, config=None):
+    config = config or FlameDetectorConfig()
+    bg = float(np.max(frames[0]))
+    profiles = compute_profiles_batched(
+        read_batch=lambda a, b: frames[a:b],
+        n_frames=len(frames),
+        frame_shape=frames.shape[1:],
+        background_scalar=bg,
+        config=config,
+        use_pallas=False,
+    )
+    host = run_tracking_scan(profiles, config, fps, cal)
+
+    empty = profiles.signal_counts / profiles.total_pixels < MIN_SIGNAL_FRACTION
+    tr = FlameTracker(config, fps, cal)
+    dev = device_tracking_scan(
+        profiles.frame_indices.astype(np.int32),
+        profiles.sobel_lines,
+        profiles.gradient_lines,
+        empty,
+        profiles.has_prior,
+        width=profiles.width,
+        min_gradient_strength=np.float32(config.min_gradient_strength),
+        sobel_threshold_fraction=np.float32(config.sobel_threshold_fraction),
+        ddt_velocity_jump=np.float32(config.ddt_velocity_jump_m_s),
+        calibration=np.float32(cal),
+        frame_rate=np.float32(fps),
+        max_displacement_px=np.int32(tr.max_displacement_px),
+        edge_margin_px=config.edge_margin_px,
+        search_window_px=config.search_window_px,
+        exit_margin_px=config.exit_margin_px,
+    )
+    return host, dev, profiles, empty, config, fps, cal
+
+
+@pytest.mark.parametrize(
+    "flame",
+    [
+        FlameSpec(x0=30, v0_px=8, accel_px=0.3, ignition_frame=3,
+                  ddt_frame=28, v_jump_px=25, seed=21),         # DDT + exit
+        FlameSpec(x0=25, v0_px=4, ignition_frame=2, seed=5),     # steady
+        FlameSpec(x0=60, v0_px=20, ignition_frame=1, seed=3),    # fast exit
+        FlameSpec(ignition_frame=1000),                          # never ignites
+    ],
+)
+def test_device_scan_matches_host_scan(flame):
+    frames, _ = synthesize_flame_video(60, height=48, width=512, flame=flame)
+    host, dev, profiles, empty, config, fps, cal = _run_both(frames)
+
+    stop_step = int(dev.stop_step)
+    reason_map = {0: None, 1: "exit", 2: "velocity_drop"}
+    assert reason_map[int(dev.stop_reason)] == host.break_reason
+    if host.break_frame is not None:
+        assert int(profiles.frame_indices[stop_step]) == host.break_frame
+
+    # Recorded rows identical (frame, position, is_post_ddt).
+    finals = np.asarray(dev.final_position)
+    recs = np.asarray(dev.recorded)
+    posts = np.asarray(dev.is_post_ddt)
+    dev_rows = [
+        (int(profiles.frame_indices[j]), int(finals[j]), bool(posts[j]))
+        for j in range(len(recs))
+        if recs[j] and (stop_step < 0 or j <= stop_step)
+    ]
+    host_rows = [(f, px, post) for f, _, px, _, post in host.rows]
+    assert dev_rows == host_rows
+
+    ddt_dev = int(dev.ddt_frame)
+    assert (ddt_dev if ddt_dev >= 0 else None) == host.tracker.ddt_frame
+
+    # Exact float64 velocity reconstruction matches the host tracker's.
+    entries = []
+    for j in range(len(finals)):
+        if stop_step >= 0 and j > stop_step:
+            break
+        if empty[j]:
+            continue
+        f = int(profiles.frame_indices[j])
+        p = int(finals[j]) if finals[j] >= 0 else None
+        entries.append((f, p))
+    vel = velocities_from_positions(
+        entries, fps, cal, clear_vc_entry=int(dev.clear_vc_entry)
+    )
+    host_vel = {e[0]: (e[1], e[2], e[3])
+                for e in host.tracker.get_velocity_history()}
+    assert set(vel) == set(host_vel)
+    for f in vel:
+        for a, b in zip(vel[f], host_vel[f]):
+            assert (a is None) == (b is None)
+            if a is not None:
+                assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_device_scan_respects_empty_frames():
+    # All-background video: no detections, nothing recorded, no stop.
+    frames, _ = synthesize_flame_video(
+        12, height=32, width=256, flame=FlameSpec(ignition_frame=999)
+    )
+    host, dev, *_ = _run_both(frames)
+    assert not np.any(np.asarray(dev.recorded))
+    assert int(dev.stop_step) == -1
+    assert host.rows == []
+
+
+def test_track_collection_device_matches_per_video(tmp_path):
+    """vmapped whole-library tracking == per-video host pipeline."""
+    from hsip_tpu import open_collection
+    from hsip_tpu.track import FileCalibration
+    from hsip_tpu.track.batch import track_collection_device
+
+    specs = [
+        FlameSpec(x0=30, v0_px=8, accel_px=0.3, ignition_frame=3,
+                  ddt_frame=28, v_jump_px=25, seed=21),
+        FlameSpec(x0=25, v0_px=5, ignition_frame=2, seed=6),
+        FlameSpec(x0=50, v0_px=16, ignition_frame=1, seed=9),
+    ]
+    lengths = [50, 40, 30]
+    for i, (fl, n) in enumerate(zip(specs, lengths)):
+        frames, _ = synthesize_flame_video(n, height=48, width=512, flame=fl)
+        write_recording(
+            tmp_path, f"lib-run-{i + 1}-x", frames,
+            spec=CihxSpec(width=512, height=48, total_frames=n,
+                          record_rate=100_000),
+        )
+
+    src = VideoSourceConfig(name="Lib", save_frame_images=False,
+                            save_stacked_sequences=False)
+    src.video_path = str(tmp_path)
+    src.file_calibrations = [
+        FileCalibration(calibration=0.0008, position_offset=1.0,
+                        files=["run-1-:run-3-"]),
+    ]
+
+    coll = open_collection(str(tmp_path))
+    batch_outputs = track_collection_device(
+        coll, FlameDetectorConfig(), source_config=src
+    )
+    assert len(batch_outputs) == 3
+
+    for i, video_path in enumerate(sorted(tmp_path.glob("*.cihx"))):
+        single = process_video_file(
+            video_path, src, backend="tpu", verbose=False, write_outputs=False
+        )
+        b = batch_outputs[i]
+        assert [r[:4] for r in b.rows] == [r[:4] for r in single.rows], f"video {i}"
+        assert b.break_reason == single.break_reason
+        assert b.tracker.ddt_frame == single.tracker.ddt_frame
+        # merged_rows (velocity columns) identical too.
+        mb = b.merged_rows()
+        ms = single.merged_rows()
+        assert len(mb) == len(ms)
+        for ra, rb in zip(mb, ms):
+            assert ra[0] == rb[0] and ra[2] == rb[2]
+            for x, y in zip(ra[4:7], rb[4:7]):
+                assert (x is None) == (y is None)
+                if x is not None:
+                    assert abs(x - y) < 1e-9 * max(1.0, abs(y))
+    coll.close_all()
