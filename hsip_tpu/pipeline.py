@@ -24,6 +24,7 @@ from .track.tracker import FlameDetector
 from .video import SpatialCalibration
 
 __all__ = [
+    "write_results",
     "write_position_results",
     "process_video_file",
     "process_video_source",
@@ -57,6 +58,22 @@ _HEADER_LINES = [
     "#                  Most accurate, but evaluates at PRIOR time step",
     "#",
 ]
+
+
+def write_results(output_dict: dict, path) -> Path:
+    """Generic space-delimited table writer: column-name → value-list dict.
+
+    Utility counterpart of :func:`write_position_results` for ad-hoc tables
+    (reference analogue: ``process_videos.py:766-780``).
+    """
+    path = Path(path)
+    fieldnames = list(output_dict.keys())
+    n_rows = len(next(iter(output_dict.values()))) if output_dict else 0
+    with open(path, "w") as f:
+        f.write(" ".join(str(k) for k in fieldnames) + "\n")
+        for i in range(n_rows):
+            f.write(" ".join(str(output_dict[k][i]) for k in fieldnames) + "\n")
+    return path
 
 
 def write_position_results(data: List[Tuple], filepath, label: str = "") -> Path:
@@ -232,6 +249,7 @@ def process_video_file(
                 background_scalar=background_scalar,
                 on_result=on_result,
                 detection_method=config.detection_method,
+                use_frame_diff=config.use_frame_diff,
             )
         elif backend == "exact":
             output = _track_video_exact(
@@ -290,6 +308,7 @@ def _track_video_exact(
     detector = FlameDetector(
         detector_config, video.frame_rate, calibration, keep_results=False,
         detection_method=config.detection_method,
+        use_frame_diff=config.use_frame_diff,
     )
     time_fn = video.get_absolute_time if config.use_absolute_time else video.get_time
     skip = set(config.skip_frames)

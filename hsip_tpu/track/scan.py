@@ -49,7 +49,9 @@ class FrameProfiles:
     sobel_lines: np.ndarray        # (M, W) float
     gradient_lines: np.ndarray     # (M, W) float
     intensity_lines: np.ndarray    # (M, W) denoised diff centerline (profile
-                                   # detector input)
+                                   # detector input when use_frame_diff)
+    raw_center_lines: np.ndarray   # (M, W) BG-subtracted centerline (profile
+                                   # detector input when not use_frame_diff)
     signal_counts: np.ndarray      # (M,) int — above-noise pixel counts
     has_prior: np.ndarray          # (M,) bool — False only for the first
     width: int
@@ -129,6 +131,7 @@ def compute_profiles_batched(
     sobel_lines = np.zeros((m, w), dtype=np.float32)
     gradient_lines = np.zeros((m, w), dtype=np.float32)
     intensity_lines = np.zeros((m, w), dtype=np.float32)
+    raw_center_lines = np.zeros((m, w), dtype=np.float32)
     signal_counts = np.zeros(m, dtype=np.int64)
 
     # Chunk plan over the PROCESSED index list; each chunk includes the
@@ -188,7 +191,7 @@ def compute_profiles_batched(
     for ci, (pos, stop, lo, hi, local, prior_index_full) in enumerate(chunks):
         dev = staged.pop(ci).result()
         if read_packed is not None:
-            sob, grad, intens, _rawc, counts = packed_centerline_profiles(
+            sob, grad, intens, rawc, counts = packed_centerline_profiles(
                 dev,
                 h,
                 w,
@@ -201,7 +204,7 @@ def compute_profiles_batched(
                 use_pallas=use_pallas,
             )
         else:
-            sob, grad, intens, _rawc, counts = device_fn(
+            sob, grad, intens, rawc, counts = device_fn(
                 dev,
                 np.float32(background_scalar),
                 prior_index_full,
@@ -211,17 +214,18 @@ def compute_profiles_batched(
                 gaussian_sigma=config.gaussian_sigma,
                 use_pallas=use_pallas,
             )
-        pending.append((pos, stop, local, sob, grad, intens, counts))
+        pending.append((pos, stop, local, sob, grad, intens, rawc, counts))
         nxt = ci + max_in_flight
         if nxt < len(chunks):
             stage(nxt)
 
     pool.shutdown(wait=True)
-    for pos, stop, local, sob, grad, intens, counts in pending:
+    for pos, stop, local, sob, grad, intens, rawc, counts in pending:
         # The kernel computed profiles for every batch row; keep processed ones.
         sobel_lines[pos:stop] = np.asarray(sob)[local]
         gradient_lines[pos:stop] = np.asarray(grad)[local]
         intensity_lines[pos:stop] = np.asarray(intens)[local]
+        raw_center_lines[pos:stop] = np.asarray(rawc)[local]
         signal_counts[pos:stop] = np.asarray(counts)[local]
 
     has_prior = np.ones(m, dtype=bool)
@@ -232,6 +236,7 @@ def compute_profiles_batched(
         sobel_lines=sobel_lines,
         gradient_lines=gradient_lines,
         intensity_lines=intensity_lines,
+        raw_center_lines=raw_center_lines,
         signal_counts=signal_counts,
         has_prior=has_prior,
         width=w,
@@ -248,6 +253,7 @@ def run_tracking_scan(
     time_fn: Optional[Callable[[int], float]] = None,
     on_result=None,
     detection_method: str = "combined",
+    use_frame_diff: bool = True,
 ) -> TrackingOutput:
     """Scan phase: sequential tracker over precomputed profiles.
 
@@ -288,6 +294,12 @@ def run_tracking_scan(
             sobel_line = None
             gradient_line = None
             intensity_line = None
+        if not use_frame_diff:
+            # Named profile methods read the raw BG-subtracted centerline
+            # (available from the very first frame; no motion isolation).
+            intensity_line = np.asarray(
+                profiles.raw_center_lines[j], dtype=np.float64
+            )
 
         # Spline prediction is plot-only; skip it unless a viz hook consumes
         # the result (an every-frame refit would make the scan O(N^2)).
@@ -348,6 +360,7 @@ def track_video(
     background_scalar: Optional[float] = None,
     on_result=None,
     detection_method: str = "combined",
+    use_frame_diff: bool = True,
 ) -> TrackingOutput:
     """End-to-end tracking of one :class:`~hsip_tpu.video.PhotonVideo`.
 
@@ -379,4 +392,5 @@ def track_video(
         time_fn=time_fn,
         on_result=on_result,
         detection_method=detection_method,
+        use_frame_diff=use_frame_diff,
     )

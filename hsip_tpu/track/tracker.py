@@ -374,6 +374,30 @@ class FlameTracker:
         if len(self._velocity_history) >= 2:
             self._velocity_history[-2][3] = None
 
+    def validate_position(
+        self, candidate_position: int, frame_idx: int
+    ) -> Optional[int]:
+        """Constrain a candidate against the tracking model (optional API).
+
+        Returns None when the candidate moves backwards (the flame only
+        propagates rightward), clamps displacements beyond the velocity cap,
+        and passes everything else through. The default pipeline trusts
+        detection and never calls this (reference behavior — its analogue was
+        dead code at ``process_videos.py:538-568``); it is exposed for
+        callers that want conservative tracking.
+        """
+        last_position, last_frame_idx = self._last_valid()
+        if last_position is None:
+            return candidate_position
+        if candidate_position < last_position:
+            return None
+        frames_elapsed = frame_idx - last_frame_idx
+        if frames_elapsed > 0:
+            max_displacement = self._max_displacement_px * frames_elapsed
+            if candidate_position - last_position > max_displacement:
+                return last_position + max_displacement
+        return candidate_position
+
 
 class FlameDetector:
     """Stateful full-frame flame detector (reference-compatible API).
@@ -398,11 +422,13 @@ class FlameDetector:
         calibration_m_per_px: float,
         keep_results: bool = True,
         detection_method: str = "combined",
+        use_frame_diff: bool = True,
     ):
         self.config = config
         self.frame_rate = frame_rate
         self.calibration = calibration_m_per_px
         self.detection_method = detection_method
+        self.use_frame_diff = use_frame_diff
         self.tracker = FlameTracker(config, frame_rate, calibration_m_per_px)
         self._prior_frame: Optional[np.ndarray] = None
         self._keep_results = keep_results
@@ -452,6 +478,10 @@ class FlameDetector:
             sobel_line = sobel_output[center_row, :]
             gradient_line = gradient_output[center_row, :]
             intensity_line = blurred[center_row, :]
+        if not self.use_frame_diff:
+            # Named methods read the raw BG-subtracted centerline instead of
+            # the motion-isolated one (Mini-style strong static signal).
+            intensity_line = frame_subtracted[center_row, :]
 
         result = self.tracker.step(
             frame_idx,

@@ -210,3 +210,14 @@ def test_detection_methods_tpu_matches_exact(recording, tmp_path, method):
     pos = recording["positions"]
     errs = [abs(px - pos[f]) for f, _, px, _, _ in out.rows if np.isfinite(pos[f])]
     assert np.median(errs) < 25
+
+
+def test_write_results_generic(tmp_path):
+    from hsip_tpu.pipeline import write_results
+
+    path = write_results(
+        {"Frame": [1, 2], "Position_px": [10, 20]}, tmp_path / "g.txt"
+    )
+    assert path.read_text() == "Frame Position_px\n1 10\n2 20\n"
+    empty = write_results({}, tmp_path / "e.txt")
+    assert empty.read_text() == "\n"

@@ -383,3 +383,35 @@ def test_spline_close_to_scipy_univariate():
     xq = np.linspace(0, 29, 97)
     # Within a couple of pixels everywhere (both smooth the same data).
     assert np.max(np.abs(ours(xq) - theirs(xq))) < 3.0
+
+
+def test_validate_position_constraints():
+    tr = FlameTracker(FlameDetectorConfig(), 100_000, 0.001)  # max_disp = 3
+    # No history: passthrough.
+    assert tr.validate_position(50, 0) == 50
+    s, g = _profiles(400, 100)
+    tr.step(0, 400, s, g)
+    # Backward motion rejected.
+    assert tr.validate_position(90, 1) is None
+    # Over-cap displacement clamped: 100 + 3*2 = 106 at frame 2.
+    assert tr.validate_position(200, 2) == 106
+    # In-range passthrough.
+    assert tr.validate_position(102, 1) == 102
+
+
+def test_use_frame_diff_false_reads_raw_centerline():
+    """Named methods with use_frame_diff=False detect on the raw BG-subtracted
+    centerline — available from the very first frame."""
+    from hsip_tpu.track.tracker import FlameDetector as FD
+
+    frames, positions = synthesize_flame_video(
+        8, height=32, width=256,
+        flame=FlameSpec(x0=60, v0_px=6, ignition_frame=0, seed=1),
+    )
+    det = FD(FlameDetectorConfig(), 10_000, 0.001,
+             detection_method="threshold", use_frame_diff=False)
+    bg = 50.0  # below flame level so the plateau survives subtraction
+    r0 = det.detect(frames[0], 0, bg)
+    # First frame HAS a detection (no prior needed for raw-profile methods).
+    assert r0.final_position is not None
+    assert abs(r0.final_position - positions[0]) < 12
