@@ -236,22 +236,24 @@ def synthesize_flame_video(
     max_dn = (1 << bit_depth) - 1
 
     xs = np.arange(width, dtype=np.float64)
-    frames = np.empty((n_frames, height, width), dtype=np.uint16)
-    positions = np.full(n_frames, np.nan)
+    positions = np.array(
+        [flame.position(i) for i in range(n_frames)], dtype=np.float64
+    )
 
-    for i in range(n_frames):
-        bg = flame.background_level + rng.integers(
-            0, flame.background_noise + 1, size=(height, width)
-        )
-        img = bg.astype(np.float64)
-        pos = flame.position(i)
-        if np.isfinite(pos):
-            positions[i] = pos
-            # Sigmoid leading edge: bright plateau left of pos.
-            profile = flame.flame_level / (
-                1.0 + np.exp((xs - pos) / max(flame.edge_width_px, 1e-3))
-            )
-            img += profile[None, :]
-        frames[i] = np.clip(img, 0, max_dn).astype(np.uint16)
-
+    # Vectorized integer render: one noise draw + broadcast sigmoid profiles
+    # (all uint16 — no (N, H, W) float temporaries).
+    frames = rng.integers(
+        flame.background_level,
+        flame.background_level + flame.background_noise + 1,
+        size=(n_frames, height, width),
+        dtype=np.uint16,
+    )
+    lit = np.isfinite(positions)
+    if np.any(lit):
+        pos_lit = positions[lit][:, None]  # (L, 1)
+        profiles = flame.flame_level / (
+            1.0 + np.exp((xs[None, :] - pos_lit) / max(flame.edge_width_px, 1e-3))
+        )  # (L, W) float
+        frames[lit] += profiles.astype(np.uint16)[:, None, :]
+    np.minimum(frames, max_dn, out=frames)
     return frames, positions
