@@ -151,31 +151,27 @@ def save_frame_image(
     ax.grid(True, alpha=0.3)
 
     # 8: Sobel centerline; 9: gradient centerline.
-    for ax, img, pos, name, color in (
+    for ax, img, pos, title, line_color, marker_color, marker_label in (
         (axes[7], result.sobel_output, result.pos_rightmost_sobel,
-         "8. Sobel Centerline", "b-"),
+         "8. Sobel Centerline", "b", "orange", "Rightmost Sobel"),
         (axes[8], result.gradient_output, result.pos_min_gradient,
-         "9. Gradient Centerline (min = leading edge)", "purple"),
+         "9. Gradient Centerline (min = leading edge)", "purple", "purple",
+         "Min Gradient"),
     ):
         if img is not None:
-            line = img[center_row, :]
-            if isinstance(color, str) and color != "purple":
-                ax.plot(x_pixels, line, color, linewidth=1)
-            else:
-                ax.plot(x_pixels, line, color=color, linewidth=1)
+            ax.plot(x_pixels, img[center_row, :], color=line_color, linewidth=1)
             ax.axhline(y=0, color="gray", linestyle="-", linewidth=0.5)
         if result.search_bounds:
             ax.axvline(x=result.search_bounds[0], color="lime", linestyle="--", linewidth=2)
             ax.axvline(x=result.search_bounds[1], color="lime", linestyle=":", linewidth=2)
         if pos is not None:
-            mcolor = "orange" if "Sobel" in name else "purple"
-            ax.axvline(x=pos, color=mcolor, linestyle="-", linewidth=2,
-                       label=f"{name.split('.')[1].strip()}: {pos}")
+            ax.axvline(x=pos, color=marker_color, linestyle="-", linewidth=2,
+                       label=f"{marker_label}: {pos}")
         if result.final_position is not None:
             ax.axvline(x=result.final_position, color="red", linestyle="-",
                        linewidth=3, label=f"FINAL: {result.final_position}")
         ax.set_xlim(0, width)
-        ax.set_title(name, fontsize=10)
+        ax.set_title(title, fontsize=10)
         ax.legend(loc="upper right", fontsize=8)
         ax.grid(True, alpha=0.3)
 
@@ -291,8 +287,9 @@ def save_frame_image_from_video(
     intermediates on host (the hot path never materializes them)."""
     config = config or FlameDetectorConfig()
     if result.frame_subtracted is None:
-        frame = video[result.frame_idx]
-        sub = hostops.subtract_scalar_background(frame, background_scalar)
+        sub = hostops.subtract_scalar_background(
+            video[result.frame_idx], background_scalar
+        )
         result.frame_subtracted = sub
         # Reconstruct the prior: previous entry in the tracker history, else
         # leave diff stages empty (first processed frame).
@@ -317,8 +314,6 @@ def save_frame_image_from_video(
             )
             result.sobel_output = hostops.sobel(result.blurred, axis=1)
             result.gradient_output = hostops.gradient_x(result.blurred)
-    else:
-        frame = result.frame_subtracted
     return save_frame_image(
         result.frame_subtracted, result, Path(output_path), source_name, tracker
     )

@@ -1,0 +1,74 @@
+"""Visualization smoke tests: figures render and write non-trivial PNGs."""
+
+import numpy as np
+import pytest
+
+matplotlib = pytest.importorskip("matplotlib")
+
+from hsip_tpu import open_video  # noqa: E402
+from hsip_tpu.io import FlameSpec, synthesize_flame_video, write_recording  # noqa: E402
+from hsip_tpu.track import FlameDetector, FlameDetectorConfig  # noqa: E402
+from hsip_tpu import viz  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def video_on_disk(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("viz")
+    frames, _ = synthesize_flame_video(
+        12, height=32, width=192,
+        flame=FlameSpec(x0=30, v0_px=8, ignition_frame=1, seed=4),
+    )
+    meta = write_recording(tmp, "viz-run-1", frames)
+    return meta, tmp
+
+
+def test_save_frame_image_full(video_on_disk, tmp_path):
+    meta, _ = video_on_disk
+    with open_video(str(meta)) as video:
+        det = FlameDetector(FlameDetectorConfig(), video.frame_rate, 0.001)
+        bg = float(np.max(video[0]))
+        result = None
+        for i in range(6):
+            result = det.detect(video[i], i, bg)
+        out = viz.save_frame_image(video[5], result, tmp_path, "Test", det)
+        assert out.exists() and out.stat().st_size > 50_000
+        assert out.name == "Test-Frame-000005.png"
+
+
+def test_save_frame_image_from_band_result(video_on_disk, tmp_path):
+    """Band-path results carry no images; intermediates are recomputed."""
+    meta, _ = video_on_disk
+    from hsip_tpu.track.config import FlameDetectionResult
+    from hsip_tpu.track.tracker import FlameTracker
+
+    with open_video(str(meta)) as video:
+        tracker = FlameTracker(FlameDetectorConfig(), video.frame_rate, 0.001)
+        # Fabricate a minimal band-path result for frame 5 (no images).
+        result = FlameDetectionResult(
+            frame_idx=5, time_s=5e-4, final_position=70,
+            search_bounds=(10, 182),
+        )
+        tracker._position_history = [(4, 62), (5, 70)]
+        out = viz.save_frame_image_from_video(
+            video, result, tracker, float(np.max(video[0])),
+            tmp_path, "Band", FlameDetectorConfig(),
+        )
+        assert out.exists() and out.stat().st_size > 50_000
+        # Intermediates were reconstructed on the result in place.
+        assert result.frame_subtracted is not None
+        assert result.frame_diff is not None
+        assert result.sobel_output is not None
+
+
+def test_stacked_sequences(video_on_disk, tmp_path):
+    meta, _ = video_on_disk
+    with open_video(str(meta)) as video:
+        bg = float(np.max(video[0]))
+        two_col = viz.generate_stacked_sequence(
+            video, [0, 3, 6, 9], bg, tmp_path / "stack2.png", title="T"
+        )
+        one_col = viz.generate_stacked_sequence_single_column(
+            video, [0, 3, 6, 9], bg, tmp_path / "stack1.png", title="T"
+        )
+        assert two_col.exists() and two_col.stat().st_size > 10_000
+        assert one_col.exists() and one_col.stat().st_size > 5_000
