@@ -18,7 +18,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .preprocess import (
     band_margin,

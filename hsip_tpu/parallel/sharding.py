@@ -18,7 +18,6 @@ exactly at any device count.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -14,7 +14,7 @@ rank-local tracking state that silently changed results under MPI
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import numpy as np

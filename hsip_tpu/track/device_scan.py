@@ -25,13 +25,10 @@ The spline predictor is absent by design: it never influences selection
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from .config import FlameDetectorConfig
 
 __all__ = [
     "device_tracking_scan",
