@@ -93,6 +93,8 @@ def track_collection_device(
     serial host scan on each.
     """
     config = config or FlameDetectorConfig()
+    method = source_config.detection_method if source_config else "combined"
+    use_frame_diff = source_config.use_frame_diff if source_config else True
     videos = list(collection)
     if not videos:
         return []
@@ -128,6 +130,7 @@ def track_collection_device(
     fi = np.zeros((V, n_max), dtype=np.int32)
     sob = np.zeros((V, n_max, w), dtype=np.float32)
     grad = np.zeros((V, n_max, w), dtype=np.float32)
+    intens = np.zeros((V, n_max, w), dtype=np.float32)
     empty = np.ones((V, n_max), dtype=bool)
     has_prior = np.ones((V, n_max), dtype=bool)
     cals = np.zeros(V, dtype=np.float32)
@@ -141,8 +144,15 @@ def track_collection_device(
         fi[i, m:] = (p.frame_indices[-1] if m else 0) + np.arange(1, n_max - m + 1)
         sob[i, :m] = p.sobel_lines
         grad[i, :m] = p.gradient_lines
+        if method != "combined":
+            intens[i, :m] = (
+                p.intensity_lines if use_frame_diff else p.raw_center_lines
+            )
         empty[i, :m] = p.signal_counts / p.total_pixels < MIN_SIGNAL_FRACTION
-        has_prior[i, :m] = p.has_prior
+        # Raw-profile methods detect from the first frame (no diff prior).
+        has_prior[i, :m] = (
+            p.has_prior if (method == "combined" or use_frame_diff) else True
+        )
         if source_config is not None:
             cal, off = source_config.get_calibration_for_file(video.filepath.name)
         else:
@@ -153,8 +163,10 @@ def track_collection_device(
         max_disps[i] = FlameTracker(config, video.frame_rate, cal).max_displacement_px
 
     # --- one vmapped device scan over the video axis ---
+    fraction = (config.threshold_fraction if method == "threshold"
+                else config.half_maximum_fraction)
     scan_v = jax.vmap(
-        lambda f, s, g, e, hp, c, r, md: device_tracking_scan(
+        lambda f, s, g, it, e, hp, c, r, md: device_tracking_scan(
             f, s, g, e, hp,
             width=w,
             min_gradient_strength=np.float32(config.min_gradient_strength),
@@ -166,10 +178,13 @@ def track_collection_device(
             edge_margin_px=config.edge_margin_px,
             search_window_px=config.search_window_px,
             exit_margin_px=config.exit_margin_px,
+            method=method,
+            intensity_lines=it,
+            method_fraction=np.float32(fraction),
         )
     )
     res = scan_v(
-        fi, sob, grad, empty, has_prior,
+        fi, sob, grad, intens, empty, has_prior,
         cals, fpss, max_disps,
     )
 

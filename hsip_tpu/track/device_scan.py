@@ -40,6 +40,64 @@ _NEG = jnp.float32(-3.0e38)
 _POS = jnp.float32(3.0e38)
 
 
+def _detect_window_threshold(profile, in_window, cols, fraction, min_intensity):
+    """Device 'threshold' detector: rightmost edge of the contiguous
+    above-threshold region containing the window peak."""
+    masked = jnp.where(in_window, profile, _NEG)
+    peak = jnp.max(masked)
+    peak_idx = jnp.argmax(masked).astype(jnp.int32)
+    thr = fraction * peak
+    below = jnp.logical_not(in_window & (profile >= thr))
+    # First below-threshold column at or right of the peak.
+    first_below = jnp.min(
+        jnp.where((cols >= peak_idx) & below, cols, jnp.int32(2**30))
+    ).astype(jnp.int32)
+    window_end = jnp.max(jnp.where(in_window, cols, -1)).astype(jnp.int32)
+    edge = jnp.where(first_below > window_end, window_end, first_below - 1)
+    ok = (peak > min_intensity) & (edge >= peak_idx)
+    return jnp.where(ok, edge, -1)
+
+
+def _detect_window_half_maximum(profile, in_window, cols, fraction, min_intensity):
+    """Device 'half_maximum' detector: last column at/above fraction×peak
+    before the first falling-edge crossing right of the peak."""
+    masked = jnp.where(in_window, profile, _NEG)
+    peak = jnp.max(masked)
+    peak_idx = jnp.argmax(masked).astype(jnp.int32)
+    level = fraction * peak
+    below = in_window & (cols >= peak_idx) & (profile < level)
+    first_below = jnp.min(
+        jnp.where(below, cols, jnp.int32(2**30))
+    ).astype(jnp.int32)
+    window_end = jnp.max(jnp.where(in_window, cols, -1)).astype(jnp.int32)
+    edge = jnp.where(first_below > window_end, window_end, first_below - 1)
+    ok = peak > min_intensity
+    return jnp.where(ok, edge, -1)
+
+
+def _detect_window_gradient(profile, in_window, cols, s0, s1, min_strength):
+    """Device 'gradient' detector: steepest drop of the WINDOWED profile
+    (one-sided differences at the window edges, matching np.gradient of the
+    sliced window in the host detector)."""
+    w = profile.shape[0]
+    left = jnp.concatenate([profile[:1], profile[:-1]])
+    right = jnp.concatenate([profile[1:], profile[-1:]])
+    central = (right - left) * 0.5
+    # One-sided at the window boundary columns.
+    p_s0 = profile[jnp.clip(s0, 0, w - 1)]
+    p_s0n = profile[jnp.clip(s0 + 1, 0, w - 1)]
+    p_e = profile[jnp.clip(s1 - 1, 0, w - 1)]
+    p_ep = profile[jnp.clip(s1 - 2, 0, w - 1)]
+    g = jnp.where(cols == s0, p_s0n - p_s0, central)
+    g = jnp.where(cols == s1 - 1, p_e - p_ep, g)
+    g = jnp.where(in_window, g, _POS)
+    gmin = jnp.min(g)
+    pos = jnp.argmin(g).astype(jnp.int32)
+    # Window must have >= 2 columns for a gradient (host returns None below).
+    ok = (gmin < -min_strength) & (gmin < 0) & (s1 - s0 >= 2)
+    return jnp.where(ok, pos, -1)
+
+
 class DeviceScanResult(NamedTuple):
     """Per-frame outputs of the device scan (arrays of length M)."""
 
@@ -62,6 +120,7 @@ class DeviceScanResult(NamedTuple):
         "edge_margin_px",
         "search_window_px",
         "exit_margin_px",
+        "method",
     ),
 )
 def device_tracking_scan(
@@ -69,7 +128,9 @@ def device_tracking_scan(
     sobel_lines: jnp.ndarray,       # (M, W) f32
     gradient_lines: jnp.ndarray,    # (M, W) f32
     empty: jnp.ndarray,             # (M,) bool — empty-frame skip
-    has_prior: jnp.ndarray,         # (M,) bool — False only for the first
+    has_prior: jnp.ndarray,         # (M,) bool — gates detection (False only
+                                    # for the first frame with diff profiles;
+                                    # pass all-True for raw-profile methods)
     width: int,
     min_gradient_strength: jnp.ndarray,
     sobel_threshold_fraction: jnp.ndarray,
@@ -80,15 +141,25 @@ def device_tracking_scan(
     edge_margin_px: int = 10,
     search_window_px: int = 100,
     exit_margin_px: int = 15,
+    method: str = "combined",
+    intensity_lines: jnp.ndarray = None,   # (M, W) f32 — named methods only
+    method_fraction: jnp.ndarray = 0.5,    # threshold/half_maximum fraction
 ) -> DeviceScanResult:
-    """Run the combined-method tracking state machine on device.
+    """Run the tracking state machine on device.
 
-    Semantics mirror :class:`hsip_tpu.track.tracker.FlameTracker` +
-    the pipeline truncation checks (reference loop
-    ``process_videos.py:1441-1527``) exactly, in float32.
+    ``method`` (static) selects the detector: 'combined' (min-gradient +
+    rightmost-Sobel over sobel/gradient lines, the reference tracker) or a
+    named profile method ('threshold' | 'half_maximum' | 'gradient') over
+    ``intensity_lines``. Semantics mirror
+    :class:`hsip_tpu.track.tracker.FlameTracker` + the pipeline truncation
+    checks (reference loop ``process_videos.py:1441-1527``), in float32.
     """
     m, w = sobel_lines.shape
     cols = jax.lax.broadcasted_iota(jnp.int32, (w,), 0)
+    if method != "combined" and intensity_lines is None:
+        raise ValueError(f"method {method!r} requires intensity_lines")
+    if intensity_lines is None:
+        intensity_lines = jnp.zeros_like(sobel_lines)
 
     class S(NamedTuple):
         lv_pos: jnp.ndarray       # last VALID position (search bounds), -1
@@ -124,7 +195,7 @@ def device_tracking_scan(
     )
 
     def step(state: S, inputs):
-        step_idx, frame, sob, grad, is_empty, prior_ok = inputs
+        step_idx, frame, sob, grad, intens, is_empty, prior_ok = inputs
         active = jnp.logical_not(state.stopped) & jnp.logical_not(is_empty)
 
         # ---- search bounds (velocity-constrained, monotone rightward) ----
@@ -143,22 +214,38 @@ def device_tracking_scan(
         in_window = (cols >= s0) & (cols < s1)
         window_nonempty = s1 > s0
 
-        # ---- candidates ----
-        grad_m = jnp.where(in_window, grad, _POS)
-        gmin = jnp.min(grad_m)
-        pos_g = jnp.argmin(grad_m).astype(jnp.int32)
-        g_ok = window_nonempty & (gmin < -min_gradient_strength)
+        # ---- candidates (method chosen statically at trace time) ----
+        if method == "combined":
+            grad_m = jnp.where(in_window, grad, _POS)
+            gmin = jnp.min(grad_m)
+            pos_g = jnp.argmin(grad_m).astype(jnp.int32)
+            g_ok = window_nonempty & (gmin < -min_gradient_strength)
 
-        abs_sob = jnp.where(in_window, jnp.abs(sob), _NEG)
-        smax = jnp.max(abs_sob)
-        above = in_window & (abs_sob > smax * sobel_threshold_fraction)
-        pos_s = jnp.max(jnp.where(above, cols, -1)).astype(jnp.int32)
-        s_ok = window_nonempty & (smax > min_gradient_strength) & (pos_s >= 0)
+            abs_sob = jnp.where(in_window, jnp.abs(sob), _NEG)
+            smax = jnp.max(abs_sob)
+            above = in_window & (abs_sob > smax * sobel_threshold_fraction)
+            pos_s = jnp.max(jnp.where(above, cols, -1)).astype(jnp.int32)
+            s_ok = window_nonempty & (smax > min_gradient_strength) & (pos_s >= 0)
 
-        final = jnp.maximum(
-            jnp.where(g_ok, pos_g, -1), jnp.where(s_ok, pos_s, -1)
-        )
-        final = jnp.where(active & prior_ok, final, jnp.where(active, -1, -1))
+            final = jnp.maximum(
+                jnp.where(g_ok, pos_g, -1), jnp.where(s_ok, pos_s, -1)
+            )
+        elif method == "threshold":
+            final = _detect_window_threshold(
+                intens, in_window, cols, method_fraction, min_gradient_strength
+            )
+        elif method == "half_maximum":
+            final = _detect_window_half_maximum(
+                intens, in_window, cols, method_fraction, min_gradient_strength
+            )
+        elif method == "gradient":
+            final = _detect_window_gradient(
+                intens, in_window, cols, s0, s1, min_gradient_strength
+            )
+        else:
+            raise ValueError(f"Unknown detection method: {method!r}")
+        final = jnp.where(window_nonempty, final, -1)
+        final = jnp.where(active & prior_ok, final, -1)
         detected = active & (final >= 0)
 
         # ---- history append (every active step) ----
@@ -259,7 +346,7 @@ def device_tracking_scan(
         step,
         init,
         (steps, frame_indices.astype(jnp.int32), sobel_lines, gradient_lines,
-         empty, has_prior),
+         intensity_lines, empty, has_prior),
     )
     return DeviceScanResult(
         final_position=finals,

@@ -18,7 +18,7 @@ from hsip_tpu.track.scan import (
 from hsip_tpu.track.tracker import FlameTracker
 
 
-def _run_both(frames, fps=100_000, cal=0.0008, config=None):
+def _run_both(frames, fps=100_000, cal=0.0008, config=None, method="combined"):
     config = config or FlameDetectorConfig()
     bg = float(np.max(frames[0]))
     profiles = compute_profiles_batched(
@@ -29,10 +29,12 @@ def _run_both(frames, fps=100_000, cal=0.0008, config=None):
         config=config,
         use_pallas=False,
     )
-    host = run_tracking_scan(profiles, config, fps, cal)
+    host = run_tracking_scan(profiles, config, fps, cal, detection_method=method)
 
     empty = profiles.signal_counts / profiles.total_pixels < MIN_SIGNAL_FRACTION
     tr = FlameTracker(config, fps, cal)
+    fraction = (config.threshold_fraction if method == "threshold"
+                else config.half_maximum_fraction)
     dev = device_tracking_scan(
         profiles.frame_indices.astype(np.int32),
         profiles.sobel_lines,
@@ -49,6 +51,9 @@ def _run_both(frames, fps=100_000, cal=0.0008, config=None):
         edge_margin_px=config.edge_margin_px,
         search_window_px=config.search_window_px,
         exit_margin_px=config.exit_margin_px,
+        method=method,
+        intensity_lines=profiles.intensity_lines,
+        method_fraction=np.float32(fraction),
     )
     return host, dev, profiles, empty, config, fps, cal
 
@@ -63,9 +68,13 @@ def _run_both(frames, fps=100_000, cal=0.0008, config=None):
         FlameSpec(ignition_frame=1000),                          # never ignites
     ],
 )
-def test_device_scan_matches_host_scan(flame):
+@pytest.mark.parametrize("method", ["combined", "threshold", "gradient",
+                                    "half_maximum"])
+def test_device_scan_matches_host_scan(flame, method):
     frames, _ = synthesize_flame_video(60, height=48, width=512, flame=flame)
-    host, dev, profiles, empty, config, fps, cal = _run_both(frames)
+    host, dev, profiles, empty, config, fps, cal = _run_both(
+        frames, method=method
+    )
 
     stop_step = int(dev.stop_step)
     reason_map = {0: None, 1: "exit", 2: "velocity_drop"}
@@ -175,4 +184,35 @@ def test_track_collection_device_matches_per_video(tmp_path):
                 assert (x is None) == (y is None)
                 if x is not None:
                     assert abs(x - y) < 1e-9 * max(1.0, abs(y))
+    coll.close_all()
+
+
+@pytest.mark.parametrize("method", ["threshold", "gradient", "half_maximum"])
+def test_track_collection_device_named_methods(tmp_path, method):
+    """Batch device tracking with a named method == per-video host pipeline."""
+    from hsip_tpu import open_collection
+    from hsip_tpu.track.batch import track_collection_device
+
+    for i in range(2):
+        frames, _ = synthesize_flame_video(
+            40, height=48, width=384,
+            flame=FlameSpec(x0=30, v0_px=7, ignition_frame=2, seed=30 + i),
+        )
+        write_recording(tmp_path, f"nm-run-{i + 1}-a", frames,
+                        spec=CihxSpec(width=384, height=48, total_frames=40,
+                                      record_rate=100_000))
+
+    src = VideoSourceConfig(name="NM", detection_method=method,
+                            calibration=0.0008,
+                            save_frame_images=False,
+                            save_stacked_sequences=False)
+    src.video_path = str(tmp_path)
+    coll = open_collection(str(tmp_path))
+    batch = track_collection_device(coll, FlameDetectorConfig(),
+                                    source_config=src)
+    for i, vp in enumerate(sorted(tmp_path.glob("*.cihx"))):
+        single = process_video_file(vp, src, backend="tpu", verbose=False,
+                                    write_outputs=False)
+        assert [r[:4] for r in batch[i].rows] == [r[:4] for r in single.rows]
+        assert batch[i].break_reason == single.break_reason
     coll.close_all()
