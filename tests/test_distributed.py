@@ -1,0 +1,89 @@
+"""Real multi-process TPUVideoProcessor collectives (2 JAX CPU processes).
+
+Spawns two coordinated `jax.distributed` processes and exercises the
+process-level collectives (broadcast / gather / scatter / allreduce /
+barrier / distribute_indices) across a genuine process boundary — the
+moral equivalent of the reference's `mpiexec -n 2` path.
+"""
+
+import socket
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+_WORKER = textwrap.dedent(
+    """
+    import os, sys, json
+    import numpy as np
+    import jax
+
+    coord, pid = sys.argv[1], int(sys.argv[2])
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=2, process_id=pid
+    )
+    from hsip_tpu.parallel import TPUVideoProcessor
+
+    p = TPUVideoProcessor()
+    assert p.is_parallel and p.size == 2 and p.rank == pid, (p.rank, p.size)
+
+    # distribute_indices covers all items disjointly.
+    mine = p.distribute_indices(7)
+    allidx = p.allgather(mine)
+    flat = sorted(i for sub in allidx for i in sub)
+    assert flat == list(range(7)), flat
+
+    # broadcast: root's object everywhere.
+    obj = {"token": "root-data", "rank": p.rank} if p.is_root else None
+    got = p.broadcast(obj)
+    assert got["token"] == "root-data" and got["rank"] == 0, got
+
+    # gather: root sees both payloads in rank order.
+    g = p.gather(f"payload-{p.rank}")
+    if p.is_root:
+        assert g == ["payload-0", "payload-1"], g
+    else:
+        assert g is None
+
+    # scatter: each process gets its element.
+    s = p.scatter(["a", "b"] if p.is_root else None)
+    assert s == ["a", "b"][p.rank], s
+
+    # allreduce_sum over arrays.
+    arr = np.full(3, float(p.rank + 1))
+    total = p.allreduce_sum(arr)
+    np.testing.assert_array_equal(total, np.full(3, 3.0))
+
+    p.barrier()
+    print(f"RANK{pid}_OK")
+    """
+)
+
+
+def test_two_process_collectives(tmp_path):
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for i, proc in enumerate(procs):
+        out, err = proc.communicate(timeout=150)
+        outs.append((proc.returncode, out, err))
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"rank {i} failed:\n{out}\n{err[-2000:]}"
+        assert f"RANK{i}_OK" in out
