@@ -57,6 +57,36 @@ _WORKER = textwrap.dedent(
     np.testing.assert_array_equal(total, np.full(3, 3.0))
 
     p.barrier()
+
+    # End-to-end: two recordings distributed one-per-process through the
+    # real pipeline; each process writes its own video's tables.
+    from pathlib import Path
+    from hsip_tpu.io import FlameSpec, synthesize_flame_video, write_recording
+    from hsip_tpu.pipeline import process_video_source
+    from hsip_tpu.track import VideoSourceConfig
+
+    work = Path(sys.argv[3])
+    if p.is_root:
+        for i in range(2):
+            fr, _ = synthesize_flame_video(
+                20, height=32, width=256,
+                flame=FlameSpec(x0=30, v0_px=7, ignition_frame=2, seed=i),
+            )
+            write_recording(work / "v", f"dist-run-{i + 1}-a", fr)
+    p.barrier()
+    cfg = VideoSourceConfig(name="D", save_frame_images=False,
+                            save_stacked_sequences=False)
+    cfg.video_path = str(work / "v")
+    cfg.output_dir = str(work / "out")
+    outs = process_video_source(cfg, processor=p, verbose=False)
+    assert len(outs) == 1, len(outs)  # one video per process
+    counts = p.allgather(len(outs))
+    assert counts == [1, 1], counts
+    p.barrier()
+    if p.is_root:
+        tables = sorted((work / "out").glob("*-flame-position.txt"))
+        assert len(tables) == 2, tables
+
     print(f"RANK{pid}_OK")
     """
 )
@@ -73,7 +103,7 @@ def test_two_process_collectives(tmp_path):
 
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), coord, str(i)],
+            [sys.executable, str(script), coord, str(i), str(tmp_path)],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
