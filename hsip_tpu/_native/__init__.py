@@ -58,6 +58,11 @@ class NativeDecoder:
         lib.unpack10.argtypes = [u8p, u16p, ctypes.c_int64]
         lib.pack10.argtypes = [u16p, u8p, ctypes.c_int64]
         lib.unpack12_bgsub_f32.argtypes = [u8p, f32p, ctypes.c_int64, ctypes.c_float]
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.count_above12.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float, i32p,
+        ]
         lib.native_num_threads.restype = ctypes.c_int
         self._lib = lib
 
@@ -100,6 +105,26 @@ class NativeDecoder:
         out = np.empty(n_quads * 5, dtype=np.uint8)
         self._lib.pack10(pixels, out, n_quads)
         return out
+
+    def count_above_12bit(
+        self,
+        packed: np.ndarray,
+        frame_nbytes: int,
+        background: float,
+        threshold: float,
+    ) -> np.ndarray:
+        """Per-frame count of pixels with clamp(p - background, 0) > threshold,
+        straight from packed 12-bit bytes (no decode buffer)."""
+        packed = np.ascontiguousarray(packed, dtype=np.uint8).reshape(-1)
+        if frame_nbytes % 3 or packed.size % frame_nbytes:
+            raise ValueError("packed size must be whole 12-bit frames")
+        n_frames = packed.size // frame_nbytes
+        counts = np.empty(n_frames, dtype=np.int32)
+        self._lib.count_above12(
+            packed, n_frames, frame_nbytes,
+            float(background), float(threshold), counts,
+        )
+        return counts
 
     def unpack_12bit_bgsub(self, packed: np.ndarray, background: float) -> np.ndarray:
         """Fused unpack + background-subtract-clamp to float32."""

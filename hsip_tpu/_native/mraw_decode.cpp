@@ -96,6 +96,30 @@ void unpack12_bgsub_f32(const uint8_t* __restrict src, float* __restrict dst,
     }
 }
 
+// Fused decode + background-subtract + above-threshold COUNT per frame,
+// without materializing pixels: one pass over the packed payload. Serves
+// the empty-frame test so only centerline-band bytes ever cross PCIe.
+// counts[f] = #pixels in frame f with max(pixel - background, 0) > threshold.
+void count_above12(const uint8_t* __restrict src, int64_t n_frames,
+                   int64_t frame_nbytes, float background, float threshold,
+                   int32_t* __restrict counts) {
+    const int64_t pairs_per_frame = frame_nbytes / 3;
+#pragma omp parallel for schedule(static)
+    for (int64_t f = 0; f < n_frames; ++f) {
+        const uint8_t* s = src + f * frame_nbytes;
+        int32_t c = 0;
+        for (int64_t i = 0; i < pairs_per_frame; ++i) {
+            const uint8_t* b = s + 3 * i;
+            float p0 = (float)((b[0] << 4) | (b[1] >> 4)) - background;
+            float p1 = (float)(((b[1] & 0x0F) << 8) | b[2]) - background;
+            if (p0 < 0.0f) p0 = 0.0f;
+            if (p1 < 0.0f) p1 = 0.0f;
+            c += (p0 > threshold) + (p1 > threshold);
+        }
+        counts[f] = c;
+    }
+}
+
 int native_num_threads() {
 #ifdef _OPENMP
     return omp_get_max_threads();

@@ -224,6 +224,44 @@ class MRAWReader:
             stop = start + 1
         return self._mmap[start:stop]
 
+    @property
+    def row_nbytes(self) -> Optional[int]:
+        """Packed bytes per image ROW, when rows are byte-aligned
+        (always for 8/16-bit; 12-bit needs even width; 10-bit width % 4)."""
+        bits = self.width * self.bit_depth
+        if bits % 8:
+            return None
+        return bits // 8
+
+    def band_bytes(self, start: int, stop: int, rows: np.ndarray) -> np.ndarray:
+        """Packed bytes of selected ROWS for frames [start, stop).
+
+        Returns (n, len(rows), row_nbytes) uint8 — the minimal staging
+        payload when downstream only needs a centerline band (the on-device
+        kernels decode just these rows). Requires byte-aligned rows.
+        """
+        self._check_open()
+        rnb = self.row_nbytes
+        if rnb is None:
+            raise ValueError(
+                f"rows are not byte-aligned for width={self.width}, "
+                f"bit_depth={self.bit_depth}"
+            )
+        view = self._mmap[start:stop].reshape(stop - start, self.height, rnb)
+        return view[:, np.asarray(rows, dtype=np.int64), :]
+
+    def count_above(
+        self, start: int, stop: int, background: float, threshold: float
+    ) -> Optional[np.ndarray]:
+        """Per-frame above-noise pixel counts straight from packed bytes
+        (native 12-bit fast path; None when unavailable)."""
+        if self.bit_depth != 12 or self._native is None:
+            return None
+        self._check_open()
+        return self._native.count_above_12bit(
+            self._mmap[start:stop], self._frame_nbytes, background, threshold
+        )
+
     def _decode(self, packed: np.ndarray) -> np.ndarray:
         """Decode packed frame bytes (n, frame_nbytes) -> (n, H, W) pixels."""
         n = packed.shape[0]

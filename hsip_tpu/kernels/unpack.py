@@ -30,6 +30,7 @@ __all__ = [
     "unpack_12bit_device",
     "unpack_10bit_device",
     "packed_centerline_profiles",
+    "packed_band_profiles",
 ]
 
 
@@ -66,6 +67,57 @@ def _unpack_rows_12bit(packed: jnp.ndarray, rows: jnp.ndarray, height: int,
     per_row = packed.reshape(n, height, row_nbytes)
     band_rows = per_row[:, rows, :]  # (N, B, row_nbytes)
     return unpack_12bit_device(band_rows, out_dtype=jnp.float32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("morphology_kernel_size", "gaussian_sigma", "use_pallas"),
+)
+def packed_band_profiles(
+    band_bytes: jnp.ndarray,
+    background_scalar: jnp.ndarray,
+    prior_index: jnp.ndarray,
+    frame_diff_threshold: jnp.ndarray,
+    morphology_kernel_size: int = 3,
+    gaussian_sigma: float = 1.5,
+    use_pallas: bool = False,
+):
+    """Packed BAND bytes (N, B, row_nbytes) → centerline profiles.
+
+    The minimal-transfer path: the host ships only the 2M+1 band rows
+    (~15% of a 128-row frame) and computes the empty-frame counts itself
+    (C++ fused pass); the device decodes the band and runs the fused chain.
+    Returns (sobel, gradient, intensity, raw_center) — all (N, W) f32.
+    """
+    band_pixels = unpack_12bit_device(
+        band_bytes.reshape(band_bytes.shape[0], band_bytes.shape[1], -1),
+        out_dtype=jnp.float32,
+    )  # (N, B, W)
+    band = jnp.maximum(band_pixels - background_scalar, 0.0)
+    margin = (band.shape[1] - 1) // 2
+    raw_center_lines = band[:, margin, :]
+
+    if use_pallas:
+        from .pallas_preprocess import pallas_band_profiles
+
+        sobel_lines, gradient_lines, intensity_lines = pallas_band_profiles(
+            band, prior_index, frame_diff_threshold,
+            morphology_kernel_size=morphology_kernel_size,
+            gaussian_sigma=gaussian_sigma,
+        )
+    else:
+        taps = jnp.asarray(gaussian_taps(gaussian_sigma))
+        prior_band = band[jnp.maximum(prior_index, 0)]
+        diff = band - prior_band
+        diff = jnp.where(diff < frame_diff_threshold, 0.0, diff)
+        sobel_lines, gradient_lines, intensity_lines = diff_profiles_from_band(
+            diff, morphology_kernel_size, taps
+        )
+    valid = (prior_index >= 0)[:, None]
+    sobel_lines = jnp.where(valid, sobel_lines, 0.0)
+    gradient_lines = jnp.where(valid, gradient_lines, 0.0)
+    intensity_lines = jnp.where(valid, intensity_lines, 0.0)
+    return sobel_lines, gradient_lines, intensity_lines, raw_center_lines
 
 
 @partial(

@@ -90,6 +90,8 @@ def compute_profiles_batched(
     device_fn=None,
     read_packed: Optional[Callable[[int, int], np.ndarray]] = None,
     use_pallas: Optional[bool] = None,
+    read_band: Optional[Callable] = None,
+    count_fn: Optional[Callable] = None,
 ) -> FrameProfiles:
     """Map phase: batched device computation of per-frame centerline profiles.
 
@@ -105,6 +107,12 @@ def compute_profiles_batched(
         read_packed: callable (start, stop) -> (n, frame_nbytes) PACKED bytes.
             When given (12-bit recordings), raw bytes ship to the device and
             decode there — no host decode, 1.33-2.67x less transfer.
+        read_band: callable (start, stop, rows) -> (n, B, row_nbytes) packed
+            BAND bytes. With ``count_fn`` (native empty-frame counts on
+            host), only the centerline band ever crosses to the device —
+            the minimal-transfer path (~15%% of the payload at H=128).
+        count_fn: callable (start, stop, background, threshold) -> (n,) int
+            above-noise pixel counts computed host-side (C++ fused pass).
 
     The differencing prior of each processed frame is the previous processed
     frame (empty frames included — they advance the motion baseline).
@@ -112,8 +120,12 @@ def compute_profiles_batched(
     """
     import jax
 
-    from ..kernels.preprocess import batch_centerline_profiles
-    from ..kernels.unpack import packed_centerline_profiles
+    from ..kernels.preprocess import (
+        band_margin,
+        batch_centerline_profiles,
+        reflect_indices,
+    )
+    from ..kernels.unpack import packed_band_profiles, packed_centerline_profiles
 
     if device_fn is None:
         device_fn = batch_centerline_profiles
@@ -127,6 +139,10 @@ def compute_profiles_batched(
     m = processed.size
     h, w = frame_shape
     noise_threshold = max(NOISE_THRESHOLD_FLOOR, background_scalar * 0.5)
+    use_band = read_band is not None and count_fn is not None
+    band_rows = reflect_indices(
+        h // 2, band_margin(config.morphology_kernel_size, config.gaussian_sigma), h
+    )
 
     sobel_lines = np.zeros((m, w), dtype=np.float32)
     gradient_lines = np.zeros((m, w), dtype=np.float32)
@@ -170,6 +186,24 @@ def compute_profiles_batched(
     pending = []  # (pos, stop, local, sob, grad, intens, rawc, counts)
 
     for ci, (pos, stop, lo, hi, local, prior_index_full) in enumerate(chunks):
+        if use_band:
+            # Minimal-transfer path: counts on host (C++ fused pass over the
+            # memmap), only band rows ship to the device.
+            counts = count_fn(lo, hi, background_scalar, noise_threshold)
+            host = np.ascontiguousarray(read_band(lo, hi, band_rows))
+            dev = jax.device_put(host)
+            sob, grad, intens, rawc = packed_band_profiles(
+                dev,
+                np.float32(background_scalar),
+                prior_index_full,
+                np.float32(config.frame_diff_threshold),
+                morphology_kernel_size=config.morphology_kernel_size,
+                gaussian_sigma=config.gaussian_sigma,
+                use_pallas=use_pallas,
+            )
+            del dev, host
+            pending.append((pos, stop, local, sob, grad, intens, rawc, counts))
+            continue
         host = (
             np.ascontiguousarray(read_packed(lo, hi))
             if read_packed is not None
@@ -353,8 +387,13 @@ def track_video(
     if background_scalar is None:
         background_scalar = float(np.max(video[0]))
 
-    # 12-bit recordings decode on-device from raw packed bytes.
+    # 12-bit recordings decode on-device from raw packed bytes; with the
+    # native codec, only band rows ship (counts computed host-side).
     read_packed = video.frame_bytes if video.bit_depth == 12 else None
+    read_band = count_fn = None
+    if getattr(video, "supports_packed_band", False):
+        read_band = video.band_bytes
+        count_fn = video.count_above
     profiles = compute_profiles_batched(
         read_batch=video.read_batch,
         n_frames=len(video),
@@ -364,6 +403,8 @@ def track_video(
         skip_frames=skip_frames,
         chunk_size=chunk_size,
         read_packed=read_packed,
+        read_band=read_band,
+        count_fn=count_fn,
     )
     time_fn = video.get_absolute_time if use_absolute_time else video.get_time
     return run_tracking_scan(

@@ -376,6 +376,31 @@ class PhotonVideo:
         """Decoded contiguous frames [start, stop) as one (n, H, W) array."""
         return self._require_reader().read_frames(slice(start, stop))
 
+    @property
+    def supports_packed_band(self) -> bool:
+        """True when the minimal-transfer band path is available: 12-bit
+        packing with byte-aligned rows and the native codec built (the codec
+        computes empty-frame counts host-side so only band rows ship)."""
+        reader = self._reader
+        return (
+            reader is not None
+            and reader.bit_depth == 12
+            and reader.row_nbytes is not None
+            and reader._native is not None
+        )
+
+    def band_bytes(self, start: int, stop: int, rows: np.ndarray) -> np.ndarray:
+        """Packed bytes of selected rows for frames [start, stop) — the
+        minimal staging payload for band kernels."""
+        return self._require_reader().band_bytes(start, stop, rows)
+
+    def count_above(
+        self, start: int, stop: int, background: float, threshold: float
+    ) -> Optional[np.ndarray]:
+        """Per-frame above-noise counts from packed bytes (native 12-bit
+        path; None when unavailable)."""
+        return self._require_reader().count_above(start, stop, background, threshold)
+
     def frame_bytes(self, start: int, stop: Optional[int] = None) -> np.ndarray:
         """Packed payload bytes of frames [start, stop): the TPU staging path.
 
