@@ -33,6 +33,7 @@ __all__ = [
     "TrackingOutput",
     "compute_profiles_batched",
     "run_tracking_scan",
+    "run_tracking_scan_device",
     "track_video",
 ]
 
@@ -92,6 +93,9 @@ def compute_profiles_batched(
     use_pallas: Optional[bool] = None,
     read_band: Optional[Callable] = None,
     count_fn: Optional[Callable] = None,
+    keep_device: bool = False,
+    need_intensity: bool = True,
+    need_raw: bool = True,
 ) -> FrameProfiles:
     """Map phase: batched device computation of per-frame centerline profiles.
 
@@ -237,13 +241,35 @@ def compute_profiles_batched(
         del dev, host
         pending.append((pos, stop, local, sob, grad, intens, rawc, counts))
 
-    for pos, stop, local, sob, grad, intens, rawc, counts in pending:
-        # The kernel computed profiles for every batch row; keep processed ones.
-        sobel_lines[pos:stop] = np.asarray(sob)[local]
-        gradient_lines[pos:stop] = np.asarray(grad)[local]
-        intensity_lines[pos:stop] = np.asarray(intens)[local]
-        raw_center_lines[pos:stop] = np.asarray(rawc)[local]
-        signal_counts[pos:stop] = np.asarray(counts)[local]
+    if keep_device:
+        # Device-resident profiles for the on-device scan: only the tiny
+        # signal counts come back to host; the (N, W) lines never do.
+        import jax.numpy as jnp
+
+        sel = [
+            (jnp.asarray(local), sob, grad, intens, rawc)
+            for pos, stop, local, sob, grad, intens, rawc, counts in pending
+        ]
+        sobel_lines = jnp.concatenate([s[l] for l, s, g, i, r in sel])
+        gradient_lines = jnp.concatenate([g[l] for l, s, g, i, r in sel])
+        intensity_lines = jnp.concatenate([i[l] for l, s, g, i, r in sel])
+        raw_center_lines = jnp.concatenate([r[l] for l, s, g, i, r in sel])
+        cnt = np.zeros(m, dtype=np.int64)
+        for pos, stop, local, _s, _g, _i, _r, counts in pending:
+            cnt[pos:stop] = np.asarray(counts)[local]
+        signal_counts = cnt
+    else:
+        for pos, stop, local, sob, grad, intens, rawc, counts in pending:
+            # The kernel computed profiles for every batch row; keep the
+            # processed ones. Skip device->host fetches the caller's
+            # detection method never reads.
+            sobel_lines[pos:stop] = np.asarray(sob)[local]
+            gradient_lines[pos:stop] = np.asarray(grad)[local]
+            if need_intensity:
+                intensity_lines[pos:stop] = np.asarray(intens)[local]
+            if need_raw:
+                raw_center_lines[pos:stop] = np.asarray(rawc)[local]
+            signal_counts[pos:stop] = np.asarray(counts)[local]
 
     has_prior = np.ones(m, dtype=bool)
     if m:
@@ -366,6 +392,114 @@ def run_tracking_scan(
     )
 
 
+def run_tracking_scan_device(
+    profiles: FrameProfiles,
+    config: FlameDetectorConfig,
+    frame_rate: float,
+    calibration_m_per_px: float,
+    position_offset_m: float = 0.0,
+    time_fn=None,
+    detection_method: str = "combined",
+    use_frame_diff: bool = True,
+) -> TrackingOutput:
+    """Scan phase ON DEVICE: lax.scan tracker over device-resident profiles.
+
+    Only the per-frame positions/masks (a few KB) cross back to host; exact
+    float64 velocity columns are reconstructed from the integer positions.
+    Proven row-identical to :func:`run_tracking_scan` (tests/test_device_scan).
+    """
+    import numpy as _np
+
+    from .batch import ScanHistory
+    from .device_scan import device_tracking_scan, velocities_from_positions
+    from .tracker import FlameTracker
+
+    if time_fn is None:
+        time_fn = lambda i: i / frame_rate if frame_rate > 0 else 0.0  # noqa: E731
+
+    m = profiles.frame_indices.size
+    if m == 0:
+        return TrackingOutput(rows=[], tracker=ScanHistory([], {}, None))
+    empty = profiles.signal_counts / profiles.total_pixels < MIN_SIGNAL_FRACTION
+    has_prior = profiles.has_prior
+    if detection_method != "combined" and not use_frame_diff:
+        has_prior = _np.ones(m, dtype=bool)
+        intensity = profiles.raw_center_lines
+    else:
+        intensity = profiles.intensity_lines
+    fraction = (
+        config.threshold_fraction
+        if detection_method == "threshold"
+        else config.half_maximum_fraction
+    )
+    max_disp = FlameTracker(
+        config, frame_rate, calibration_m_per_px
+    ).max_displacement_px
+
+    res = device_tracking_scan(
+        _np.asarray(profiles.frame_indices, dtype=_np.int32),
+        profiles.sobel_lines,
+        profiles.gradient_lines,
+        empty,
+        has_prior,
+        width=profiles.width,
+        min_gradient_strength=_np.float32(config.min_gradient_strength),
+        sobel_threshold_fraction=_np.float32(config.sobel_threshold_fraction),
+        ddt_velocity_jump=_np.float32(config.ddt_velocity_jump_m_s),
+        calibration=_np.float32(calibration_m_per_px),
+        frame_rate=_np.float32(frame_rate),
+        max_displacement_px=_np.int32(max_disp),
+        edge_margin_px=config.edge_margin_px,
+        search_window_px=config.search_window_px,
+        exit_margin_px=config.exit_margin_px,
+        method=detection_method,
+        intensity_lines=intensity,
+        method_fraction=_np.float32(fraction),
+    )
+
+    finals = _np.asarray(res.final_position)
+    recs = _np.asarray(res.recorded)
+    posts = _np.asarray(res.is_post_ddt)
+    stop = int(res.stop_step)
+    reason_map = {0: None, 1: "exit", 2: "velocity_drop"}
+    limit = m if stop < 0 else min(m, stop + 1)
+
+    fi = _np.asarray(profiles.frame_indices)
+    entries = []
+    rows = []
+    n_empty = 0
+    for j in range(limit):
+        if empty[j]:
+            n_empty += 1
+            continue
+        frame = int(fi[j])
+        pos = int(finals[j]) if finals[j] >= 0 else None
+        entries.append((frame, pos))
+        if recs[j]:
+            rows.append(
+                (
+                    frame,
+                    time_fn(frame),
+                    pos,
+                    pos * calibration_m_per_px + position_offset_m,
+                    bool(posts[j]),
+                )
+            )
+    vel = velocities_from_positions(
+        entries, frame_rate, calibration_m_per_px,
+        clear_vc_entry=int(res.clear_vc_entry),
+    )
+    ddt = int(res.ddt_frame)
+    history = ScanHistory(entries, vel, ddt if ddt >= 0 else None)
+    return TrackingOutput(
+        rows=rows,
+        tracker=history,
+        empty_frame_count=n_empty,
+        break_frame=int(fi[stop]) if stop >= 0 else None,
+        break_reason=reason_map[int(res.stop_reason)],
+    )
+
+
 def track_video(
     video,
     config: FlameDetectorConfig,
@@ -378,11 +512,15 @@ def track_video(
     on_result=None,
     detection_method: str = "combined",
     use_frame_diff: bool = True,
+    scan: str = "host",
 ) -> TrackingOutput:
     """End-to-end tracking of one :class:`~hsip_tpu.video.PhotonVideo`.
 
-    Map phase on device, scan phase on host; background taken from frame 0's
-    max (reference behavior) unless given.
+    Map phase on device; ``scan`` selects where the sequential tracker runs:
+    'host' (float64 numpy — supports viz hooks and all methods) or 'device'
+    (lax.scan on TPU — profiles never leave the device; proven
+    row-identical, velocities reconstructed in float64 from positions).
+    Background taken from frame 0's max (reference behavior) unless given.
     """
     if background_scalar is None:
         background_scalar = float(np.max(video[0]))
@@ -405,8 +543,24 @@ def track_video(
         read_packed=read_packed,
         read_band=read_band,
         count_fn=count_fn,
+        keep_device=scan == "device",
+        need_intensity=detection_method != "combined" and use_frame_diff,
+        need_raw=detection_method != "combined" and not use_frame_diff,
     )
     time_fn = video.get_absolute_time if use_absolute_time else video.get_time
+    if scan == "device":
+        if on_result is not None:
+            raise ValueError("viz hooks require scan='host'")
+        return run_tracking_scan_device(
+            profiles,
+            config,
+            frame_rate=video.frame_rate,
+            calibration_m_per_px=calibration_m_per_px,
+            position_offset_m=position_offset_m,
+            time_fn=time_fn,
+            detection_method=detection_method,
+            use_frame_diff=use_frame_diff,
+        )
     return run_tracking_scan(
         profiles,
         config,

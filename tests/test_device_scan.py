@@ -216,3 +216,35 @@ def test_track_collection_device_named_methods(tmp_path, method):
         assert [r[:4] for r in batch[i].rows] == [r[:4] for r in single.rows]
         assert batch[i].break_reason == single.break_reason
     coll.close_all()
+
+
+@pytest.mark.parametrize("method", ["combined", "threshold"])
+def test_track_video_device_scan_matches_host(tmp_path, method):
+    """track_video(scan='device') — profiles stay on device — must equal
+    the host-scan path row for row, including merged velocity columns."""
+    from hsip_tpu import open_video
+    from hsip_tpu.track.scan import track_video
+
+    frames, _ = synthesize_flame_video(
+        50, height=48, width=512,
+        flame=FlameSpec(x0=30, v0_px=8, accel_px=0.3, ignition_frame=3,
+                        ddt_frame=28, v_jump_px=25, seed=21),
+    )
+    meta = write_recording(tmp_path, "dv-run-1", frames,
+                           spec=CihxSpec(width=512, height=48, total_frames=50,
+                                         record_rate=100_000))
+    with open_video(str(meta)) as video:
+        host = track_video(video, FlameDetectorConfig(), 0.0008, 1.0,
+                           detection_method=method, scan="host")
+        dev = track_video(video, FlameDetectorConfig(), 0.0008, 1.0,
+                          detection_method=method, scan="device")
+    assert [r[:4] for r in dev.rows] == [r[:4] for r in host.rows]
+    assert dev.break_reason == host.break_reason
+    assert dev.empty_frame_count == host.empty_frame_count
+    assert dev.tracker.ddt_frame == host.tracker.ddt_frame
+    mh, md = host.merged_rows(), dev.merged_rows()
+    for ra, rb in zip(md, mh):
+        for x, y in zip(ra[4:7], rb[4:7]):
+            assert (x is None) == (y is None)
+            if x is not None:
+                assert abs(x - y) < 1e-9 * max(1.0, abs(y))
