@@ -84,6 +84,8 @@ def track_collection_device(
     source_config: Optional[VideoSourceConfig] = None,
     use_absolute_time: bool = True,
     chunk_size: int = 256,
+    mesh=None,
+    video_axis: str = "video",
 ) -> List[TrackingOutput]:
     """Track every video of a collection with one vmapped device scan.
 
@@ -91,6 +93,12 @@ def track_collection_device(
     ``source_config.get_calibration_for_file`` (defaults 1.0 / 0.0).
     Returns one :class:`TrackingOutput` per video, identical to running the
     serial host scan on each.
+
+    With ``mesh`` (a :class:`jax.sharding.Mesh` carrying ``video_axis``),
+    the video axis shards across devices: each device scans its videos
+    concurrently — the pod-scale layout where a whole library tracks in one
+    dispatch across a slice. The video count is padded to the axis size
+    with inert (all-empty) videos.
     """
     config = config or FlameDetectorConfig()
     method = source_config.detection_method if source_config else "combined"
@@ -127,6 +135,11 @@ def track_collection_device(
     # --- pad to a common step count; padding rows are 'empty' (no-ops) ---
     n_max = max(p.frame_indices.size for p in profiles)
     V = len(videos)
+    v_pad = 0
+    if mesh is not None:
+        axis = mesh.shape[video_axis]
+        v_pad = (-V) % axis
+    V = V + v_pad
     fi = np.zeros((V, n_max), dtype=np.int32)
     sob = np.zeros((V, n_max, w), dtype=np.float32)
     grad = np.zeros((V, n_max, w), dtype=np.float32)
@@ -183,10 +196,30 @@ def track_collection_device(
             method_fraction=np.float32(fraction),
         )
     )
-    res = scan_v(
-        fi, sob, grad, intens, empty, has_prior,
-        cals, fpss, max_disps,
-    )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def shard(x, *rest_axes):
+            spec = P(video_axis, *rest_axes)
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        fi = shard(fi, None)
+        sob = shard(sob, None, None)
+        grad = shard(grad, None, None)
+        intens = shard(intens, None, None)
+        empty_d = shard(empty, None)
+        has_prior_d = shard(has_prior, None)
+        cals_d = shard(cals)
+        fpss_d = shard(fpss)
+        max_disps_d = shard(max_disps)
+        res = scan_v(fi, sob, grad, intens, empty_d, has_prior_d,
+                     cals_d, fpss_d, max_disps_d)
+        fi = np.asarray(fi)
+    else:
+        res = scan_v(
+            fi, sob, grad, intens, empty, has_prior,
+            cals, fpss, max_disps,
+        )
 
     # --- host: rows + exact velocities per video ---
     outputs: List[TrackingOutput] = []

@@ -248,3 +248,36 @@ def test_track_video_device_scan_matches_host(tmp_path, method):
             assert (x is None) == (y is None)
             if x is not None:
                 assert abs(x - y) < 1e-9 * max(1.0, abs(y))
+
+
+def test_track_collection_device_sharded_over_mesh(tmp_path):
+    """Video axis sharded across an 8-device mesh (3 videos pad to 8):
+    results identical to the unsharded batch path."""
+    from hsip_tpu import open_collection
+    from hsip_tpu.parallel import make_mesh
+    from hsip_tpu.track.batch import track_collection_device
+
+    for i in range(3):
+        frames, _ = synthesize_flame_video(
+            30, height=32, width=256,
+            flame=FlameSpec(x0=25, v0_px=6, ignition_frame=2, seed=40 + i),
+        )
+        write_recording(tmp_path, f"mesh-run-{i + 1}-a", frames,
+                        spec=CihxSpec(width=256, height=32, total_frames=30,
+                                      record_rate=80_000))
+    src = VideoSourceConfig(name="M", calibration=0.001,
+                            save_frame_images=False,
+                            save_stacked_sequences=False)
+    src.video_path = str(tmp_path)
+    coll = open_collection(str(tmp_path))
+    plain = track_collection_device(coll, FlameDetectorConfig(),
+                                    source_config=src)
+    mesh = make_mesh("video")
+    sharded = track_collection_device(coll, FlameDetectorConfig(),
+                                      source_config=src, mesh=mesh)
+    assert len(sharded) == len(plain) == 3
+    for a, b in zip(sharded, plain):
+        assert a.rows == b.rows
+        assert a.break_reason == b.break_reason
+        assert a.tracker.ddt_frame == b.tracker.ddt_frame
+    coll.close_all()
