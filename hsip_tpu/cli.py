@@ -130,9 +130,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--backend",
-        choices=("tpu", "exact"),
+        choices=("tpu", "device", "exact"),
         default="tpu",
-        help="tpu: batched device pipeline; exact: serial float64 host",
+        help="tpu: device map + host scan; device: fully on-device tracking "
+             "(no per-frame figures); exact: serial float64 host",
     )
     parser.add_argument(
         "--no-images", action="store_true", help="skip per-frame diagnostic figures"

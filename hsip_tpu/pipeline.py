@@ -142,9 +142,11 @@ def process_video_file(
     """Process one recording: track the flame front and write result tables.
 
     ``backend``:
-      * 'tpu'   — batched device map phase + host float64 scan (default).
-      * 'exact' — frame-at-a-time host float64 :class:`FlameDetector`
-                  (bit-exact anchor; also used for full-frame visualization).
+      * 'tpu'    — batched device map phase + host float64 scan (default).
+      * 'device' — map phase AND tracking scan on device (lax.scan); profiles
+                   never leave the chip. No per-frame viz hooks.
+      * 'exact'  — frame-at-a-time host float64 :class:`FlameDetector`
+                   (bit-exact anchor; also used for full-frame visualization).
     """
     cihx_file = Path(cihx_file)
     detector_config = detector_config or FlameDetectorConfig()
@@ -222,6 +224,10 @@ def process_video_file(
             )
 
         on_result = None
+        if backend == "device" and do_images:
+            # The fully on-device scan exposes no per-frame hook.
+            print("  Note: per-frame figures unavailable with backend='device'")
+            do_images = False
         if do_images and frames_output_dir is not None and write_outputs:
             from . import viz
 
@@ -238,7 +244,7 @@ def process_video_file(
                     detector_config,
                 )
 
-        if backend == "tpu":
+        if backend in ("tpu", "device"):
             output = track_video(
                 video,
                 detector_config,
@@ -250,6 +256,7 @@ def process_video_file(
                 on_result=on_result,
                 detection_method=config.detection_method,
                 use_frame_diff=config.use_frame_diff,
+                scan="device" if backend == "device" else "host",
             )
         elif backend == "exact":
             output = _track_video_exact(
@@ -262,7 +269,9 @@ def process_video_file(
                 on_result=on_result,
             )
         else:
-            raise ValueError(f"Unknown backend: {backend!r} (expected 'tpu' or 'exact')")
+            raise ValueError(
+                f"Unknown backend: {backend!r} (expected 'tpu', 'device' or 'exact')"
+            )
 
         if verbose:
             print(f"  Skipped {output.empty_frame_count} empty/noise-only frames")

@@ -221,3 +221,18 @@ def test_write_results_generic(tmp_path):
     assert path.read_text() == "Frame Position_px\n1 10\n2 20\n"
     empty = write_results({}, tmp_path / "e.txt")
     assert empty.read_text() == "\n"
+
+
+def test_device_backend_matches_tpu_backend(recording, tmp_path):
+    cfg = _source_config(recording, tmp_path / "odev")
+    out_dev = process_video_file(
+        recording["path"], cfg, backend="device", verbose=False,
+        write_outputs=False, save_images=False,
+    )
+    out_tpu = process_video_file(
+        recording["path"], cfg, backend="tpu", verbose=False,
+        write_outputs=False,
+    )
+    assert [r[:4] for r in out_dev.rows] == [r[:4] for r in out_tpu.rows]
+    assert out_dev.break_reason == out_tpu.break_reason
+    assert out_dev.tracker.ddt_frame == out_tpu.tracker.ddt_frame
