@@ -1,104 +1,98 @@
 """Metadata field filtering for Photron recordings.
 
 Controls which acquisition-header fields a :class:`~hsip_tpu.video.PhotonVideo`
-exposes through its ``metadata`` property. Parity target: reference
-``src/photron/metadata.py`` (category frozensets, presets, filter).
+exposes through its ``metadata`` property. Behavior parity target: reference
+``src/photron/metadata.py`` (category sets, minimal/full/for_processing
+presets, whitelist filtering).
 """
 
 from __future__ import annotations
 
-from typing import FrozenSet, Optional, Set
+from typing import Dict, FrozenSet, Optional, Set
 
-__all__ = ["MetadataConfig"]
+__all__ = ["MetadataConfig", "FIELD_CATEGORIES"]
+
+# Acquisition-header keys, grouped by how often a workflow needs them. Keys
+# follow the Photron/pyMRAW naming convention.
+FIELD_CATEGORIES: Dict[str, FrozenSet[str]] = {
+    "essential": frozenset(
+        ["Total Frame", "Image Width", "Image Height",
+         "EffectiveBit Depth", "File Format"]
+    ),
+    "recording": frozenset(["Record Rate(fps)", "Shutter Speed(s)"]),
+    "device": frozenset(["Camera Type", "Date"]),
+    "extended": frozenset(
+        ["Original Total Frame", "EffectiveBit Side", "Color Bit",
+         "Comment Text"]
+    ),
+}
 
 
 class MetadataConfig:
     """Whitelist over the acquisition-header dict.
 
-    Header keys follow the Photron/pyMRAW naming convention:
-    'Date', 'Camera Type', 'Record Rate(fps)', 'Shutter Speed(s)',
-    'Total Frame', 'Original Total Frame', 'Image Width', 'Image Height',
-    'File Format', 'EffectiveBit Depth', 'EffectiveBit Side', 'Color Bit',
-    'Comment Text'.
-
     Example:
-        >>> config = MetadataConfig.minimal()          # essential only
-        >>> config = MetadataConfig.full()             # everything
-        >>> config = MetadataConfig.for_processing()   # essential + recording
-        >>> custom = MetadataConfig(fields={'Record Rate(fps)', 'Total Frame'})
+        >>> MetadataConfig.minimal()                       # essential only
+        >>> MetadataConfig.full()                          # everything known
+        >>> MetadataConfig.for_processing()                # essential + recording
+        >>> MetadataConfig(fields={"Record Rate(fps)"})    # custom + essential
     """
 
-    ESSENTIAL: FrozenSet[str] = frozenset(
-        {
-            "Total Frame",
-            "Image Width",
-            "Image Height",
-            "EffectiveBit Depth",
-            "File Format",
-        }
-    )
-
-    RECORDING: FrozenSet[str] = frozenset(
-        {
-            "Record Rate(fps)",
-            "Shutter Speed(s)",
-        }
-    )
-
-    DEVICE: FrozenSet[str] = frozenset(
-        {
-            "Camera Type",
-            "Date",
-        }
-    )
-
-    EXTENDED: FrozenSet[str] = frozenset(
-        {
-            "Original Total Frame",
-            "EffectiveBit Side",
-            "Color Bit",
-            "Comment Text",
-        }
-    )
-
-    ALL_FIELDS: FrozenSet[str] = ESSENTIAL | RECORDING | DEVICE | EXTENDED
+    # Category aliases kept as class attributes for API familiarity.
+    ESSENTIAL = FIELD_CATEGORIES["essential"]
+    RECORDING = FIELD_CATEGORIES["recording"]
+    DEVICE = FIELD_CATEGORIES["device"]
+    EXTENDED = FIELD_CATEGORIES["extended"]
+    ALL_FIELDS = frozenset().union(*FIELD_CATEGORIES.values())
 
     def __init__(
         self,
         fields: Optional[Set[str]] = None,
         include_essential: bool = True,
     ):
-        self._fields: Set[str] = set()
+        selected: Set[str] = set(fields or ())
         if include_essential:
-            self._fields.update(self.ESSENTIAL)
-        if fields is not None:
-            self._fields.update(fields)
+            selected |= self.ESSENTIAL
+        self._fields = selected
+
+    # -- presets ---------------------------------------------------------
 
     @classmethod
     def minimal(cls) -> "MetadataConfig":
         """Essential fields only."""
-        return cls(include_essential=True)
+        return cls()
 
     @classmethod
     def full(cls) -> "MetadataConfig":
-        """All known fields."""
-        return cls(fields=cls.ALL_FIELDS, include_essential=True)
+        """Every known field."""
+        return cls(fields=set(cls.ALL_FIELDS))
 
     @classmethod
     def for_processing(cls) -> "MetadataConfig":
         """Essential + recording fields — the default for processing runs."""
-        return cls(fields=cls.ESSENTIAL | cls.RECORDING, include_essential=True)
+        return cls(fields=set(cls.RECORDING))
+
+    @classmethod
+    def categories(cls, *names: str) -> "MetadataConfig":
+        """Build from named categories ('essential', 'recording', ...)."""
+        picked: Set[str] = set()
+        for name in names:
+            picked |= FIELD_CATEGORIES[name]
+        return cls(fields=picked)
+
+    # -- filtering ---------------------------------------------------------
 
     @property
     def fields(self) -> Set[str]:
-        return self._fields.copy()
+        return set(self._fields)
 
     def should_include(self, field_name: str) -> bool:
         return field_name in self._fields
 
     def filter_metadata(self, raw_metadata: dict) -> dict:
         """Keep only whitelisted keys of the raw header dict."""
-        return {k: v for k, v in raw_metadata.items() if self.should_include(k)}
+        keep = self._fields
+        return {k: v for k, v in raw_metadata.items() if k in keep}
 
     def __repr__(self) -> str:
         return f"MetadataConfig(fields={sorted(self._fields)})"
