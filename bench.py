@@ -101,7 +101,7 @@ def main() -> int:
     parser.add_argument("--width", type=int, default=1024)
     parser.add_argument("--repeat", type=int, default=3)
     parser.add_argument("--baseline-sample", type=int, default=48)
-    parser.add_argument("--chunk-size", type=int, default=256)
+    parser.add_argument("--chunk-size", type=int, default=None)
     parser.add_argument(
         "--videos", type=int, default=1,
         help=">1: library mode — N recordings tracked by one vmapped device scan",

@@ -83,7 +83,7 @@ def track_collection_device(
     config: Optional[FlameDetectorConfig] = None,
     source_config: Optional[VideoSourceConfig] = None,
     use_absolute_time: bool = True,
-    chunk_size: int = 256,
+    chunk_size: Optional[int] = None,
     mesh=None,
     video_axis: str = "video",
 ) -> List[TrackingOutput]:
@@ -115,11 +115,14 @@ def track_collection_device(
 
     # --- map phase per video (chunked, packed on-device decode) ---
     profiles: List[FrameProfiles] = []
-    backgrounds = []
     for video in videos:
         bg = float(np.max(video[0]))
-        backgrounds.append(bg)
         read_packed = video.frame_bytes if video.bit_depth == 12 else None
+        read_band = count_fn = None
+        if getattr(video, "supports_packed_band", False):
+            read_band = video.band_bytes
+            count_fn = video.count_above
+        cs = chunk_size or (4096 if read_band is not None else 256)
         profiles.append(
             compute_profiles_batched(
                 read_batch=video.read_batch,
@@ -127,8 +130,10 @@ def track_collection_device(
                 frame_shape=video.frame_shape,
                 background_scalar=bg,
                 config=config,
-                chunk_size=chunk_size,
+                chunk_size=cs,
                 read_packed=read_packed,
+                read_band=read_band,
+                count_fn=count_fn,
             )
         )
 

@@ -507,7 +507,7 @@ def track_video(
     position_offset_m: float = 0.0,
     skip_frames: Sequence[int] = (),
     use_absolute_time: bool = True,
-    chunk_size: int = 256,
+    chunk_size: Optional[int] = None,
     background_scalar: Optional[float] = None,
     on_result=None,
     detection_method: str = "combined",
@@ -532,6 +532,10 @@ def track_video(
     if getattr(video, "supports_packed_band", False):
         read_band = video.band_bytes
         count_fn = video.count_above
+    if chunk_size is None:
+        # Band staging is ~2% of the payload, so big chunks amortize
+        # dispatch overhead cheaply; full-frame staging stays bounded.
+        chunk_size = 4096 if read_band is not None else 256
     profiles = compute_profiles_batched(
         read_batch=video.read_batch,
         n_frames=len(video),
