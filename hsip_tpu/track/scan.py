@@ -189,11 +189,17 @@ def compute_profiles_batched(
     # engine serializes against live buffers.
     pending = []  # (pos, stop, local, sob, grad, intens, rawc, counts)
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    count_pool = ThreadPoolExecutor(max_workers=1) if use_band else None
     for ci, (pos, stop, lo, hi, local, prior_index_full) in enumerate(chunks):
         if use_band:
             # Minimal-transfer path: counts on host (C++ fused pass over the
-            # memmap), only band rows ship to the device.
-            counts = count_fn(lo, hi, background_scalar, noise_threshold)
+            # memmap, releases the GIL) run CONCURRENTLY with band gathering
+            # and the host->device transfer; only band rows ship.
+            counts = count_pool.submit(
+                count_fn, lo, hi, background_scalar, noise_threshold
+            )
             host = np.ascontiguousarray(read_band(lo, hi, band_rows))
             dev = jax.device_put(host)
             sob, grad, intens, rawc = packed_band_profiles(
@@ -206,7 +212,9 @@ def compute_profiles_batched(
                 use_pallas=use_pallas,
             )
             del dev, host
-            pending.append((pos, stop, local, sob, grad, intens, rawc, counts))
+            pending.append(
+                (pos, stop, local, sob, grad, intens, rawc, counts.result())
+            )
             continue
         host = (
             np.ascontiguousarray(read_packed(lo, hi))
