@@ -69,20 +69,22 @@ def time_scipy_baseline(meta_path, config, n_sample: int) -> float:
     sub = np.maximum(frames - bg, 0.0)
     k, sigma = config.morphology_kernel_size, config.gaussian_sigma
 
-    start = time.perf_counter()
-    for i in range(1, n_sample + 1):
-        diff = sub[i] - sub[i - 1]
-        diff[diff < config.frame_diff_threshold] = 0
-        opened = ndi.grey_opening(diff, size=(k, k))
-        blurred = ndi.gaussian_filter(opened, sigma=sigma)
-        sob = ndi.sobel(blurred, axis=1)
-        grad = np.gradient(blurred, axis=1)
-        c = blurred.shape[0] // 2
-        _ = sob[c], grad[c]
-        if np.min(grad[c]) < -config.min_gradient_strength:
-            _ = np.argmin(grad[c])
-    elapsed = time.perf_counter() - start
-    return elapsed / n_sample
+    best = float("inf")
+    for _ in range(3):  # best-of to damp host noise, like the TPU side
+        start = time.perf_counter()
+        for i in range(1, n_sample + 1):
+            diff = sub[i] - sub[i - 1]
+            diff[diff < config.frame_diff_threshold] = 0
+            opened = ndi.grey_opening(diff, size=(k, k))
+            blurred = ndi.gaussian_filter(opened, sigma=sigma)
+            sob = ndi.sobel(blurred, axis=1)
+            grad = np.gradient(blurred, axis=1)
+            c = blurred.shape[0] // 2
+            _ = sob[c], grad[c]
+            if np.min(grad[c]) < -config.min_gradient_strength:
+                _ = np.argmin(grad[c])
+        best = min(best, time.perf_counter() - start)
+    return best / n_sample
 
 
 def run_collection_pipeline(video_dir, config):

@@ -224,25 +224,23 @@ def process_video_file(
             )
 
         on_result = None
+        viz_tasks = []
         if backend == "device" and do_images:
             # The fully on-device scan exposes no per-frame hook.
             print("  Note: per-frame figures unavailable with backend='device'")
             do_images = False
         if do_images and frames_output_dir is not None and write_outputs:
-            from . import viz
+            _task_fields = (
+                "frame_idx", "time_s", "pos_min_gradient", "pos_rightmost_sobel",
+                "pos_spline_predicted", "search_bounds", "final_position",
+                "prior_frame_idx",
+            )
 
             def on_result(result, tracker):  # noqa: ANN001
-                # Full-frame intermediates for the diagnostic figure are
-                # recomputed on demand (host) — the hot path never makes them.
-                viz.save_frame_image_from_video(
-                    video,
-                    result,
-                    tracker,
-                    background_scalar,
-                    frames_output_dir,
-                    config.name,
-                    detector_config,
-                )
+                # Collect lightweight per-frame records; figures render in
+                # parallel worker processes after the scan (each worker
+                # recomputes full-frame intermediates itself).
+                viz_tasks.append({k: getattr(result, k) for k in _task_fields})
 
         if backend in ("tpu", "device"):
             output = track_video(
@@ -286,6 +284,23 @@ def process_video_file(
                 )
             if output.tracker.ddt_detected:
                 print(f"  *** DDT DETECTED at frame {output.tracker.ddt_frame} ***")
+
+        if viz_tasks:
+            from . import viz
+
+            paths = viz.render_diagnostics_parallel(
+                str(cihx_file),
+                viz_tasks,
+                output.tracker.position_history,
+                video.frame_rate,
+                file_calibration,
+                background_scalar,
+                frames_output_dir,
+                config.name,
+                detector_config,
+            )
+            if verbose:
+                print(f"  Frame images: {len(paths)} -> {frames_output_dir}")
 
         if write_outputs and output_dir is not None and output.rows:
             _write_ddt_split_tables(output, output_dir, cihx_file.stem, verbose)
@@ -337,7 +352,7 @@ def _track_video_exact(
 
         if is_empty_frame(frame_subtracted, noise_thresh, MIN_SIGNAL_FRACTION):
             empty_count += 1
-            detector.update_prior_frame(frame_subtracted)
+            detector.update_prior_frame(frame_subtracted, frame_idx)
             continue
 
         result = detector.detect(frame, frame_idx, background_scalar)

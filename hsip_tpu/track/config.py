@@ -184,3 +184,7 @@ class FlameDetectionResult:
     search_bounds: Optional[Tuple[int, int]] = None
 
     final_position: Optional[int] = None
+
+    # Index of the differencing prior (previous processed frame, empty
+    # frames included) — lets visualization recompute intermediates exactly.
+    prior_frame_idx: Optional[int] = None

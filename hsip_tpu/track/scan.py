@@ -361,6 +361,8 @@ def run_tracking_scan(
             method=detection_method,
         )
         if on_result is not None:
+            if j > 0:
+                result.prior_frame_idx = int(profiles.frame_indices[j - 1])
             on_result(result, tracker)
 
         flame_position = result.final_position

@@ -431,6 +431,7 @@ class FlameDetector:
         self.use_frame_diff = use_frame_diff
         self.tracker = FlameTracker(config, frame_rate, calibration_m_per_px)
         self._prior_frame: Optional[np.ndarray] = None
+        self._prior_frame_idx: Optional[int] = None
         self._keep_results = keep_results
         self._detection_results: List[FlameDetectionResult] = []
 
@@ -438,12 +439,16 @@ class FlameDetector:
         """Reset all tracking state for a new video."""
         self.tracker.reset()
         self._prior_frame = None
+        self._prior_frame_idx = None
         self._detection_results.clear()
 
-    def update_prior_frame(self, frame_subtracted: np.ndarray) -> None:
+    def update_prior_frame(
+        self, frame_subtracted: np.ndarray, frame_idx: Optional[int] = None
+    ) -> None:
         """Advance the frame-differencing chain without detecting (used for
         empty/noise-only frames, which still shift the motion baseline)."""
         self._prior_frame = np.array(frame_subtracted, dtype=np.float64)
+        self._prior_frame_idx = frame_idx
 
     def detect(
         self,
@@ -492,7 +497,9 @@ class FlameDetector:
             method=self.detection_method,
         )
 
+        result.prior_frame_idx = self._prior_frame_idx
         self._prior_frame = frame_subtracted.copy()
+        self._prior_frame_idx = frame_idx
 
         result.frame_subtracted = frame_subtracted
         result.frame_diff = frame_diff

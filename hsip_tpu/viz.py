@@ -30,6 +30,7 @@ from .track.config import FlameDetectionResult, FlameDetectorConfig  # noqa: E40
 __all__ = [
     "save_frame_image",
     "save_frame_image_from_video",
+    "render_diagnostics_parallel",
     "generate_stacked_sequence",
     "generate_stacked_sequence_single_column",
 ]
@@ -291,14 +292,15 @@ def save_frame_image_from_video(
             video[result.frame_idx], background_scalar
         )
         result.frame_subtracted = sub
-        # Reconstruct the prior: previous entry in the tracker history, else
-        # leave diff stages empty (first processed frame).
-        hist = tracker.position_history
-        prior_idx = None
-        for f, _ in reversed(hist[:-1] if hist else []):
-            if f < result.frame_idx:
-                prior_idx = f
-                break
+        # The differencing prior: recorded exactly on the result (includes
+        # empty frames); fall back to the previous history entry.
+        prior_idx = result.prior_frame_idx
+        if prior_idx is None:
+            hist = tracker.position_history
+            for f, _ in reversed(hist[:-1] if hist else []):
+                if f < result.frame_idx:
+                    prior_idx = f
+                    break
         if prior_idx is not None:
             prior_sub = hostops.subtract_scalar_background(
                 video[prior_idx], background_scalar
@@ -420,3 +422,145 @@ def generate_stacked_sequence_single_column(
     plt.close(fig)
     print(f"Saved stacked sequence: {output_path}")
     return Path(output_path)
+
+
+# ---------------------------------------------------------------------------
+# Parallel diagnostic rendering
+# ---------------------------------------------------------------------------
+#
+# Figure rendering dominates image-enabled runs (matplotlib, ~seconds per
+# 12-panel figure — also true of the reference, SURVEY.md §3.1). Rendering is
+# embarrassingly parallel across frames, so it fans out over worker
+# PROCESSES: each worker opens the recording itself (memory-mapped),
+# recomputes the full-frame intermediates for its frames, reconstructs the
+# tracker's state *as of that frame* from the position history prefix, and
+# renders. Workers never touch JAX devices (pure numpy + matplotlib).
+
+_WORKER_VIDEOS: dict = {}
+
+
+def _render_worker_init():
+    import os
+
+    # Workers must never grab the TPU (pure host rendering).
+    os.environ["JAX_PLATFORMS"] = "cpu"
+
+
+class _RenderHistory:
+    """Tracker-state view at a single frame, rebuilt from a history prefix."""
+
+    def __init__(self, entries, frame_rate, calibration, config):
+        from .track.device_scan import (
+            ddt_frame_from_velocities,
+            velocity_entries_from_positions,
+        )
+
+        self._entries = entries
+        self._config = config
+        self._vel = velocity_entries_from_positions(entries, frame_rate, calibration)
+        self._ddt = ddt_frame_from_velocities(
+            self._vel, config.ddt_velocity_jump_m_s
+        )
+
+    @property
+    def position_history(self):
+        return list(self._entries)
+
+    @property
+    def last_velocity(self):
+        return self._vel[-1][1] if self._vel else None
+
+    @property
+    def ddt_frame(self):
+        return self._ddt
+
+    @property
+    def ddt_detected(self):
+        return self._ddt is not None
+
+    def get_velocity_history(self):
+        return [tuple(e) for e in self._vel]
+
+    def get_spline_curve(self, frame_range=None):
+        from .track.spline import fit_smoothing_spline
+
+        valid = [(f, p) for f, p in self._entries if p is not None]
+        if len(valid) < self._config.min_points_for_spline:
+            return None
+        fr = np.array([f for f, _ in valid], dtype=np.float64)
+        po = np.array([p for _, p in valid], dtype=np.float64)
+        spline = fit_smoothing_spline(
+            fr, po, s=self._config.spline_smoothing * len(fr)
+        )
+        if spline is None:
+            return None
+        xs = np.linspace(fr.min(), fr.max(), 100)
+        return xs, spline(xs)
+
+
+def _render_one(args) -> str:
+    (video_path, task, entries_prefix, frame_rate, calibration,
+     background_scalar, output_dir, source_name, config) = args
+    from . import open_video
+    from .track.config import FlameDetectionResult
+
+    video = _WORKER_VIDEOS.get(video_path)
+    if video is None:
+        video = open_video(video_path)
+        _WORKER_VIDEOS[video_path] = video
+
+    result = FlameDetectionResult(**task)
+    history = _RenderHistory(entries_prefix, frame_rate, calibration, config)
+    out = save_frame_image_from_video(
+        video, result, history, background_scalar,
+        Path(output_dir), source_name, config,
+    )
+    return str(out)
+
+
+def render_diagnostics_parallel(
+    video_path,
+    tasks,
+    entries,
+    frame_rate: float,
+    calibration: float,
+    background_scalar: float,
+    output_dir,
+    source_name: str,
+    config: Optional[FlameDetectorConfig] = None,
+    workers: Optional[int] = None,
+) -> List[str]:
+    """Render 12-panel diagnostics for many frames across worker processes.
+
+    ``tasks``: per-frame field dicts (FlameDetectionResult kwargs, images
+    omitted). ``entries``: the FULL ordered position history
+    [(frame, pos|None), ...]; each frame's figure sees only its prefix,
+    reproducing the live tracker state. Returns written paths in frame order.
+    """
+    import os
+    from concurrent.futures import ProcessPoolExecutor
+    from multiprocessing import get_context
+
+    config = config or FlameDetectorConfig()
+    if workers is None:
+        workers = min(8, os.cpu_count() or 1)
+
+    frame_of = {e[0]: i for i, e in enumerate(entries)}
+    job_args = []
+    for task in tasks:
+        upto = frame_of.get(task["frame_idx"])
+        prefix = entries[: upto + 1] if upto is not None else list(entries)
+        job_args.append(
+            (str(video_path), task, prefix, frame_rate, calibration,
+             background_scalar, str(output_dir), source_name, config)
+        )
+
+    if workers <= 1 or len(job_args) <= 1:
+        return [_render_one(a) for a in job_args]
+
+    with ProcessPoolExecutor(
+        max_workers=workers,
+        mp_context=get_context("spawn"),
+        initializer=_render_worker_init,
+    ) as pool:
+        return list(pool.map(_render_one, job_args, chunksize=4))
