@@ -220,3 +220,30 @@ def test_write_recording_full_roundtrip(tmp_path):
         tmp_path / "rec.mraw", width=128, height=32, bit_depth=12
     )
     np.testing.assert_array_equal(reader.read_frames(slice(0, 8)), frames)
+
+
+def test_band_bytes_and_count_above(tmp_path):
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 4096, size=(6, 32, 64), dtype=np.uint16)
+    path = write_mraw(tmp_path / "band.mraw", frames, bit_depth=12)
+    reader = MRAWReader(path, width=64, height=32, bit_depth=12)
+
+    rows = np.array([0, 15, 16, 31])
+    band = reader.band_bytes(1, 4, rows)
+    assert band.shape == (3, 4, 64 * 3 // 2)
+    decoded = unpack_12bit(np.ascontiguousarray(band).reshape(-1)).reshape(3, 4, 64)
+    np.testing.assert_array_equal(decoded, frames[1:4][:, rows, :])
+
+    counts = reader.count_above(0, 6, background=100.0, threshold=500.0)
+    if counts is not None:  # native codec available
+        expected = [
+            int((np.maximum(f.astype(np.float64) - 100.0, 0) > 500.0).sum())
+            for f in frames
+        ]
+        np.testing.assert_array_equal(counts, expected)
+
+    # 16-bit: no native fast path; band rows still byte-aligned.
+    path16 = write_mraw(tmp_path / "b16.mraw", frames, bit_depth=16)
+    r16 = MRAWReader(path16, width=64, height=32, bit_depth=16)
+    assert r16.count_above(0, 2, 0.0, 0.0) is None
+    assert r16.row_nbytes == 128
