@@ -134,6 +134,7 @@ def track_collection_device(
                 read_packed=read_packed,
                 read_band=read_band,
                 count_fn=count_fn,
+                keep_device=True,
             )
         )
 
@@ -145,26 +146,33 @@ def track_collection_device(
         axis = mesh.shape[video_axis]
         v_pad = (-V) % axis
     V = V + v_pad
+    import jax.numpy as jnp
+
     fi = np.zeros((V, n_max), dtype=np.int32)
-    sob = np.zeros((V, n_max, w), dtype=np.float32)
-    grad = np.zeros((V, n_max, w), dtype=np.float32)
-    intens = np.zeros((V, n_max, w), dtype=np.float32)
     empty = np.ones((V, n_max), dtype=bool)
     has_prior = np.ones((V, n_max), dtype=bool)
     cals = np.zeros(V, dtype=np.float32)
     fpss = np.zeros(V, dtype=np.float32)
     max_disps = np.zeros(V, dtype=np.int32)
+    # Profile lines stay DEVICE-resident: pad each video's (m, W) stack to
+    # n_max rows on device and stack along the new video axis.
+    sob_parts, grad_parts, intens_parts = [], [], []
+
+    def _pad_rows(x, m):
+        return jnp.pad(x, ((0, n_max - m), (0, 0))) if m < n_max else x
 
     calibs: List[Tuple[float, float]] = []
     for i, (video, p) in enumerate(zip(videos, profiles)):
         m = p.frame_indices.size
         fi[i, :m] = p.frame_indices
         fi[i, m:] = (p.frame_indices[-1] if m else 0) + np.arange(1, n_max - m + 1)
-        sob[i, :m] = p.sobel_lines
-        grad[i, :m] = p.gradient_lines
+        sob_parts.append(_pad_rows(p.sobel_lines, m))
+        grad_parts.append(_pad_rows(p.gradient_lines, m))
         if method != "combined":
-            intens[i, :m] = (
-                p.intensity_lines if use_frame_diff else p.raw_center_lines
+            intens_parts.append(
+                _pad_rows(
+                    p.intensity_lines if use_frame_diff else p.raw_center_lines, m
+                )
             )
         empty[i, :m] = p.signal_counts / p.total_pixels < MIN_SIGNAL_FRACTION
         # Raw-profile methods detect from the first frame (no diff prior).
@@ -179,6 +187,24 @@ def track_collection_device(
         cals[i] = cal
         fpss[i] = video.frame_rate
         max_disps[i] = FlameTracker(config, video.frame_rate, cal).max_displacement_px
+    # Inert pad videos (mesh alignment): all-empty frames, sane params.
+    zero_lines = jnp.zeros((n_max, w), dtype=jnp.float32)
+    for i in range(len(videos), V):
+        sob_parts.append(zero_lines)
+        grad_parts.append(zero_lines)
+        if method != "combined":
+            intens_parts.append(zero_lines)
+        cals[i] = 1.0
+        fpss[i] = 1.0
+        max_disps[i] = 1
+
+    sob = jnp.stack(sob_parts)
+    grad = jnp.stack(grad_parts)
+    intens = (
+        jnp.stack(intens_parts)
+        if method != "combined"
+        else jnp.zeros((V, n_max, w), dtype=jnp.float32)
+    )
 
     # --- one vmapped device scan over the video axis ---
     fraction = (config.threshold_fraction if method == "threshold"
