@@ -77,6 +77,7 @@ def _source_from_dict(d: Dict[str, Any], base_path: Optional[str]) -> VideoSourc
         file_calibrations=fcs,
         save_frame_images=d.get("save_frame_images", True),
         save_stacked_sequences=d.get("save_stacked_sequences", True),
+        figure_style=d.get("figure_style", "full"),
         base_path=base_path,
     )
     if d.get("video_path"):
@@ -141,6 +142,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--no-sequences", action="store_true", help="skip stacked-sequence plots"
     )
+    parser.add_argument(
+        "--figure-style", choices=("full", "compact"), default=None,
+        help="per-frame figure style: full 12-panel or compact 4-panel",
+    )
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument(
         "--resume",
@@ -190,6 +195,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             cfg.save_frame_images = False
         if args.no_sequences:
             cfg.save_stacked_sequences = False
+        if args.figure_style:
+            cfg.figure_style = args.figure_style
 
     processor = None
     if args.distributed:

@@ -298,6 +298,7 @@ def process_video_file(
                 frames_output_dir,
                 config.name,
                 detector_config,
+                style=config.figure_style,
             )
             if verbose:
                 print(f"  Frame images: {len(paths)} -> {frames_output_dir}")

@@ -89,6 +89,7 @@ class VideoSourceConfig:
     file_calibrations: List[FileCalibration] = field(default_factory=list)
     save_frame_images: bool = True
     save_stacked_sequences: bool = True
+    figure_style: str = "full"  # 'full' (12 panels) | 'compact' (4, ~10x faster)
 
     _video_path: Optional[str] = field(default=None, init=False, repr=False)
     _output_dir: Optional[str] = field(default=None, init=False, repr=False)

@@ -29,6 +29,7 @@ from .track.config import FlameDetectionResult, FlameDetectorConfig  # noqa: E40
 
 __all__ = [
     "save_frame_image",
+    "save_frame_image_compact",
     "save_frame_image_from_video",
     "render_diagnostics_parallel",
     "generate_stacked_sequence",
@@ -275,6 +276,73 @@ def save_frame_image(
     return output_file
 
 
+def save_frame_image_compact(
+    frame_subtracted: np.ndarray,
+    result: FlameDetectionResult,
+    output_path: Path,
+    source_name: str,
+    detector=None,
+) -> Path:
+    """Render a 4-panel compact diagnostic (~10x faster than the full
+    12-panel figure): BG-subtracted overlay with detection markers,
+    frame-diff centerline, position history, velocity comparison."""
+    height, width = frame_subtracted.shape[:2]
+    center_row = height // 2
+    fig, axes = plt.subplots(4, 1, figsize=(10, 9),
+                             gridspec_kw={"height_ratios": [1, 1.6, 1.6, 1.6]})
+
+    ax = axes[0]
+    ax.imshow(frame_subtracted, cmap="gray", aspect="auto")
+    ax.axhline(y=center_row, color="cyan", linestyle="--", linewidth=0.5, alpha=0.5)
+    _position_markers(ax, result)
+    v = detector.last_velocity if detector is not None else None
+    vstr = f" | v={v:.1f} m/s" if v is not None else ""
+    ax.set_title(
+        f"Frame {result.frame_idx} | t={result.time_s * 1e6:.1f} µs | "
+        f"x={result.final_position}{vstr}", fontsize=10,
+    )
+    ax.set_xticks([]); ax.set_yticks([])
+
+    ax = axes[1]
+    if result.frame_diff is not None:
+        ax.plot(np.arange(width), result.frame_diff[center_row, :], "r-",
+                linewidth=1, label="Frame diff")
+    _position_markers(ax, result)
+    ax.set_xlim(0, width)
+    ax.set_title("Diff centerline", fontsize=9)
+    ax.grid(True, alpha=0.3)
+
+    ax = axes[2]
+    if detector is not None:
+        pts = [(f, p) for f, p in detector.position_history if p is not None]
+        if pts:
+            fh, ph = zip(*pts)
+            ax.scatter(fh, ph, s=12, c="blue", alpha=0.7)
+    if result.final_position is not None:
+        ax.scatter([result.frame_idx], [result.final_position], c="red",
+                   marker="*", s=50, zorder=5)
+    ax.set_title("Position history (px)", fontsize=9)
+    ax.grid(True, alpha=0.3)
+
+    ax = axes[3]
+    vel = detector.get_velocity_history() if detector is not None else []
+    if vel:
+        ax.plot([e[0] for e in vel], [e[1] for e in vel], "b-", linewidth=1.2)
+        if detector.ddt_detected:
+            ax.axvline(x=detector.ddt_frame, color="magenta", linestyle="--",
+                       linewidth=1.5, label=f"DDT @ {detector.ddt_frame}")
+            ax.legend(fontsize=8)
+    ax.set_title("Velocity v1 (m/s)", fontsize=9)
+    ax.set_xlabel("Frame")
+    ax.grid(True, alpha=0.3)
+
+    fig.tight_layout()
+    output_file = Path(output_path) / f"{source_name}-Frame-{result.frame_idx:06d}.png"
+    plt.savefig(output_file, dpi=80)
+    plt.close(fig)
+    return output_file
+
+
 def save_frame_image_from_video(
     video,
     result: FlameDetectionResult,
@@ -283,9 +351,11 @@ def save_frame_image_from_video(
     output_path: Path,
     source_name: str,
     config: Optional[FlameDetectorConfig] = None,
+    style: str = "full",
 ) -> Path:
     """Diagnostic figure for a band-path result: recompute full-frame
-    intermediates on host (the hot path never materializes them)."""
+    intermediates on host (the hot path never materializes them).
+    ``style``: 'full' (12 panels) or 'compact' (4 panels, ~10x faster)."""
     config = config or FlameDetectorConfig()
     if result.frame_subtracted is None:
         sub = hostops.subtract_scalar_background(
@@ -316,6 +386,11 @@ def save_frame_image_from_video(
             )
             result.sobel_output = hostops.sobel(result.blurred, axis=1)
             result.gradient_output = hostops.gradient_x(result.blurred)
+    if style == "compact":
+        return save_frame_image_compact(
+            result.frame_subtracted, result, Path(output_path), source_name,
+            tracker,
+        )
     return save_frame_image(
         result.frame_subtracted, result, Path(output_path), source_name, tracker
     )
@@ -500,7 +575,7 @@ class _RenderHistory:
 
 def _render_one(args) -> str:
     (video_path, task, entries_prefix, frame_rate, calibration,
-     background_scalar, output_dir, source_name, config) = args
+     background_scalar, output_dir, source_name, config, style) = args
     from . import open_video
     from .track.config import FlameDetectionResult
 
@@ -513,7 +588,7 @@ def _render_one(args) -> str:
     history = _RenderHistory(entries_prefix, frame_rate, calibration, config)
     out = save_frame_image_from_video(
         video, result, history, background_scalar,
-        Path(output_dir), source_name, config,
+        Path(output_dir), source_name, config, style=style,
     )
     return str(out)
 
@@ -529,6 +604,7 @@ def render_diagnostics_parallel(
     source_name: str,
     config: Optional[FlameDetectorConfig] = None,
     workers: Optional[int] = None,
+    style: str = "full",
 ) -> List[str]:
     """Render 12-panel diagnostics for many frames across worker processes.
 
@@ -552,7 +628,7 @@ def render_diagnostics_parallel(
         prefix = entries[: upto + 1] if upto is not None else list(entries)
         job_args.append(
             (str(video_path), task, prefix, frame_rate, calibration,
-             background_scalar, str(output_dir), source_name, config)
+             background_scalar, str(output_dir), source_name, config, style)
         )
 
     if workers <= 1 or len(job_args) <= 1:

@@ -72,3 +72,29 @@ def test_stacked_sequences(video_on_disk, tmp_path):
         )
         assert two_col.exists() and two_col.stat().st_size > 10_000
         assert one_col.exists() and one_col.stat().st_size > 5_000
+
+
+def test_compact_figure_style(video_on_disk, tmp_path):
+    import time
+
+    from hsip_tpu.pipeline import process_video_file
+    from hsip_tpu.track import VideoSourceConfig
+
+    meta, _ = video_on_disk
+    cfg = VideoSourceConfig(name="C", figure_style="compact",
+                            save_stacked_sequences=False)
+    cfg.output_dir = str(tmp_path / "out")
+    t0 = time.perf_counter()
+    out = process_video_file(meta, cfg, backend="tpu", verbose=False)
+    compact_t = time.perf_counter() - t0
+    pngs = sorted((tmp_path / "out" / "viz-run-1-frames").glob("*.png"))
+    assert len(pngs) == len(out.tracker.position_history)
+    assert pngs[0].stat().st_size > 10_000
+    # Compact should be clearly cheaper than the full style.
+    cfg2 = VideoSourceConfig(name="F", figure_style="full",
+                             save_stacked_sequences=False)
+    cfg2.output_dir = str(tmp_path / "out_full")
+    t0 = time.perf_counter()
+    process_video_file(meta, cfg2, backend="tpu", verbose=False)
+    full_t = time.perf_counter() - t0
+    assert compact_t < full_t
