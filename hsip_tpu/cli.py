@@ -56,6 +56,11 @@ def _load_config_file(path: Path) -> Dict[str, Any]:
 
 
 def _source_from_dict(d: Dict[str, Any], base_path: Optional[str]) -> VideoSourceConfig:
+    style = d.get("figure_style", "full")
+    if style not in ("full", "compact"):
+        raise ValueError(
+            f"Invalid figure_style {style!r} (expected 'full' or 'compact')"
+        )
     fcs = [
         FileCalibration(
             calibration=fc["calibration"],
@@ -77,7 +82,7 @@ def _source_from_dict(d: Dict[str, Any], base_path: Optional[str]) -> VideoSourc
         file_calibrations=fcs,
         save_frame_images=d.get("save_frame_images", True),
         save_stacked_sequences=d.get("save_stacked_sequences", True),
-        figure_style=d.get("figure_style", "full"),
+        figure_style=style,
         base_path=base_path,
     )
     if d.get("video_path"):

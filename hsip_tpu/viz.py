@@ -306,7 +306,7 @@ def save_frame_image_compact(
     ax = axes[1]
     if result.frame_diff is not None:
         ax.plot(np.arange(width), result.frame_diff[center_row, :], "r-",
-                linewidth=1, label="Frame diff")
+                linewidth=1)
     _position_markers(ax, result)
     ax.set_xlim(0, width)
     ax.set_title("Diff centerline", fontsize=9)
@@ -375,17 +375,21 @@ def save_frame_image_from_video(
             prior_sub = hostops.subtract_scalar_background(
                 video[prior_idx], background_scalar
             )
-            diff = hostops.subtract_prior_frame(
+            result.frame_diff = hostops.subtract_prior_frame(
                 sub, prior_sub, config.frame_diff_threshold
             )
-            k = config.morphology_kernel_size
-            result.frame_diff = diff
-            result.noise_removed = hostops.grey_opening(diff, (k, k))
-            result.blurred = hostops.gaussian_filter(
-                result.noise_removed, config.gaussian_sigma
-            )
-            result.sobel_output = hostops.sobel(result.blurred, axis=1)
-            result.gradient_output = hostops.gradient_x(result.blurred)
+            if style != "compact":
+                # Only the full 12-panel figure shows the later pipeline
+                # stages; skip their full-frame recompute otherwise.
+                k = config.morphology_kernel_size
+                result.noise_removed = hostops.grey_opening(
+                    result.frame_diff, (k, k)
+                )
+                result.blurred = hostops.gaussian_filter(
+                    result.noise_removed, config.gaussian_sigma
+                )
+                result.sobel_output = hostops.sobel(result.blurred, axis=1)
+                result.gradient_output = hostops.gradient_x(result.blurred)
     if style == "compact":
         return save_frame_image_compact(
             result.frame_subtracted, result, Path(output_path), source_name,
@@ -606,12 +610,13 @@ def render_diagnostics_parallel(
     workers: Optional[int] = None,
     style: str = "full",
 ) -> List[str]:
-    """Render 12-panel diagnostics for many frames across worker processes.
+    """Render per-frame diagnostics for many frames across worker processes.
 
     ``tasks``: per-frame field dicts (FlameDetectionResult kwargs, images
     omitted). ``entries``: the FULL ordered position history
     [(frame, pos|None), ...]; each frame's figure sees only its prefix,
-    reproducing the live tracker state. Returns written paths in frame order.
+    reproducing the live tracker state. ``style``: 'full' (12-panel) or
+    'compact' (4-panel, ~10x cheaper). Returns written paths in frame order.
     """
     import os
     from concurrent.futures import ProcessPoolExecutor

@@ -75,8 +75,6 @@ def test_stacked_sequences(video_on_disk, tmp_path):
 
 
 def test_compact_figure_style(video_on_disk, tmp_path):
-    import time
-
     from hsip_tpu.pipeline import process_video_file
     from hsip_tpu.track import VideoSourceConfig
 
@@ -84,17 +82,29 @@ def test_compact_figure_style(video_on_disk, tmp_path):
     cfg = VideoSourceConfig(name="C", figure_style="compact",
                             save_stacked_sequences=False)
     cfg.output_dir = str(tmp_path / "out")
-    t0 = time.perf_counter()
     out = process_video_file(meta, cfg, backend="tpu", verbose=False)
-    compact_t = time.perf_counter() - t0
     pngs = sorted((tmp_path / "out" / "viz-run-1-frames").glob("*.png"))
     assert len(pngs) == len(out.tracker.position_history)
     assert pngs[0].stat().st_size > 10_000
-    # Compact should be clearly cheaper than the full style.
+    # Compact figures are materially smaller than the 12-panel full style
+    # (file size is a stable proxy; wall-clock comparisons are dominated by
+    # one-time JIT/pool warmup on tiny test videos).
     cfg2 = VideoSourceConfig(name="F", figure_style="full",
                              save_stacked_sequences=False)
     cfg2.output_dir = str(tmp_path / "out_full")
-    t0 = time.perf_counter()
     process_video_file(meta, cfg2, backend="tpu", verbose=False)
-    full_t = time.perf_counter() - t0
-    assert compact_t < full_t
+    full_pngs = sorted((tmp_path / "out_full" / "viz-run-1-frames").glob("*.png"))
+    assert pngs[-1].stat().st_size < 0.5 * full_pngs[-1].stat().st_size
+
+
+def test_config_rejects_bad_figure_style(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from hsip_tpu.cli import load_config
+
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"source": [{"name": "X", "figure_style": "Compact"}]}))
+    with _pytest.raises(ValueError, match="figure_style"):
+        load_config(p)
