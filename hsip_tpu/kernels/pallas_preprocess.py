@@ -132,8 +132,9 @@ def pallas_band_profiles(
     morphology_kernel_size: int = 3,
     gaussian_sigma: float = 1.5,
     interpret: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused Pallas chain: bands (N, B, W) → (sobel (N, W), gradient (N, W)).
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused Pallas chain: bands (N, B, W) → centerline
+    (sobel (N, W), gradient (N, W), intensity (N, W)).
 
     ``band`` holds each frame's background-subtracted centerline band
     (B = 2*band_margin+1 rows); ``prior_index`` (N,) int32 selects each

@@ -34,6 +34,7 @@ import numpy as np
 
 __all__ = [
     "band_margin",
+    "band_folds",
     "reflect_indices",
     "gaussian_taps",
     "grey_opening_band",
@@ -52,6 +53,18 @@ def band_margin(morphology_kernel_size: int, gaussian_sigma: float, truncate: fl
     r_gauss = int(truncate * float(gaussian_sigma) + 0.5)
     r_sobel = 1
     return r_open + r_gauss + r_sobel
+
+
+def band_folds(center: int, margin: int, n: int) -> bool:
+    """True when the centerline band extends past the image rows.
+
+    Folding is handled exactly by reflect row-gathering for SYMMETRIC
+    vertical windows (odd morphology kernels, Gaussian, Sobel). For EVEN
+    morphology kernels the erosion/dilation windows are asymmetric and do
+    not commute with reflection, so folding configurations must use the
+    per-stage-repadding host ops instead (see scan.compute_profiles_batched).
+    """
+    return center - margin < 0 or center + margin > n - 1
 
 
 def reflect_indices(center: int, margin: int, n: int) -> np.ndarray:
@@ -217,7 +230,7 @@ def batch_centerline_profiles(
     gaussian_sigma: float = 1.5,
     center_row: Optional[int] = None,
     use_pallas: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full batched preprocess: frames → centerline profiles + empty stats.
 
     Args:

@@ -139,7 +139,7 @@ def packed_centerline_profiles(
     gaussian_sigma: float = 1.5,
     center_row: Optional[int] = None,
     use_pallas: bool = False,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Packed 12-bit bytes (N, frame_nbytes) → centerline profiles + counts.
 
     Same contract as :func:`hsip_tpu.kernels.preprocess.

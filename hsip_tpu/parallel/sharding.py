@@ -58,6 +58,14 @@ def make_sharded_profile_fn(
     if center_row is None:
         center_row = height // 2
     margin = band_margin(morphology_kernel_size, gaussian_sigma)
+    if morphology_kernel_size % 2 == 0 and (
+        center_row - margin < 0 or center_row + margin > height - 1
+    ):
+        raise ValueError(
+            "Even morphology kernels with a folding centerline band are not "
+            "exact under reflect row-gathering; use the host pipeline for "
+            f"this geometry (H={height}, k={morphology_kernel_size})"
+        )
     rows = reflect_indices(center_row, margin, height)
     taps_np = gaussian_taps(gaussian_sigma)
     n_shards = mesh.shape[axis_name]

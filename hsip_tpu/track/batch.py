@@ -130,6 +130,9 @@ def track_collection_device(
                 frame_shape=video.frame_shape,
                 background_scalar=bg,
                 config=config,
+                skip_frames=(
+                    source_config.skip_frames if source_config is not None else ()
+                ),
                 chunk_size=cs,
                 read_packed=read_packed,
                 read_band=read_band,
@@ -168,17 +171,11 @@ def track_collection_device(
         fi[i, m:] = (p.frame_indices[-1] if m else 0) + np.arange(1, n_max - m + 1)
         sob_parts.append(_pad_rows(p.sobel_lines, m))
         grad_parts.append(_pad_rows(p.gradient_lines, m))
-        if method != "combined":
-            intens_parts.append(
-                _pad_rows(
-                    p.intensity_lines if use_frame_diff else p.raw_center_lines, m
-                )
-            )
+        intens_i, has_prior_i = p.select_intensity(method, use_frame_diff)
+        if intens_i is not None:
+            intens_parts.append(_pad_rows(intens_i, m))
         empty[i, :m] = p.signal_counts / p.total_pixels < MIN_SIGNAL_FRACTION
-        # Raw-profile methods detect from the first frame (no diff prior).
-        has_prior[i, :m] = (
-            p.has_prior if (method == "combined" or use_frame_diff) else True
-        )
+        has_prior[i, :m] = has_prior_i
         if source_config is not None:
             cal, off = source_config.get_calibration_for_file(video.filepath.name)
         else:

@@ -77,26 +77,58 @@ def _detect_window_half_maximum(profile, in_window, cols, fraction, min_intensit
     return jnp.where(ok, edge, -1)
 
 
+def _two_sum(a, b):
+    """Knuth TwoSum: (s, e) with s + e == a + b EXACTLY (s = fl(a+b))."""
+    s = a + b
+    bp = s - a
+    e = (a - (s - bp)) + (b - bp)
+    return s, e
+
+
 def _detect_window_gradient(profile, in_window, cols, s0, s1, min_strength):
     """Device 'gradient' detector: steepest drop of the WINDOWED profile
     (one-sided differences at the window edges, matching np.gradient of the
-    sliced window in the host detector)."""
+    sliced window in the host detector).
+
+    The host computes the finite differences in float64 of float32 profile
+    values — EXACT arithmetic — so a plain f32 subtraction here can round
+    differently and flip argmin at f64 ties (confirmed on locally-linear
+    blurred profiles). The differences are therefore carried as exact
+    double-float (hi, lo) pairs via TwoSum, and the argmin/threshold compares
+    are lexicographic over (hi, lo) — bit-equivalent to the host's float64.
+    """
     w = profile.shape[0]
     left = jnp.concatenate([profile[:1], profile[:-1]])
     right = jnp.concatenate([profile[1:], profile[-1:]])
-    central = (right - left) * 0.5
+    c_hi, c_lo = _two_sum(right, -left)
+    c_hi, c_lo = c_hi * 0.5, c_lo * 0.5  # *0.5 is exact
     # One-sided at the window boundary columns.
     p_s0 = profile[jnp.clip(s0, 0, w - 1)]
     p_s0n = profile[jnp.clip(s0 + 1, 0, w - 1)]
     p_e = profile[jnp.clip(s1 - 1, 0, w - 1)]
     p_ep = profile[jnp.clip(s1 - 2, 0, w - 1)]
-    g = jnp.where(cols == s0, p_s0n - p_s0, central)
-    g = jnp.where(cols == s1 - 1, p_e - p_ep, g)
-    g = jnp.where(in_window, g, _POS)
-    gmin = jnp.min(g)
-    pos = jnp.argmin(g).astype(jnp.int32)
+    l_hi, l_lo = _two_sum(p_s0n, -p_s0)
+    r_hi, r_lo = _two_sum(p_e, -p_ep)
+    g_hi = jnp.where(cols == s0, l_hi, c_hi)
+    g_lo = jnp.where(cols == s0, l_lo, c_lo)
+    g_hi = jnp.where(cols == s1 - 1, r_hi, g_hi)
+    g_lo = jnp.where(cols == s1 - 1, r_lo, g_lo)
+    g_hi = jnp.where(in_window, g_hi, _POS)
+    g_lo = jnp.where(in_window, g_lo, _POS)
+
+    # Lexicographic argmin over (hi, lo): the true f64 minimum location.
+    m_hi = jnp.min(g_hi)
+    tie = g_hi == m_hi
+    m_lo = jnp.min(jnp.where(tie, g_lo, _POS))
+    winners = tie & (g_lo == m_lo)
+    pos = jnp.argmax(winners).astype(jnp.int32)  # first index among winners
+
+    # f64 value (hi + lo) < T, with |lo| <= ulp(hi)/2 and T exactly f32:
+    def _lt(threshold):
+        return (m_hi < threshold) | ((m_hi == threshold) & (m_lo < 0))
+
     # Window must have >= 2 columns for a gradient (host returns None below).
-    ok = (gmin < -min_strength) & (gmin < 0) & (s1 - s0 >= 2)
+    ok = _lt(-min_strength) & _lt(jnp.float32(0.0)) & (s1 - s0 >= 2)
     return jnp.where(ok, pos, -1)
 
 
@@ -269,10 +301,8 @@ def device_tracking_scan(
             (final - state.p1_pos).astype(jnp.float32) * calibration / dt,
             0.0,
         )
-        # v_central retro-fills the PREVIOUS entry — emitted here with its
-        # target ordinal for the host-side velocity reconstruction.
-        vc_ok = vel_ok & (state.p2_pos >= 0) & (state.n_entries >= 1)
-
+        # (v_central is reconstructed on host from positions, so the scan
+        # carries no central-difference state.)
         new_v_prev = jnp.where(vel_ok, state.v_latest, state.v_prev)
         new_v_prev_ok = jnp.where(vel_ok, state.v_latest_ok, state.v_prev_ok)
         new_v_latest = jnp.where(vel_ok, v1, state.v_latest)

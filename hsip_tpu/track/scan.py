@@ -58,6 +58,19 @@ class FrameProfiles:
     width: int
     total_pixels: int              # H * W, for the empty-frame fraction
 
+    def select_intensity(self, method: str, use_frame_diff: bool):
+        """(profile_lines, has_prior) for a detection method — the single
+        source of truth shared by the host scan, the device scan and the
+        collection batch path. Named methods on raw (non-diff) profiles
+        detect from the very first frame, so has_prior is all-True there.
+        """
+        if method != "combined" and not use_frame_diff:
+            ones = np.ones(self.frame_indices.size, dtype=bool)
+            return self.raw_center_lines, ones
+        if method == "combined":
+            return None, self.has_prior
+        return self.intensity_lines, self.has_prior
+
 
 @dataclass
 class TrackingOutput:
@@ -125,6 +138,7 @@ def compute_profiles_batched(
     import jax
 
     from ..kernels.preprocess import (
+        band_folds,
         band_margin,
         batch_centerline_profiles,
         reflect_indices,
@@ -144,9 +158,19 @@ def compute_profiles_batched(
     h, w = frame_shape
     noise_threshold = max(NOISE_THRESHOLD_FLOOR, background_scalar * 0.5)
     use_band = read_band is not None and count_fn is not None
-    band_rows = reflect_indices(
-        h // 2, band_margin(config.morphology_kernel_size, config.gaussian_sigma), h
-    )
+    margin = band_margin(config.morphology_kernel_size, config.gaussian_sigma)
+    band_rows = reflect_indices(h // 2, margin, h)
+
+    # Even morphology kernels have asymmetric vertical windows that do not
+    # commute with the reflect row-gathering, so when the band would fold
+    # over the image edge the device band path is NOT exact — route this
+    # (rare: non-default even k on short frames) configuration through the
+    # per-stage-repadding float64 host ops.
+    if config.morphology_kernel_size % 2 == 0 and band_folds(h // 2, margin, h):
+        return _compute_profiles_host_exact(
+            read_batch, n_frames, frame_shape, background_scalar, config,
+            skip_frames,
+        )
 
     sobel_lines = np.zeros((m, w), dtype=np.float32)
     gradient_lines = np.zeros((m, w), dtype=np.float32)
@@ -212,9 +236,9 @@ def compute_profiles_batched(
                 use_pallas=use_pallas,
             )
             del dev, host
-            pending.append(
-                (pos, stop, local, sob, grad, intens, rawc, counts.result())
-            )
+            # counts is a Future: resolved in the drain loop so chunk i's
+            # host count pass overlaps chunk i+1's gather/transfer.
+            pending.append((pos, stop, local, sob, grad, intens, rawc, counts))
             continue
         host = (
             np.ascontiguousarray(read_packed(lo, hi))
@@ -249,6 +273,9 @@ def compute_profiles_batched(
         del dev, host
         pending.append((pos, stop, local, sob, grad, intens, rawc, counts))
 
+    def _counts_of(c):
+        return c.result() if hasattr(c, "result") else c
+
     if keep_device:
         # Device-resident profiles for the on-device scan: only the tiny
         # signal counts come back to host; the (N, W) lines never do.
@@ -264,7 +291,7 @@ def compute_profiles_batched(
         raw_center_lines = jnp.concatenate([r[l] for l, s, g, i, r in sel])
         cnt = np.zeros(m, dtype=np.int64)
         for pos, stop, local, _s, _g, _i, _r, counts in pending:
-            cnt[pos:stop] = np.asarray(counts)[local]
+            cnt[pos:stop] = np.asarray(_counts_of(counts))[local]
         signal_counts = cnt
     else:
         for pos, stop, local, sob, grad, intens, rawc, counts in pending:
@@ -277,7 +304,69 @@ def compute_profiles_batched(
                 intensity_lines[pos:stop] = np.asarray(intens)[local]
             if need_raw:
                 raw_center_lines[pos:stop] = np.asarray(rawc)[local]
-            signal_counts[pos:stop] = np.asarray(counts)[local]
+            signal_counts[pos:stop] = np.asarray(_counts_of(counts))[local]
+
+    has_prior = np.ones(m, dtype=bool)
+    if m:
+        has_prior[0] = False
+    return FrameProfiles(
+        frame_indices=processed,
+        sobel_lines=sobel_lines,
+        gradient_lines=gradient_lines,
+        intensity_lines=intensity_lines,
+        raw_center_lines=raw_center_lines,
+        signal_counts=signal_counts,
+        has_prior=has_prior,
+        width=w,
+        total_pixels=h * w,
+    )
+
+
+def _compute_profiles_host_exact(
+    read_batch,
+    n_frames: int,
+    frame_shape: Tuple[int, int],
+    background_scalar: float,
+    config: FlameDetectorConfig,
+    skip_frames: Sequence[int] = (),
+) -> FrameProfiles:
+    """Float64 host map phase (kernels.reference): the exactness fallback
+    for geometries the band kernels cannot reproduce (even morphology
+    kernels with a folding band)."""
+    from ..kernels import reference as hostops
+
+    skip = set(int(s) for s in skip_frames)
+    processed = np.array(
+        [i for i in range(n_frames) if i not in skip], dtype=np.int64
+    )
+    m = processed.size
+    h, w = frame_shape
+    noise_threshold = max(NOISE_THRESHOLD_FLOOR, background_scalar * 0.5)
+    center = h // 2
+    k = config.morphology_kernel_size
+
+    sobel_lines = np.zeros((m, w), dtype=np.float32)
+    gradient_lines = np.zeros((m, w), dtype=np.float32)
+    intensity_lines = np.zeros((m, w), dtype=np.float32)
+    raw_center_lines = np.zeros((m, w), dtype=np.float32)
+    signal_counts = np.zeros(m, dtype=np.int64)
+
+    prior_sub = None
+    for j, frame_idx in enumerate(processed):
+        frame = read_batch(int(frame_idx), int(frame_idx) + 1)[0]
+        sub = hostops.subtract_scalar_background(frame, background_scalar)
+        signal_counts[j] = int(np.sum(sub > noise_threshold))
+        raw_center_lines[j] = sub[center]
+        if prior_sub is not None:
+            diff = hostops.subtract_prior_frame(
+                sub, prior_sub, config.frame_diff_threshold
+            )
+            opened = hostops.grey_opening(diff, (k, k))
+            blurred = hostops.gaussian_filter(opened, config.gaussian_sigma)
+            sobel_lines[j] = hostops.sobel(blurred, axis=1)[center]
+            gradient_lines[j] = hostops.gradient_x(blurred)[center]
+            intensity_lines[j] = blurred[center]
+        prior_sub = sub
 
     has_prior = np.ones(m, dtype=bool)
     if m:
@@ -345,7 +434,7 @@ def run_tracking_scan(
             sobel_line = None
             gradient_line = None
             intensity_line = None
-        if not use_frame_diff:
+        if not use_frame_diff and detection_method != "combined":
             # Named profile methods read the raw BG-subtracted centerline
             # (available from the very first frame; no motion isolation).
             intensity_line = np.asarray(
@@ -431,11 +520,10 @@ def run_tracking_scan_device(
     if m == 0:
         return TrackingOutput(rows=[], tracker=ScanHistory([], {}, None))
     empty = profiles.signal_counts / profiles.total_pixels < MIN_SIGNAL_FRACTION
-    has_prior = profiles.has_prior
-    if detection_method != "combined" and not use_frame_diff:
-        has_prior = _np.ones(m, dtype=bool)
-        intensity = profiles.raw_center_lines
-    else:
+    intensity, has_prior = profiles.select_intensity(
+        detection_method, use_frame_diff
+    )
+    if intensity is None:  # combined: intensity unused by the device kernel
         intensity = profiles.intensity_lines
     fraction = (
         config.threshold_fraction

@@ -281,3 +281,60 @@ def test_track_collection_device_sharded_over_mesh(tmp_path):
         assert a.break_reason == b.break_reason
         assert a.tracker.ddt_frame == b.tracker.ddt_frame
     coll.close_all()
+
+
+def test_device_gradient_exact_at_f64_ties():
+    """The device 'gradient' detector carries differences as exact
+    double-float pairs, so argmin ordering matches the host's float64
+    arithmetic even at exact ties (locally-linear blurred profiles)."""
+    import jax
+    import jax.numpy as jnp
+
+    from hsip_tpu.track.detectors import detect_gradient
+    from hsip_tpu.track.device_scan import _detect_window_gradient
+
+    rng = np.random.default_rng(3)
+    W = 64
+    cols = jnp.arange(W, dtype=jnp.int32)
+    fn = jax.jit(
+        lambda p, iw, s0, s1: _detect_window_gradient(
+            p, iw, cols, s0, s1, jnp.float32(10.0)
+        )
+    )
+    checked = 0
+    for t in range(400):
+        if t % 2 == 0:
+            slope = rng.uniform(-30, 5)
+            p = (rng.uniform(0, 50) + slope * np.arange(W)
+                 + rng.normal(0, 0.01, W)).astype(np.float32)
+        else:
+            p = rng.uniform(0, 100, W).astype(np.float32)
+        s0 = int(rng.integers(0, W - 2))
+        s1 = int(rng.integers(s0 + 2, W + 1))
+        iw = (np.arange(W) >= s0) & (np.arange(W) < s1)
+        d = int(fn(jnp.asarray(p), jnp.asarray(iw), jnp.int32(s0), jnp.int32(s1)))
+        h = detect_gradient(p.astype(np.float64), min_strength=10.0, bounds=(s0, s1))
+        assert d == (-1 if h is None else h), (t, s0, s1)
+        checked += 1
+    assert checked == 400
+
+
+def test_even_kernel_folding_band_falls_back_to_exact(tmp_path):
+    """Even morphology kernels with a folding band (short frames) must use
+    the float64 host ops — device band results equal the exact backend."""
+    frames, _ = synthesize_flame_video(
+        20, height=16, width=256,
+        flame=FlameSpec(x0=30, v0_px=8, ignition_frame=2, seed=11),
+    )
+    meta = write_recording(tmp_path, "ek-run-1", frames,
+                           spec=CihxSpec(width=256, height=16, total_frames=20,
+                                         record_rate=50_000))
+    cfg = VideoSourceConfig(name="EK", save_frame_images=False,
+                            save_stacked_sequences=False)
+    det = FlameDetectorConfig(morphology_kernel_size=4)
+    t = process_video_file(meta, cfg, det, backend="tpu", verbose=False,
+                           write_outputs=False)
+    e = process_video_file(meta, cfg, det, backend="exact", verbose=False,
+                           write_outputs=False)
+    assert [r[:3] for r in t.rows] == [r[:3] for r in e.rows]
+    assert t.break_reason == e.break_reason
