@@ -26,21 +26,27 @@ _FAILED = False
 
 
 def build_library(force: bool = False) -> Path:
-    """Compile the shared library (cached; thread-safe)."""
+    """Compile the shared library (cached; thread- and process-safe).
+
+    Builds into a per-PID temp file then atomically renames, so concurrent
+    processes (the multi-process runtime) never dlopen a half-written .so.
+    """
     with _BUILD_LOCK:
         if _LIB.exists() and not force:
             if _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
                 return _LIB
+        tmp = _LIB.with_suffix(f".{os.getpid()}.tmp.so")
         cmd = [
             "g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
-            str(_SRC), "-o", str(_LIB),
+            str(_SRC), "-o", str(tmp),
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
         except (subprocess.CalledProcessError, FileNotFoundError):
             # Retry without -march=native / OpenMP (portability fallbacks).
-            cmd = ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB)]
+            cmd = ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)]
             subprocess.run(cmd, check=True, capture_output=True, text=True)
+        os.replace(tmp, _LIB)
         return _LIB
 
 

@@ -200,7 +200,7 @@ def read_cih_header(filepath: PathLike) -> Dict[str, Any]:
             elif key in _CIH_FLOAT_KEYS:
                 try:
                     info[key] = float(_parse_shutter(value))
-                except ValueError:
+                except (ValueError, ZeroDivisionError):
                     info[key] = 0.0
             else:
                 info[key] = value

@@ -268,7 +268,7 @@ class MRAWReader:
         if self.bit_depth == 8:
             return np.array(packed).reshape(n, self.height, self.width)
         if self.bit_depth == 16:
-            flat = np.frombuffer(np.ascontiguousarray(packed).tobytes(), dtype="<u2")
+            flat = np.ascontiguousarray(packed).view("<u2")
             return flat.reshape(n, self.height, self.width).copy()
         flat = np.ascontiguousarray(packed).reshape(-1)
         if self.bit_depth == 10:

@@ -53,7 +53,8 @@ class CihxSpec:
     date: str = "2026/1/15"
     time: str = "12:00:00"
     device_name: str = "FASTCAM Synthetic"
-    color_bit: int = 12
+    # Stored word size ('Color Bit'); defaults to the container bit depth.
+    color_bit: Optional[int] = None
     effective_bit_side: str = "Lower"
     file_format: str = "MRaw"
     comment: str = ""
@@ -91,7 +92,7 @@ def _cihx_xml(spec: CihxSpec) -> bytes:
     </effectiveBit>
     <colorInfo>
       <type>Mono</type>
-      <bit>{spec.color_bit}</bit>
+      <bit>{spec.color_bit if spec.color_bit is not None else spec.bit_depth}</bit>
     </colorInfo>
   </imageDataInfo>
   <deviceInfo>
@@ -110,7 +111,7 @@ def write_cihx(path: PathLike, spec: CihxSpec, preamble_bytes: int = 64) -> Path
     parsers must locate the XML by scanning, not by fixed offset.
     """
     path = Path(path)
-    preamble = b"CIHX" + bytes(range(preamble_bytes - 4))
+    preamble = b"CIHX" + bytes(i % 256 for i in range(preamble_bytes - 4))
     with open(path, "wb") as f:
         f.write(preamble)
         f.write(_cihx_xml(spec))
@@ -135,7 +136,7 @@ def write_cih(path: PathLike, spec: CihxSpec) -> Path:
         f"File Format : {spec.file_format}",
         f"EffectiveBit Depth : {spec.bit_depth}",
         f"EffectiveBit Side : {spec.effective_bit_side}",
-        f"Color Bit : {spec.color_bit}",
+        f"Color Bit : {spec.color_bit if spec.color_bit is not None else spec.bit_depth}",
         f"Comment Text : {spec.comment}",
         "END",
     ]

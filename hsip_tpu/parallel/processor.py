@@ -34,11 +34,16 @@ __all__ = ["TPUVideoProcessor", "initialize_distributed"]
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Initialize the JAX multi-process runtime (idempotent convenience)."""
+    """Initialize the JAX multi-process runtime (idempotent convenience).
+
+    Re-raises real initialization failures — silently degrading to serial
+    rank-0 would make every host process all videos and overwrite shared
+    outputs."""
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        if "already initialized" not in str(e).lower():
+            raise
 
 
 class TPUVideoProcessor:

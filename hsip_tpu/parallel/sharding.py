@@ -50,7 +50,8 @@ def make_sharded_profile_fn(
     """Build a jitted sharded profile function for fixed geometry.
 
     Returns ``fn(frames, background, frame_diff_threshold, noise_threshold)
-    -> (sobel (N, W), gradient (N, W), counts (N,))`` where ``frames`` is
+    -> (sobel (N, W), gradient (N, W), intensity (N, W), raw_center (N, W),
+    counts (N,))`` where ``frames`` is
     (N, H, W) with N divisible by the mesh's frame-axis size. Frame i's
     differencing prior is frame i-1 globally (the serial chain); the global
     frame 0 gets zero profiles (no prior), matching the serial first frame.
@@ -128,7 +129,7 @@ def sharded_centerline_profiles(
     morphology_kernel_size: int = 3,
     gaussian_sigma: float = 1.5,
     axis_name: str = "frame",
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """One-shot sharded profile computation (pads N to the shard count).
 
     Convenience wrapper over :func:`make_sharded_profile_fn`; production

@@ -439,13 +439,16 @@ def process_video_source(
         my_indices = set(processor.distribute_indices(len(cihx_files)))
         cihx_files = [f for i, f in enumerate(cihx_files) if i in my_indices]
 
+    rank = processor.rank if processor is not None else 0
     checkpoint = None
     summary = None
     if config.output_dir:
         cfg_hash = hashlib.sha256(
             repr((config, detector_config, backend)).encode()
         ).hexdigest()[:16]
-        checkpoint = BatchCheckpoint(config.output_dir, run_config_hash=cfg_hash)
+        checkpoint = BatchCheckpoint(
+            config.output_dir, run_config_hash=cfg_hash, rank=rank
+        )
         if not resume:
             checkpoint.clear()
         summary = RunSummary(
@@ -483,7 +486,7 @@ def process_video_source(
                 cihx_file.name, output, cal, off, wall, n_frames
             )
     if summary is not None and config.output_dir:
-        summary.write(config.output_dir)
+        summary.write(config.output_dir, rank=rank)
     if processor is not None:
         processor.barrier()
     return outputs

@@ -28,12 +28,26 @@ __all__ = ["BatchCheckpoint"]
 
 
 class BatchCheckpoint:
-    """JSON ledger of completed recordings for one output directory."""
+    """JSON ledger of completed recordings for one output directory.
+
+    Multi-process runs pass their ``rank``: each process owns its own ledger
+    file (no lost updates from concurrent whole-file rewrites), and
+    :meth:`is_done` consults ALL ranks' ledgers.
+    """
 
     FILENAME = "hsip-checkpoint.json"
 
-    def __init__(self, output_dir, run_config_hash: Optional[str] = None):
-        self.path = Path(output_dir) / self.FILENAME
+    def __init__(
+        self,
+        output_dir,
+        run_config_hash: Optional[str] = None,
+        rank: int = 0,
+    ):
+        self.directory = Path(output_dir)
+        name = (
+            self.FILENAME if rank == 0 else f"hsip-checkpoint.rank{rank}.json"
+        )
+        self.path = self.directory / name
         self.run_config_hash = run_config_hash
         self._state: Dict[str, Any] = {"config_hash": run_config_hash, "done": {}}
         if self.path.exists():
@@ -50,7 +64,22 @@ class BatchCheckpoint:
                 pass  # corrupt ledger: start fresh
 
     def is_done(self, name: str) -> bool:
-        return name in self._state["done"]
+        if name in self._state["done"]:
+            return True
+        # Other ranks' ledgers (same config hash) also count as done.
+        for other in self.directory.glob("hsip-checkpoint*.json"):
+            if other == self.path:
+                continue
+            try:
+                loaded = json.loads(other.read_text())
+            except (json.JSONDecodeError, OSError):
+                continue
+            if (
+                self.run_config_hash is None
+                or loaded.get("config_hash") == self.run_config_hash
+            ) and name in loaded.get("done", {}):
+                return True
+        return False
 
     def mark_done(self, name: str, **info) -> None:
         self._state["done"][name] = {"ts": time.time(), **info}

@@ -64,9 +64,14 @@ class RunSummary:
             "total_wall_s": round(time.time() - self._t0, 3),
         }
 
-    def write(self, output_dir) -> Path:
-        """Write ``run-summary.json`` into the output directory."""
-        path = Path(output_dir) / "run-summary.json"
+    def write(self, output_dir, rank: int = 0) -> Path:
+        """Write the summary JSON into the output directory.
+
+        Rank 0 writes ``run-summary.json``; other processes write
+        ``run-summary.rank{N}.json`` so concurrent ranks never clobber
+        each other's file."""
+        name = "run-summary.json" if rank == 0 else f"run-summary.rank{rank}.json"
+        path = Path(output_dir) / name
         path.parent.mkdir(parents=True, exist_ok=True)
         path.write_text(json.dumps(self.as_dict(), indent=2, default=str) + "\n")
         return path

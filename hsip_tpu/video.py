@@ -166,7 +166,14 @@ class PhotonVideo:
 
         width = int(self._raw_info.get("Image Width", 0))
         height = int(self._raw_info.get("Image Height", 0))
-        bit_depth = int(self._raw_info.get("EffectiveBit Depth", 16))
+        # STORAGE bit depth selects the container decoder ('Color Bit', the
+        # field Photron uses for the stored word size); 'EffectiveBit Depth'
+        # is the sensor's effective precision and may be smaller (e.g. 12
+        # effective bits stored in 16-bit words).
+        bit_depth = int(
+            self._raw_info.get("Color Bit")
+            or self._raw_info.get("EffectiveBit Depth", 16)
+        )
         if width <= 0 or height <= 0:
             raise ValueError(f"Invalid image geometry in header of {filepath}")
 
@@ -358,7 +365,8 @@ class PhotonVideo:
         >>> frame = video[0]; last = video[-1]; every10 = video[::10]
         """
         reader = self._require_reader()
-        if isinstance(key, int):
+        if isinstance(key, (int, np.integer)):
+            key = int(key)
             if key < 0:
                 key = self._len + key
             if not 0 <= key < self._len:
@@ -387,7 +395,7 @@ class PhotonVideo:
             and reader.bit_depth == 12
             and reader.row_nbytes is not None
             and reader._native is not None
-        )
+        )  # storage depth: 12-bit packed containers only
 
     def band_bytes(self, start: int, stop: int, rows: np.ndarray) -> np.ndarray:
         """Packed bytes of selected rows for frames [start, stop) — the

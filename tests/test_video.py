@@ -215,3 +215,25 @@ def test_frame_bytes_accessor(flame_recording):
         raw = video.frame_bytes(0, 2)
         assert raw.dtype == np.uint8
         assert raw.shape == (2, 384 * 64 * 3 // 2)
+
+
+def test_mixed_storage_and_effective_bit_depth(tmp_path):
+    """'Color Bit' (stored word size) selects the decoder; 'EffectiveBit
+    Depth' only describes sensor precision. 12 effective bits stored in
+    16-bit words must decode as uint16 (a common Photron export)."""
+    from hsip_tpu.io import CihxSpec, synthesize_flame_video, write_recording
+
+    frames, _ = synthesize_flame_video(6, height=32, width=128)
+    spec = CihxSpec(width=128, height=32, total_frames=6, record_rate=10_000,
+                    bit_depth=12, color_bit=16)
+    # Payload written at the STORAGE depth (16-bit words).
+    (tmp_path / "mx.mraw").write_bytes(frames.astype("<u2").tobytes())
+    from hsip_tpu.io import write_cihx
+
+    meta = write_cihx(tmp_path / "mx.cihx", spec)
+    with PhotonVideo(str(meta)) as video:
+        np.testing.assert_array_equal(video[0], frames[0])
+        assert len(video) == 6
+        assert video.bit_depth == 12  # effective precision still reported
+        # float64 view normalizes by the EFFECTIVE depth.
+        assert video.to_float64()[0].max() <= 1.0
