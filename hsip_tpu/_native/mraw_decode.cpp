@@ -120,6 +120,33 @@ void count_above12(const uint8_t* __restrict src, int64_t n_frames,
     }
 }
 
+// 10-bit variant of the fused count (5 bytes -> 4 px).
+void count_above10(const uint8_t* __restrict src, int64_t n_frames,
+                   int64_t frame_nbytes, float background, float threshold,
+                   int32_t* __restrict counts) {
+    const int64_t quads_per_frame = frame_nbytes / 5;
+#pragma omp parallel for schedule(static)
+    for (int64_t f = 0; f < n_frames; ++f) {
+        const uint8_t* s = src + f * frame_nbytes;
+        int32_t c = 0;
+        for (int64_t i = 0; i < quads_per_frame; ++i) {
+            const uint8_t* b = s + 5 * i;
+            uint16_t p[4] = {
+                (uint16_t)((b[0] << 2) | (b[1] >> 6)),
+                (uint16_t)(((b[1] & 0x3F) << 4) | (b[2] >> 4)),
+                (uint16_t)(((b[2] & 0x0F) << 6) | (b[3] >> 2)),
+                (uint16_t)(((b[3] & 0x03) << 8) | b[4]),
+            };
+            for (int j = 0; j < 4; ++j) {
+                float v = (float)p[j] - background;
+                if (v < 0.0f) v = 0.0f;
+                c += (v > threshold);
+            }
+        }
+        counts[f] = c;
+    }
+}
+
 int native_num_threads() {
 #ifdef _OPENMP
     return omp_get_max_threads();

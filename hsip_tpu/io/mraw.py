@@ -254,11 +254,16 @@ class MRAWReader:
         self, start: int, stop: int, background: float, threshold: float
     ) -> Optional[np.ndarray]:
         """Per-frame above-noise pixel counts straight from packed bytes
-        (native 12-bit fast path; None when unavailable)."""
-        if self.bit_depth != 12 or self._native is None:
+        (native 12/10-bit fast paths; None when unavailable)."""
+        if self._native is None or self.bit_depth not in (10, 12):
             return None
         self._check_open()
-        return self._native.count_above_12bit(
+        counter = (
+            self._native.count_above_12bit
+            if self.bit_depth == 12
+            else self._native.count_above_10bit
+        )
+        return counter(
             self._mmap[start:stop], self._frame_nbytes, background, threshold
         )
 

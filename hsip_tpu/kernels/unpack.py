@@ -71,7 +71,9 @@ def _unpack_rows_12bit(packed: jnp.ndarray, rows: jnp.ndarray, height: int,
 
 @partial(
     jax.jit,
-    static_argnames=("morphology_kernel_size", "gaussian_sigma", "use_pallas"),
+    static_argnames=(
+        "morphology_kernel_size", "gaussian_sigma", "use_pallas", "bit_depth",
+    ),
 )
 def packed_band_profiles(
     band_bytes: jnp.ndarray,
@@ -81,6 +83,7 @@ def packed_band_profiles(
     morphology_kernel_size: int = 3,
     gaussian_sigma: float = 1.5,
     use_pallas: bool = False,
+    bit_depth: int = 12,
 ):
     """Packed BAND bytes (N, B, row_nbytes) → centerline profiles.
 
@@ -89,7 +92,8 @@ def packed_band_profiles(
     (C++ fused pass); the device decodes the band and runs the fused chain.
     Returns (sobel, gradient, intensity, raw_center) — all (N, W) f32.
     """
-    band_pixels = unpack_12bit_device(
+    unpack = unpack_12bit_device if bit_depth == 12 else unpack_10bit_device
+    band_pixels = unpack(
         band_bytes.reshape(band_bytes.shape[0], band_bytes.shape[1], -1),
         out_dtype=jnp.float32,
     )  # (N, B, W)

@@ -117,7 +117,8 @@ def track_collection_device(
     profiles: List[FrameProfiles] = []
     for video in videos:
         bg = float(np.max(video[0]))
-        read_packed = video.frame_bytes if video.bit_depth == 12 else None
+        storage_depth = video._require_reader().bit_depth
+        read_packed = video.frame_bytes if storage_depth == 12 else None
         read_band = count_fn = None
         if getattr(video, "supports_packed_band", False):
             read_band = video.band_bytes
@@ -137,6 +138,7 @@ def track_collection_device(
                 read_packed=read_packed,
                 read_band=read_band,
                 count_fn=count_fn,
+                band_bit_depth=storage_depth,
                 keep_device=True,
             )
         )

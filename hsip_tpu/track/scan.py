@@ -106,6 +106,7 @@ def compute_profiles_batched(
     use_pallas: Optional[bool] = None,
     read_band: Optional[Callable] = None,
     count_fn: Optional[Callable] = None,
+    band_bit_depth: int = 12,
     keep_device: bool = False,
     need_intensity: bool = True,
     need_raw: bool = True,
@@ -128,6 +129,7 @@ def compute_profiles_batched(
             BAND bytes. With ``count_fn`` (native empty-frame counts on
             host), only the centerline band ever crosses to the device —
             the minimal-transfer path (~15%% of the payload at H=128).
+            10- and 12-bit packed containers supported (``band_bit_depth``).
         count_fn: callable (start, stop, background, threshold) -> (n,) int
             above-noise pixel counts computed host-side (C++ fused pass).
 
@@ -234,6 +236,7 @@ def compute_profiles_batched(
                 morphology_kernel_size=config.morphology_kernel_size,
                 gaussian_sigma=config.gaussian_sigma,
                 use_pallas=use_pallas,
+                bit_depth=band_bit_depth,
             )
             del dev, host
             # counts is a Future: resolved in the drain loop so chunk i's
@@ -625,7 +628,8 @@ def track_video(
 
     # 12-bit recordings decode on-device from raw packed bytes; with the
     # native codec, only band rows ship (counts computed host-side).
-    read_packed = video.frame_bytes if video.bit_depth == 12 else None
+    storage_depth = video._require_reader().bit_depth
+    read_packed = video.frame_bytes if storage_depth == 12 else None
     read_band = count_fn = None
     if getattr(video, "supports_packed_band", False):
         read_band = video.band_bytes
@@ -645,6 +649,7 @@ def track_video(
         read_packed=read_packed,
         read_band=read_band,
         count_fn=count_fn,
+        band_bit_depth=storage_depth,
         keep_device=scan == "device",
         need_intensity=detection_method != "combined" and use_frame_diff,
         need_raw=detection_method != "combined" and not use_frame_diff,

@@ -392,10 +392,10 @@ class PhotonVideo:
         reader = self._reader
         return (
             reader is not None
-            and reader.bit_depth == 12
+            and reader.bit_depth in (10, 12)
             and reader.row_nbytes is not None
             and reader._native is not None
-        )  # storage depth: 12-bit packed containers only
+        )  # packed 10/12-bit containers
 
     def band_bytes(self, start: int, stop: int, rows: np.ndarray) -> np.ndarray:
         """Packed bytes of selected rows for frames [start, stop) — the

@@ -236,3 +236,35 @@ def test_device_backend_matches_tpu_backend(recording, tmp_path):
     assert [r[:4] for r in out_dev.rows] == [r[:4] for r in out_tpu.rows]
     assert out_dev.break_reason == out_tpu.break_reason
     assert out_dev.tracker.ddt_frame == out_tpu.tracker.ddt_frame
+
+
+def test_ten_bit_band_path_matches_exact(tmp_path):
+    """10-bit packed recordings use the same minimal-transfer band path as
+    12-bit (device unpack + C++ host counts) and must match the exact
+    float64 backend."""
+    from hsip_tpu import open_video
+
+    frames, _ = synthesize_flame_video(
+        30, height=48, width=384,
+        flame=FlameSpec(x0=30, v0_px=8, ignition_frame=2,
+                        flame_level=900, background_level=20, seed=4),
+    )
+    frames = np.clip(frames, 0, 1023)
+    meta = write_recording(
+        tmp_path, "ten-run-1-a", frames,
+        spec=CihxSpec(width=384, height=48, total_frames=30,
+                      record_rate=50_000, bit_depth=10),
+    )
+    with open_video(str(meta)) as v:
+        # Band path availability depends on the native codec being built.
+        if not v.supports_packed_band:
+            pytest.skip("native codec unavailable")
+    cfg = VideoSourceConfig(name="T", save_frame_images=False,
+                            save_stacked_sequences=False)
+    t = process_video_file(meta, cfg, backend="tpu", verbose=False,
+                           write_outputs=False)
+    e = process_video_file(meta, cfg, backend="exact", verbose=False,
+                           write_outputs=False)
+    assert len(t.rows) > 10
+    assert [r[:3] for r in t.rows] == [r[:3] for r in e.rows]
+    assert t.break_reason == e.break_reason
