@@ -73,6 +73,10 @@ class NativeDecoder:
             u8p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_float, ctypes.c_float, i32p,
         ]
+        lib.count_above16.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_float, ctypes.c_float, i32p,
+        ]
         lib.native_num_threads.restype = ctypes.c_int
         self._lib = lib
 
@@ -150,6 +154,25 @@ class NativeDecoder:
         n_frames = packed.size // frame_nbytes
         counts = np.empty(n_frames, dtype=np.int32)
         self._lib.count_above10(
+            packed, n_frames, frame_nbytes,
+            float(background), float(threshold), counts,
+        )
+        return counts
+
+    def count_above_16bit(
+        self,
+        packed: np.ndarray,
+        frame_nbytes: int,
+        background: float,
+        threshold: float,
+    ) -> np.ndarray:
+        """16-bit little-endian variant of :meth:`count_above_12bit`."""
+        packed = np.ascontiguousarray(packed, dtype=np.uint8).reshape(-1)
+        if frame_nbytes % 2 or packed.size % frame_nbytes:
+            raise ValueError("packed size must be whole 16-bit frames")
+        n_frames = packed.size // frame_nbytes
+        counts = np.empty(n_frames, dtype=np.int32)
+        self._lib.count_above16(
             packed, n_frames, frame_nbytes,
             float(background), float(threshold), counts,
         )

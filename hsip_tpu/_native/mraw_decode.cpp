@@ -147,6 +147,25 @@ void count_above10(const uint8_t* __restrict src, int64_t n_frames,
     }
 }
 
+// 16-bit little-endian variant of the fused count.
+void count_above16(const uint8_t* __restrict src, int64_t n_frames,
+                   int64_t frame_nbytes, float background, float threshold,
+                   int32_t* __restrict counts) {
+    const int64_t px_per_frame = frame_nbytes / 2;
+#pragma omp parallel for schedule(static)
+    for (int64_t f = 0; f < n_frames; ++f) {
+        const uint8_t* s = src + f * frame_nbytes;
+        int32_t c = 0;
+        for (int64_t i = 0; i < px_per_frame; ++i) {
+            uint16_t p = (uint16_t)(s[2 * i] | (s[2 * i + 1] << 8));
+            float v = (float)p - background;
+            if (v < 0.0f) v = 0.0f;
+            c += (v > threshold);
+        }
+        counts[f] = c;
+    }
+}
+
 int native_num_threads() {
 #ifdef _OPENMP
     return omp_get_max_threads();

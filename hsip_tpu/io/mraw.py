@@ -182,7 +182,7 @@ class MRAWReader:
         )
 
         self._native = None
-        if use_native and self.bit_depth in (10, 12):
+        if use_native and self.bit_depth in (10, 12, 16):
             try:
                 from hsip_tpu._native import native_decoder
 
@@ -255,14 +255,14 @@ class MRAWReader:
     ) -> Optional[np.ndarray]:
         """Per-frame above-noise pixel counts straight from packed bytes
         (native 12/10-bit fast paths; None when unavailable)."""
-        if self._native is None or self.bit_depth not in (10, 12):
+        if self._native is None or self.bit_depth not in (10, 12, 16):
             return None
         self._check_open()
-        counter = (
-            self._native.count_above_12bit
-            if self.bit_depth == 12
-            else self._native.count_above_10bit
-        )
+        counter = {
+            10: self._native.count_above_10bit,
+            12: self._native.count_above_12bit,
+            16: self._native.count_above_16bit,
+        }[self.bit_depth]
         return counter(
             self._mmap[start:stop], self._frame_nbytes, background, threshold
         )

@@ -29,6 +29,7 @@ from .preprocess import (
 __all__ = [
     "unpack_12bit_device",
     "unpack_10bit_device",
+    "unpack_16bit_device",
     "packed_centerline_profiles",
     "packed_band_profiles",
 ]
@@ -41,6 +42,13 @@ def unpack_12bit_device(packed: jnp.ndarray, out_dtype=jnp.uint16) -> jnp.ndarra
     p1 = ((b[..., 1] & 0x0F) << 8) | b[..., 2]
     out = jnp.stack([p0, p1], axis=-1)
     return out.reshape(*packed.shape[:-1], -1).astype(out_dtype)
+
+
+def unpack_16bit_device(packed: jnp.ndarray, out_dtype=jnp.uint16) -> jnp.ndarray:
+    """Decode little-endian 16-bit bytes (..., 2k) → pixels (..., k)."""
+    b = packed.reshape(*packed.shape[:-1], -1, 2).astype(jnp.int32)
+    out = b[..., 0] | (b[..., 1] << 8)
+    return out.astype(out_dtype)
 
 
 def unpack_10bit_device(packed: jnp.ndarray, out_dtype=jnp.uint16) -> jnp.ndarray:
@@ -92,7 +100,11 @@ def packed_band_profiles(
     (C++ fused pass); the device decodes the band and runs the fused chain.
     Returns (sobel, gradient, intensity, raw_center) — all (N, W) f32.
     """
-    unpack = unpack_12bit_device if bit_depth == 12 else unpack_10bit_device
+    unpack = {
+        10: unpack_10bit_device,
+        12: unpack_12bit_device,
+        16: unpack_16bit_device,
+    }[bit_depth]
     band_pixels = unpack(
         band_bytes.reshape(band_bytes.shape[0], band_bytes.shape[1], -1),
         out_dtype=jnp.float32,

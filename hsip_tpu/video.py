@@ -392,10 +392,10 @@ class PhotonVideo:
         reader = self._reader
         return (
             reader is not None
-            and reader.bit_depth in (10, 12)
+            and reader.bit_depth in (10, 12, 16)
             and reader.row_nbytes is not None
             and reader._native is not None
-        )  # packed 10/12-bit containers
+        )  # packed 10/12-bit and raw 16-bit containers
 
     def band_bytes(self, start: int, stop: int, rows: np.ndarray) -> np.ndarray:
         """Packed bytes of selected rows for frames [start, stop) — the

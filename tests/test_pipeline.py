@@ -268,3 +268,30 @@ def test_ten_bit_band_path_matches_exact(tmp_path):
     assert len(t.rows) > 10
     assert [r[:3] for r in t.rows] == [r[:3] for r in e.rows]
     assert t.break_reason == e.break_reason
+
+
+def test_sixteen_bit_band_path_matches_exact(tmp_path):
+    """16-bit containers also ride the minimal-transfer band path."""
+    from hsip_tpu import open_video
+
+    frames, _ = synthesize_flame_video(
+        30, height=48, width=384,
+        flame=FlameSpec(x0=30, v0_px=8, ignition_frame=2, seed=6),
+    )
+    meta = write_recording(
+        tmp_path, "sixteen-run-1-a", frames,
+        spec=CihxSpec(width=384, height=48, total_frames=30,
+                      record_rate=50_000, bit_depth=16),
+    )
+    with open_video(str(meta)) as v:
+        if not v.supports_packed_band:
+            pytest.skip("native codec unavailable")
+        assert v.count_above(0, 3, 100.0, 50.0) is not None
+    cfg = VideoSourceConfig(name="S", save_frame_images=False,
+                            save_stacked_sequences=False)
+    t = process_video_file(meta, cfg, backend="tpu", verbose=False,
+                           write_outputs=False)
+    e = process_video_file(meta, cfg, backend="exact", verbose=False,
+                           write_outputs=False)
+    assert len(t.rows) > 10
+    assert [r[:3] for r in t.rows] == [r[:3] for r in e.rows]
