@@ -55,7 +55,15 @@ def _load_config_file(path: Path) -> Dict[str, Any]:
     raise ValueError(f"Unsupported config format: {path.suffix} (use .toml or .json)")
 
 
+_SOURCE_KEYS = {
+    f.name for f in dataclasses.fields(VideoSourceConfig) if not f.name.startswith("_")
+} | {"video_path", "output_dir", "file_calibration", "file_calibrations"}
+
+
 def _source_from_dict(d: Dict[str, Any], base_path: Optional[str]) -> VideoSourceConfig:
+    unknown = set(d) - _SOURCE_KEYS
+    if unknown:
+        raise ValueError(f"Unknown source config keys: {sorted(unknown)}")
     style = d.get("figure_style", "full")
     if style not in ("full", "compact"):
         raise ValueError(
@@ -123,10 +131,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--output-dir", help="output directory")
     parser.add_argument("--name", default="source", help="source name")
     parser.add_argument(
-        "--calibration", type=float, default=1.0, help="default m/pixel"
+        "--calibration", type=float, default=None,
+        help="default m/pixel (overrides config-file sources when given)",
     )
     parser.add_argument(
-        "--position-offset", type=float, default=0.0, help="default offset (m)"
+        "--position-offset", type=float, default=None,
+        help="default offset in m (overrides config-file sources when given)",
     )
     parser.add_argument("--trigger-frame", type=int, default=None)
     parser.add_argument(
@@ -182,8 +192,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         cfg = VideoSourceConfig(
             name=args.name,
             enabled=True,
-            calibration=args.calibration,
-            position_offset=args.position_offset,
+            calibration=args.calibration if args.calibration is not None else 1.0,
+            position_offset=args.position_offset or 0.0,
             trigger_frame=args.trigger_frame,
             use_absolute_time=not args.relative_time,
         )
@@ -196,12 +206,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         return 2
 
     for cfg in sources:
+        # Explicit flags override config-file sources too.
         if args.no_images:
             cfg.save_frame_images = False
         if args.no_sequences:
             cfg.save_stacked_sequences = False
         if args.figure_style:
             cfg.figure_style = args.figure_style
+        if args.calibration is not None:
+            cfg.calibration = args.calibration
+        if args.position_offset is not None:
+            cfg.position_offset = args.position_offset
+        if args.trigger_frame is not None:
+            cfg.trigger_frame = args.trigger_frame
+        if args.relative_time:
+            cfg.use_absolute_time = False
 
     processor = None
     if args.distributed:

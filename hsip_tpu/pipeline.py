@@ -19,6 +19,9 @@ import numpy as np
 
 from . import open_video
 from .track.config import FlameDetectorConfig, VideoSourceConfig
+from .utils.logging import get_logger
+
+_log = get_logger("pipeline")
 from .track.scan import TrackingOutput, track_video
 from .track.tracker import FlameDetector
 from .video import SpatialCalibration
@@ -371,14 +374,12 @@ def _track_video_exact(
             break_frame, break_reason = frame_idx, "exit"
             break
 
-        vel_history = detector.get_velocity_history()
-        if velocity is not None and len(vel_history) >= 2:
-            prev_v1 = vel_history[-2][1]
-            if prev_v1 is not None and prev_v1 > 100:
-                if (prev_v1 - velocity) / prev_v1 > 0.5:
-                    detector.clear_last_central_difference()
-                    break_frame, break_reason = frame_idx, "velocity_drop"
-                    break
+        prev_v1, _latest = detector.tracker.last_two_v1()
+        if velocity is not None and prev_v1 is not None and prev_v1 > 100:
+            if (prev_v1 - velocity) / prev_v1 > 0.5:
+                detector.clear_last_central_difference()
+                break_frame, break_reason = frame_idx, "velocity_drop"
+                break
 
         if flame_position is not None:
             pos_m = flame_position * calibration + position_offset
@@ -391,6 +392,7 @@ def _track_video_exact(
         empty_frame_count=empty_count,
         break_frame=break_frame,
         break_reason=break_reason,
+        total_frames=len(video),
     )
 
 
@@ -451,6 +453,9 @@ def process_video_source(
         )
         if not resume:
             checkpoint.clear()
+        if processor is not None:
+            # All ranks finish ledger setup before anyone marks progress.
+            processor.barrier()
         summary = RunSummary(
             config.name,
             config_echo={"source": config, "detector": detector_config,
@@ -472,18 +477,18 @@ def process_video_source(
             verbose=verbose and is_root,
         )
         wall = _time.perf_counter() - t0
+        _log.debug(
+            "processed %s: rows=%d empty=%d break=%s wall=%.3fs",
+            cihx_file.name, len(output.rows), output.empty_frame_count,
+            output.break_reason, wall,
+        )
         outputs.append(output)
         if checkpoint is not None:
             checkpoint.mark_done(cihx_file.name, rows=len(output.rows))
         if summary is not None:
             cal, off = config.get_calibration_for_file(cihx_file.name)
-            n_frames = (
-                len(output.rows) + output.empty_frame_count
-                if output.rows
-                else output.empty_frame_count
-            )
             summary.add_file(
-                cihx_file.name, output, cal, off, wall, n_frames
+                cihx_file.name, output, cal, off, wall, output.total_frames
             )
     if summary is not None and config.output_dir:
         summary.write(config.output_dir, rank=rank)

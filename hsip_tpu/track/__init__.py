@@ -3,6 +3,10 @@
 Parity target: the analysis layer of reference ``scripts/process_videos.py``
 (FlameDetector & friends), promoted into the library proper and split at the
 map/scan seam for TPU execution.
+
+The jax-heavy submodules (scan, device_scan, batch) load lazily so that
+metadata/config/visualization consumers — including the spawned figure-render
+workers — never pay (or contend on) JAX initialization.
 """
 
 from .config import (
@@ -18,10 +22,30 @@ from .detectors import (
     detect_profile,
     detect_threshold,
 )
-from .batch import ScanHistory, track_collection_device
-from .device_scan import DeviceScanResult, device_tracking_scan, velocities_from_positions
 from .spline import SmoothingSpline, fit_smoothing_spline
 from .tracker import FlameDetector, FlameTracker
+from .velocity import (
+    ddt_frame_from_velocities,
+    velocities_from_positions,
+    velocity_entries_from_positions,
+)
+
+_LAZY = {
+    "track_collection_device": ("batch", "track_collection_device"),
+    "ScanHistory": ("batch", "ScanHistory"),
+    "device_tracking_scan": ("device_scan", "device_tracking_scan"),
+    "DeviceScanResult": ("device_scan", "DeviceScanResult"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(f".{module}", __name__), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 
 __all__ = [
     "FileCalibration",
@@ -41,5 +65,7 @@ __all__ = [
     "ScanHistory",
     "device_tracking_scan",
     "velocities_from_positions",
+    "velocity_entries_from_positions",
+    "ddt_frame_from_velocities",
     "DeviceScanResult",
 ]

@@ -30,6 +30,12 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from .velocity import (  # noqa: F401 — re-exported for back-compat
+    ddt_frame_from_velocities,
+    velocities_from_positions,
+    velocity_entries_from_positions,
+)
+
 __all__ = [
     "device_tracking_scan",
     "velocities_from_positions",
@@ -393,57 +399,3 @@ def device_tracking_scan(
     )
 
 
-def velocity_entries_from_positions(entries, frame_rate: float, calibration: float):
-    """Exact float64 velocity reconstruction from integer positions.
-
-    ``entries`` is the ordered history [(frame_idx, pos_or_None), ...] of
-    every tracker step that ran. Returns the ordered velocity-entry list
-    [[frame, v1, v2, vc], ...] — identical to
-    :meth:`FlameTracker.get_velocity_history`, including the
-    central-difference retro-fill.
-    """
-    vel = []  # [frame, v1, v2, vc]
-    for i in range(len(entries)):
-        frame, pos = entries[i]
-        if pos is None or i < 1:
-            continue
-        prev_frame, prev_pos = entries[i - 1]
-        if prev_pos is None or frame_rate <= 0:
-            continue
-        dt = (frame - prev_frame) / frame_rate
-        if dt <= 0:
-            continue
-        v1 = (pos - prev_pos) * calibration / dt
-        v2 = vc = None
-        if i >= 2:
-            _, p2 = entries[i - 2]
-            if p2 is not None:
-                v2 = (3 * pos - 4 * prev_pos + p2) * calibration / (2 * dt)
-                vc = (pos - p2) * calibration / (2 * dt)
-                if vel:
-                    vel[-1][3] = vc
-        vel.append([frame, v1, v2, None])
-    return vel
-
-
-def ddt_frame_from_velocities(vel_entries, jump_threshold: float):
-    """First frame whose v1 jumps above the DDT threshold, or None."""
-    for i in range(1, len(vel_entries)):
-        if vel_entries[i][1] - vel_entries[i - 1][1] > jump_threshold:
-            return vel_entries[i][0]
-    return None
-
-
-def velocities_from_positions(
-    entries,
-    frame_rate: float,
-    calibration: float,
-    clear_vc_entry: int = -1,
-):
-    """Dict form of :func:`velocity_entries_from_positions`: {frame:
-    (v1, v2, vc)}, with the ``clear_vc_entry`` ordinal's central difference
-    invalidated (the truncation-time ``clear_last_central_difference``)."""
-    vel = velocity_entries_from_positions(entries, frame_rate, calibration)
-    if 0 <= clear_vc_entry < len(vel):
-        vel[clear_vc_entry][3] = None
-    return {e[0]: (e[1], e[2], e[3]) for e in vel}

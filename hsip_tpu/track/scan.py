@@ -81,6 +81,7 @@ class TrackingOutput:
     empty_frame_count: int = 0
     break_frame: Optional[int] = None
     break_reason: Optional[str] = None   # 'exit' | 'velocity_drop' | None
+    total_frames: int = 0                # frames in the recording
 
     def merged_rows(self) -> List[Tuple]:
         """Rows with velocities merged from the final tracker history:
@@ -471,14 +472,12 @@ def run_tracking_scan(
             break
 
         # Sudden >50% velocity drop (edge artifact short of the margin).
-        vel_history = tracker.get_velocity_history()
-        if velocity is not None and len(vel_history) >= 2:
-            prev_v1 = vel_history[-2][1]
-            if prev_v1 is not None and prev_v1 > 100:
-                if (prev_v1 - velocity) / prev_v1 > 0.5:
-                    tracker.clear_last_central_difference()
-                    break_frame, break_reason = frame_idx, "velocity_drop"
-                    break
+        prev_v1, _latest = tracker.last_two_v1()
+        if velocity is not None and prev_v1 is not None and prev_v1 > 100:
+            if (prev_v1 - velocity) / prev_v1 > 0.5:
+                tracker.clear_last_central_difference()
+                break_frame, break_reason = frame_idx, "velocity_drop"
+                break
 
         if flame_position is not None:
             pos_m = flame_position * calibration_m_per_px + position_offset_m
@@ -658,7 +657,7 @@ def track_video(
     if scan == "device":
         if on_result is not None:
             raise ValueError("viz hooks require scan='host'")
-        return run_tracking_scan_device(
+        out = run_tracking_scan_device(
             profiles,
             config,
             frame_rate=video.frame_rate,
@@ -668,7 +667,9 @@ def track_video(
             detection_method=detection_method,
             use_frame_diff=use_frame_diff,
         )
-    return run_tracking_scan(
+        out.total_frames = len(video)
+        return out
+    out = run_tracking_scan(
         profiles,
         config,
         frame_rate=video.frame_rate,
@@ -679,3 +680,5 @@ def track_video(
         detection_method=detection_method,
         use_frame_diff=use_frame_diff,
     )
+    out.total_frames = len(video)
+    return out

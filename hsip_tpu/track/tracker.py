@@ -355,6 +355,16 @@ class FlameTracker:
         """Full velocity history as (frame, v1, v2, vc) tuples."""
         return [tuple(e) for e in self._velocity_history]
 
+    def last_two_v1(self) -> Tuple[Optional[float], Optional[float]]:
+        """(second-latest v1, latest v1) in O(1) — the velocity-drop check
+        reads this every frame; copying the whole history would make the
+        scan O(N^2)."""
+        if len(self._velocity_history) >= 2:
+            return self._velocity_history[-2][1], self._velocity_history[-1][1]
+        if self._velocity_history:
+            return None, self._velocity_history[-1][1]
+        return None, None
+
     def get_pre_ddt_velocities(self) -> List[Tuple]:
         if self._ddt_frame_idx is None:
             return self.get_velocity_history()

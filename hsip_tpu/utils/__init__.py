@@ -1,7 +1,7 @@
 """Utilities: structured logging, profiling, run summaries, checkpointing.
 
-The reference's only observability was ``print()`` (SURVEY.md §5); these are
-the production replacements: leveled structured logging, ``jax.profiler``
+The reference's only observability was ``print()`` (SURVEY.md §5); these add
+the production layer on top: leveled diagnostic logging, ``jax.profiler``
 integration, machine-readable per-run summary JSON, and resumable batch
 state.
 """

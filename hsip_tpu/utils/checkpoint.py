@@ -86,9 +86,15 @@ class BatchCheckpoint:
         self._flush()
 
     def clear(self) -> None:
+        """Reset progress: removes EVERY rank's ledger in the directory
+        (is_done would otherwise trust stale completions from prior runs
+        with a different rank count)."""
         self._state = {"config_hash": self.run_config_hash, "done": {}}
-        if self.path.exists():
-            self.path.unlink()
+        for ledger in self.directory.glob("hsip-checkpoint*.json"):
+            try:
+                ledger.unlink()
+            except OSError:
+                pass
 
     @property
     def completed(self) -> Dict[str, Any]:

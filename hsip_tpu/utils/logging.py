@@ -1,8 +1,9 @@
-"""Structured logging for pipeline runs.
+"""Structured logging for pipeline diagnostics.
 
-Standard-library logging with a compact key=value formatter; replaces the
-reference's 27+ bare ``print`` sites. Use ``HSIP_LOG_LEVEL`` or
-:func:`set_log_level` to control verbosity.
+Standard-library logging with a compact key=value formatter. User-facing
+progress output intentionally remains ``print`` (matching the reference's
+console UX); this logger carries the DIAGNOSTIC layer (per-file timings,
+chunk stats) controlled by ``HSIP_LOG_LEVEL`` or :func:`set_log_level`.
 """
 
 from __future__ import annotations

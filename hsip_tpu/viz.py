@@ -516,20 +516,26 @@ def generate_stacked_sequence_single_column(
 # renders. Workers never touch JAX devices (pure numpy + matplotlib).
 
 _WORKER_VIDEOS: dict = {}
+_WORKER_ENTRIES: list = []
 
 
-def _render_worker_init():
+def _render_worker_init(entries=None):
     import os
 
     # Workers must never grab the TPU (pure host rendering).
     os.environ["JAX_PLATFORMS"] = "cpu"
+    if entries is not None:
+        # The full position history ships ONCE per worker; tasks carry only
+        # a cutoff index (a per-task prefix copy would be O(F^2)).
+        _WORKER_ENTRIES.clear()
+        _WORKER_ENTRIES.extend(entries)
 
 
 class _RenderHistory:
     """Tracker-state view at a single frame, rebuilt from a history prefix."""
 
     def __init__(self, entries, frame_rate, calibration, config):
-        from .track.device_scan import (
+        from .track.velocity import (
             ddt_frame_from_velocities,
             velocity_entries_from_positions,
         )
@@ -578,7 +584,7 @@ class _RenderHistory:
 
 
 def _render_one(args) -> str:
-    (video_path, task, entries_prefix, frame_rate, calibration,
+    (video_path, task, entries_upto, frame_rate, calibration,
      background_scalar, output_dir, source_name, config, style) = args
     from . import open_video
     from .track.config import FlameDetectionResult
@@ -589,7 +595,9 @@ def _render_one(args) -> str:
         _WORKER_VIDEOS[video_path] = video
 
     result = FlameDetectionResult(**task)
-    history = _RenderHistory(entries_prefix, frame_rate, calibration, config)
+    history = _RenderHistory(
+        _WORKER_ENTRIES[:entries_upto], frame_rate, calibration, config
+    )
     out = save_frame_image_from_video(
         video, result, history, background_scalar,
         Path(output_dir), source_name, config, style=style,
@@ -626,22 +634,30 @@ def render_diagnostics_parallel(
     if workers is None:
         workers = min(8, os.cpu_count() or 1)
 
+    entries = list(entries)
     frame_of = {e[0]: i for i, e in enumerate(entries)}
     job_args = []
     for task in tasks:
         upto = frame_of.get(task["frame_idx"])
-        prefix = entries[: upto + 1] if upto is not None else list(entries)
+        upto = (upto + 1) if upto is not None else len(entries)
         job_args.append(
-            (str(video_path), task, prefix, frame_rate, calibration,
+            (str(video_path), task, upto, frame_rate, calibration,
              background_scalar, str(output_dir), source_name, config, style)
         )
 
     if workers <= 1 or len(job_args) <= 1:
-        return [_render_one(a) for a in job_args]
+        _render_worker_init(entries)
+        try:
+            return [_render_one(a) for a in job_args]
+        finally:
+            for v in _WORKER_VIDEOS.values():
+                v.close()
+            _WORKER_VIDEOS.clear()
 
     with ProcessPoolExecutor(
         max_workers=workers,
         mp_context=get_context("spawn"),
         initializer=_render_worker_init,
+        initargs=(entries,),
     ) as pool:
         return list(pool.map(_render_one, job_args, chunksize=4))

