@@ -295,3 +295,24 @@ def test_sixteen_bit_band_path_matches_exact(tmp_path):
                            write_outputs=False)
     assert len(t.rows) > 10
     assert [r[:3] for r in t.rows] == [r[:3] for r in e.rows]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_tpu_matches_exact_random_configs(recording, tmp_path, seed):
+    """TPU band path == exact backend across randomized detector configs
+    (odd kernels stay on the band path; even-k folding uses the fallback)."""
+    rng = np.random.default_rng(seed)
+    det = FlameDetectorConfig(
+        frame_diff_threshold=float(rng.uniform(2.0, 10.0)),
+        morphology_kernel_size=int(rng.choice([2, 3, 5])),
+        gaussian_sigma=float(rng.uniform(1.0, 2.2)),
+        min_gradient_strength=float(rng.uniform(5.0, 15.0)),
+        search_window_px=int(rng.integers(60, 140)),
+    )
+    cfg = _source_config(recording, tmp_path / f"rc{seed}")
+    t = process_video_file(recording["path"], cfg, det, backend="tpu",
+                           verbose=False, write_outputs=False)
+    e = process_video_file(recording["path"], cfg, det, backend="exact",
+                           verbose=False, write_outputs=False)
+    assert [r[:3] for r in t.rows] == [r[:3] for r in e.rows], det
+    assert t.break_reason == e.break_reason

@@ -415,3 +415,40 @@ def test_use_frame_diff_false_reads_raw_centerline():
     # First frame HAS a detection (no prior needed for raw-profile methods).
     assert r0.final_position is not None
     assert abs(r0.final_position - positions[0]) < 12
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_detector_matches_scipy_oracle_random_configs(seed):
+    """Oracle parity must hold across the config space, not just defaults:
+    randomized kernel size, sigma, thresholds, velocity caps."""
+    rng = np.random.default_rng(seed)
+    cfg = FlameDetectorConfig(
+        frame_diff_threshold=float(rng.uniform(1.0, 12.0)),
+        morphology_kernel_size=int(rng.choice([2, 3, 5])),
+        gaussian_sigma=float(rng.uniform(0.8, 2.5)),
+        min_gradient_strength=float(rng.uniform(4.0, 20.0)),
+        sobel_threshold_fraction=float(rng.uniform(0.05, 0.3)),
+        max_velocity_change_m_s=float(rng.uniform(100.0, 400.0)),
+        search_window_px=int(rng.integers(40, 150)),
+        edge_margin_px=int(rng.integers(4, 20)),
+    )
+    fps = float(rng.choice([50_000, 80_000, 100_000]))
+    cal = float(rng.uniform(4e-4, 1.2e-3))
+    flame = FlameSpec(
+        x0=float(rng.uniform(20, 50)),
+        v0_px=float(rng.uniform(3, 10)),
+        accel_px=float(rng.uniform(0, 0.4)),
+        ignition_frame=int(rng.integers(1, 5)),
+        seed=seed + 100,
+    )
+    frames, _ = synthesize_flame_video(30, height=48, width=448, flame=flame)
+    bg = float(np.max(frames[0]))
+
+    det = FlameDetector(cfg, fps, cal)
+    oracle = ScipyOracle(cfg, fps, cal)
+    for i in range(len(frames)):
+        r = det.detect(frames[i], i, bg)
+        o_final, (o_g, o_s), o_bounds = oracle.detect(frames[i], i, bg)
+        assert r.search_bounds == o_bounds, f"bounds diverged at {i} cfg={cfg}"
+        assert r.final_position == o_final, f"final diverged at {i} cfg={cfg}"
+    assert det.ddt_frame == oracle.ddt
