@@ -214,6 +214,28 @@ def compute_profiles_batched(
     # sustains ~450 MB/s, while holding a window of staged device buffers
     # (or blocking per chunk) collapses throughput ~6x — the transfer
     # engine serializes against live buffers.
+    #
+    # Batch shapes are BUCKETED to the next power of two (padding rows carry
+    # prior_index = -1, i.e. inert): without this every distinct chunk tail
+    # and every differently-sized video would trigger a fresh TPU compile
+    # (~minutes through a remote-compile service).
+    def _bucket(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
+    def _pad_batch(host: np.ndarray, prior: np.ndarray):
+        n = host.shape[0]
+        b = _bucket(n)
+        if b == n:
+            return host, prior
+        pad_host = np.zeros((b - n,) + host.shape[1:], dtype=host.dtype)
+        return (
+            np.concatenate([host, pad_host]),
+            np.concatenate([prior, np.full(b - n, -1, dtype=np.int32)]),
+        )
+
     pending = []  # (pos, stop, local, sob, grad, intens, rawc, counts)
 
     from concurrent.futures import ThreadPoolExecutor
@@ -228,6 +250,7 @@ def compute_profiles_batched(
                 count_fn, lo, hi, background_scalar, noise_threshold
             )
             host = np.ascontiguousarray(read_band(lo, hi, band_rows))
+            host, prior_index_full = _pad_batch(host, prior_index_full)
             dev = jax.device_put(host)
             sob, grad, intens, rawc = packed_band_profiles(
                 dev,
@@ -249,6 +272,7 @@ def compute_profiles_batched(
             if read_packed is not None
             else read_batch(lo, hi)
         )
+        host, prior_index_full = _pad_batch(host, prior_index_full)
         dev = jax.device_put(host)
         if read_packed is not None:
             sob, grad, intens, rawc, counts = packed_centerline_profiles(
