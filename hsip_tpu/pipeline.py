@@ -490,7 +490,9 @@ def process_video_source(
             summary.add_file(
                 cihx_file.name, output, cal, off, wall, output.total_frames
             )
-    if summary is not None and config.output_dir:
+    if summary is not None and summary.files and config.output_dir:
+        # Never clobber a previous run's summary with an empty one (e.g. a
+        # --resume invocation that skipped every recording).
         summary.write(config.output_dir, rank=rank)
     if processor is not None:
         processor.barrier()

@@ -119,3 +119,12 @@ def test_checkpoint_clear_removes_all_rank_ledgers(tmp_path):
     fresh.clear()
     assert not any(tmp_path.glob("hsip-checkpoint*.json"))
     assert not BatchCheckpoint(tmp_path, run_config_hash="h").is_done("v1")
+
+
+def test_resume_does_not_clobber_summary(source_dir):
+    cfg = _cfg(source_dir)
+    process_video_source(cfg, verbose=False)
+    before = (source_dir / "out" / "run-summary.json").read_text()
+    out = process_video_source(cfg, verbose=False, resume=True)
+    assert out == []  # everything skipped
+    assert (source_dir / "out" / "run-summary.json").read_text() == before
