@@ -637,6 +637,7 @@ def track_video(
     detection_method: str = "combined",
     use_frame_diff: bool = True,
     scan: str = "host",
+    mesh=None,
 ) -> TrackingOutput:
     """End-to-end tracking of one :class:`~hsip_tpu.video.PhotonVideo`.
 
@@ -645,9 +646,35 @@ def track_video(
     (lax.scan on TPU — profiles never leave the device; proven
     row-identical, velocities reconstructed in float64 from positions).
     Background taken from frame 0's max (reference behavior) unless given.
+
+    With ``mesh`` (a Mesh carrying a 'frame' axis), the map phase shards the
+    video's frames across devices with a one-band ``ppermute`` halo for the
+    differencing priors — the shard_map replacement for the reference's MPI
+    frame scatter, with serial-identical results at any device count.
     """
     if background_scalar is None:
         background_scalar = float(np.max(video[0]))
+
+    if mesh is not None:
+        profiles = _compute_profiles_sharded(
+            video, background_scalar, config, skip_frames, mesh
+        )
+        time_fn = (
+            video.get_absolute_time if use_absolute_time else video.get_time
+        )
+        out = run_tracking_scan(
+            profiles,
+            config,
+            frame_rate=video.frame_rate,
+            calibration_m_per_px=calibration_m_per_px,
+            position_offset_m=position_offset_m,
+            time_fn=time_fn,
+            on_result=on_result,
+            detection_method=detection_method,
+            use_frame_diff=use_frame_diff,
+        )
+        out.total_frames = len(video)
+        return out
 
     # 12-bit recordings decode on-device from raw packed bytes; with the
     # native codec, only band rows ship (counts computed host-side).
@@ -706,3 +733,44 @@ def track_video(
     )
     out.total_frames = len(video)
     return out
+
+
+def _compute_profiles_sharded(
+    video, background_scalar, config, skip_frames, mesh
+) -> FrameProfiles:
+    """Map phase over a device mesh: frames shard along the 'frame' axis with
+    halo exchange for the differencing priors (parallel/sharding.py)."""
+    from ..parallel.sharding import sharded_centerline_profiles
+
+    if skip_frames:
+        raise NotImplementedError(
+            "skip_frames is not supported on the sharded map phase yet; "
+            "use the single-device path"
+        )
+    frames = video.read_batch(0, len(video))
+    h, w = video.frame_shape
+    noise_threshold = max(NOISE_THRESHOLD_FLOOR, background_scalar * 0.5)
+    sob, grad, intens, rawc, counts = sharded_centerline_profiles(
+        frames,
+        background_scalar,
+        config.frame_diff_threshold,
+        noise_threshold,
+        mesh,
+        morphology_kernel_size=config.morphology_kernel_size,
+        gaussian_sigma=config.gaussian_sigma,
+    )
+    m = len(video)
+    has_prior = np.ones(m, dtype=bool)
+    if m:
+        has_prior[0] = False
+    return FrameProfiles(
+        frame_indices=np.arange(m, dtype=np.int64),
+        sobel_lines=sob,
+        gradient_lines=grad,
+        intensity_lines=intens,
+        raw_center_lines=rawc,
+        signal_counts=counts.astype(np.int64),
+        has_prior=has_prior,
+        width=w,
+        total_pixels=h * w,
+    )

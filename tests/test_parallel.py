@@ -138,3 +138,25 @@ def test_processor_process_collection(tmp_path):
     res_v = p.process_videos(coll, lambda v, i: len(v))
     assert res_v == [(0, 6), (1, 4)]
     coll.close_all()
+
+
+def test_track_video_over_mesh_matches_single_device(tmp_path):
+    """track_video(mesh=...) — the shard_map frame scatter — must produce
+    rows identical to the single-device path."""
+    from hsip_tpu import open_video
+    from hsip_tpu.track import FlameDetectorConfig
+    from hsip_tpu.track.scan import track_video
+
+    frames, _ = synthesize_flame_video(
+        40, height=48, width=384,
+        flame=FlameSpec(x0=30, v0_px=7, accel_px=0.2, ignition_frame=2, seed=12),
+    )
+    meta = write_recording(tmp_path, "mesh-tv-run-1", frames)
+    mesh = make_mesh("frame")
+    with open_video(str(meta)) as video:
+        single = track_video(video, FlameDetectorConfig(), 0.0008, 1.0)
+        sharded = track_video(video, FlameDetectorConfig(), 0.0008, 1.0,
+                              mesh=mesh)
+    assert [r[:4] for r in sharded.rows] == [r[:4] for r in single.rows]
+    assert sharded.break_reason == single.break_reason
+    assert sharded.tracker.ddt_frame == single.tracker.ddt_frame
