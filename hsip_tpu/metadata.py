@@ -77,6 +77,11 @@ class MetadataConfig:
         """Build from named categories ('essential', 'recording', ...)."""
         picked: Set[str] = set()
         for name in names:
+            if name not in FIELD_CATEGORIES:
+                raise ValueError(
+                    f"Unknown metadata category {name!r}; "
+                    f"expected one of {sorted(FIELD_CATEGORIES)}"
+                )
             picked |= FIELD_CATEGORIES[name]
         return cls(fields=picked)
 

@@ -13,11 +13,14 @@ import os
 # config AFTER import but before any backend initialization — tests must run
 # on virtual CPU devices (fast, deterministic, no chip contention).
 os.environ["JAX_PLATFORMS"] = "cpu"
+import re as _re
+
 flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# Force EXACTLY 8 virtual devices, replacing any preset count.
+flags = _re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+os.environ["XLA_FLAGS"] = (
+    flags + " --xla_force_host_platform_device_count=8"
+).strip()
 
 import jax  # noqa: E402
 

@@ -109,24 +109,29 @@ def test_config_rejects_unknown_source_keys(tmp_path):
         load_config(p)
 
 
-def test_cli_flags_override_config_sources(videos, tmp_path):
+def test_cli_flags_override_config_sources(videos, tmp_path, monkeypatch):
     cfg_path = tmp_path / "run.toml"
     cfg_path.write_text(
         TOML.format(video_path=str(videos), output_dir=str(tmp_path / "o"))
     )
-    from hsip_tpu.cli import build_parser, load_config as _lc
+    captured = []
 
-    # Simulate main()'s override loop.
-    args = build_parser().parse_args(
-        ["--config", str(cfg_path), "--relative-time", "--trigger-frame", "7"]
-    )
-    sources, _ = _lc(args.config)
-    for cfg in sources:
-        if args.trigger_frame is not None:
-            cfg.trigger_frame = args.trigger_frame
-        if args.relative_time:
-            cfg.use_absolute_time = False
-    assert sources[0].trigger_frame == 7 or True  # exercised via main below
-    rc = main(["--config", str(cfg_path), "--relative-time", "--no-images",
-               "--no-sequences", "--quiet"])
+    def fake_process(cfg, *a, **k):
+        captured.append(cfg)
+        return []
+
+    import hsip_tpu.pipeline as pipeline_mod
+
+    monkeypatch.setattr(pipeline_mod, "process_video_source", fake_process)
+    rc = main(["--config", str(cfg_path), "--relative-time",
+               "--trigger-frame", "7", "--calibration", "0.002",
+               "--position-offset", "0.5", "--no-images", "--quiet"])
     assert rc == 0
+    assert len(captured) == 1
+    cfg = captured[0]
+    # Explicit flags must override the config-file source.
+    assert cfg.trigger_frame == 7
+    assert cfg.use_absolute_time is False
+    assert cfg.calibration == 0.002
+    assert cfg.position_offset == 0.5
+    assert cfg.save_frame_images is False

@@ -111,9 +111,14 @@ def test_two_process_collectives(tmp_path):
         for i in range(2)
     ]
     outs = []
-    for i, proc in enumerate(procs):
-        out, err = proc.communicate(timeout=150)
-        outs.append((proc.returncode, out, err))
+    try:
+        for proc in procs:
+            out, err = proc.communicate(timeout=150)
+            outs.append((proc.returncode, out, err))
+    finally:
+        for proc in procs:  # never leak hung coordinator/worker processes
+            if proc.poll() is None:
+                proc.kill()
     for i, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"rank {i} failed:\n{out}\n{err[-2000:]}"
         assert f"RANK{i}_OK" in out

@@ -235,23 +235,24 @@ def test_band_bytes_and_count_above(tmp_path):
     np.testing.assert_array_equal(decoded, frames[1:4][:, rows, :])
 
     counts = reader.count_above(0, 6, background=100.0, threshold=500.0)
-    if counts is not None:  # native codec available
-        expected = [
-            int((np.maximum(f.astype(np.float64) - 100.0, 0) > 500.0).sum())
-            for f in frames
-        ]
-        np.testing.assert_array_equal(counts, expected)
+    if counts is None:
+        pytest.skip("native codec unavailable")
+    expected = [
+        int((np.maximum(f.astype(np.float64) - 100.0, 0) > 500.0).sum())
+        for f in frames
+    ]
+    np.testing.assert_array_equal(counts, expected)
 
     # 16-bit containers also have a native fused count.
     path16 = write_mraw(tmp_path / "b16.mraw", frames, bit_depth=16)
     r16 = MRAWReader(path16, width=64, height=32, bit_depth=16)
     c16 = r16.count_above(0, 2, background=100.0, threshold=500.0)
-    if c16 is not None:
-        expected16 = [
-            int((np.maximum(f.astype(np.float64) - 100.0, 0) > 500.0).sum())
-            for f in frames[:2]
-        ]
-        np.testing.assert_array_equal(c16, expected16)
+    assert c16 is not None  # native availability already established above
+    expected16 = [
+        int((np.maximum(f.astype(np.float64) - 100.0, 0) > 500.0).sum())
+        for f in frames[:2]
+    ]
+    np.testing.assert_array_equal(c16, expected16)
     assert r16.row_nbytes == 128
     # 8-bit: no native fast path.
     path8 = write_mraw(tmp_path / "b8.mraw", np.clip(frames, 0, 255), bit_depth=8)

@@ -320,7 +320,9 @@ def test_detectors_empty_and_bounds():
     assert detect_threshold(np.zeros(100), min_intensity=5.0) is None
     assert detect_half_maximum(np.zeros(100), min_intensity=5.0) is None
     assert detect_threshold(p, bounds=(0, 60)) == 59
-    assert detect_gradient(p, min_strength=1.0, bounds=(100, 140)) == pytest.approx(80 + 20 + 0, abs=41)
+    # Exact: the windowed gradient of the sliced profile decides the index.
+    expected = 100 + int(np.argmin(np.gradient(p[100:140])))
+    assert detect_gradient(p, min_strength=1.0, bounds=(100, 140)) == expected
 
 
 def test_detect_profile_dispatch():

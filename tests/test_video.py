@@ -237,3 +237,29 @@ def test_mixed_storage_and_effective_bit_depth(tmp_path):
         assert video.bit_depth == 12  # effective precision still reported
         # float64 view normalizes by the EFFECTIVE depth.
         assert video.to_float64()[0].max() <= 1.0
+
+
+def test_metadata_fields_integration(flame_recording):
+    """metadata_fields wires through PhotonVideo: default is for_processing,
+    custom sets filter the exposed dict, raw_metadata stays complete."""
+    with PhotonVideo(str(flame_recording["path"])) as video:
+        # Default preset: essential + recording.
+        assert "Record Rate(fps)" in video.metadata
+        assert "Total Frame" in video.metadata
+        assert "Image Width" in video.raw_metadata
+    with PhotonVideo(
+        str(flame_recording["path"]), metadata_fields={"Camera Type"}
+    ) as video:
+        assert "Camera Type" in video.metadata  # custom field
+        assert "Total Frame" in video.metadata  # essentials always included
+        assert "Record Rate(fps)" not in video.metadata  # recording excluded
+
+
+def test_metadata_categories_builder():
+    cfg = MetadataConfig.categories("recording", "device")
+    assert "Record Rate(fps)" in cfg.fields and "Camera Type" in cfg.fields
+    assert "Total Frame" in cfg.fields  # essential always included
+    with pytest.raises(ValueError, match="bogus"):
+        MetadataConfig.categories("bogus")
+    bare = MetadataConfig(fields={"Camera Type"}, include_essential=False)
+    assert bare.fields == {"Camera Type"}
