@@ -29,7 +29,7 @@ from .scan import (
 )
 from .tracker import FlameTracker
 
-__all__ = ["track_collection_device", "ScanHistory"]
+__all__ = ["track_collection_device", "ScanHistory", "build_device_scan_output"]
 
 
 class ScanHistory:
@@ -76,6 +76,63 @@ class ScanHistory:
         if self._ddt is None:
             return []
         return [e for e in self.get_velocity_history() if e[0] >= self._ddt]
+
+
+def build_device_scan_output(
+    frame_indices,
+    empty,
+    finals,
+    recorded,
+    is_post,
+    stop_step: int,
+    stop_reason: int,
+    clear_vc_entry: int,
+    ddt_frame: int,
+    frame_rate: float,
+    calibration: float,
+    position_offset: float,
+    time_fn,
+    total_frames: int,
+) -> TrackingOutput:
+    """Reconstruct a TrackingOutput from device-scan arrays (shared by the
+    single-video device scan and the vmapped collection path): truncation at
+    the stop step, exact float64 velocity columns from integer positions."""
+    reason_map = {0: None, 1: "exit", 2: "velocity_drop"}
+    m = len(frame_indices)
+    limit = m if stop_step < 0 else min(m, stop_step + 1)
+
+    entries = []
+    rows = []
+    n_empty = 0
+    for j in range(limit):
+        if empty[j]:
+            n_empty += 1
+            continue
+        frame = int(frame_indices[j])
+        pos = int(finals[j]) if finals[j] >= 0 else None
+        entries.append((frame, pos))
+        if recorded[j]:
+            rows.append(
+                (
+                    frame,
+                    time_fn(frame),
+                    pos,
+                    pos * calibration + position_offset,
+                    bool(is_post[j]),
+                )
+            )
+    vel = velocities_from_positions(
+        entries, frame_rate, calibration, clear_vc_entry=clear_vc_entry
+    )
+    history = ScanHistory(entries, vel, ddt_frame if ddt_frame >= 0 else None)
+    return TrackingOutput(
+        rows=rows,
+        tracker=history,
+        empty_frame_count=n_empty,
+        break_frame=int(frame_indices[stop_step]) if stop_step >= 0 else None,
+        break_reason=reason_map[stop_reason],
+        total_frames=total_frames,
+    )
 
 
 def track_collection_device(
@@ -251,7 +308,7 @@ def track_collection_device(
             cals, fpss, max_disps,
         )
 
-    # --- host: rows + exact velocities per video ---
+    # --- host: rows + exact velocities per video (shared reconstruction) ---
     outputs: List[TrackingOutput] = []
     finals = np.asarray(res.final_position)
     recs = np.asarray(res.recorded)
@@ -260,43 +317,28 @@ def track_collection_device(
     stop_reasons = np.asarray(res.stop_reason)
     ddt_frames = np.asarray(res.ddt_frame)
     clear_entries = np.asarray(res.clear_vc_entry)
-    reason_map = {0: None, 1: "exit", 2: "velocity_drop"}
 
     for i, (video, p) in enumerate(zip(videos, profiles)):
         m = p.frame_indices.size
-        stop = int(stop_steps[i])
-        limit = m if stop < 0 else min(m, stop + 1)
         cal, off = calibs[i]
         time_fn = video.get_absolute_time if use_absolute_time else video.get_time
-
-        entries = []
-        rows = []
-        n_empty = 0
-        for j in range(limit):
-            if empty[i, j]:
-                n_empty += 1
-                continue
-            frame = int(fi[i, j])
-            pos = int(finals[i, j]) if finals[i, j] >= 0 else None
-            entries.append((frame, pos))
-            if recs[i, j]:
-                rows.append(
-                    (frame, time_fn(frame), pos, pos * cal + off, bool(posts[i, j]))
-                )
-        # Empty frames beyond the stop step still counted? Reference breaks
-        # the loop, so no. (limit already excludes them.)
-        vel = velocities_from_positions(
-            entries, video.frame_rate, cal, clear_vc_entry=int(clear_entries[i])
-        )
-        ddt = int(ddt_frames[i])
-        history = ScanHistory(entries, vel, ddt if ddt >= 0 else None)
+        stop = int(stop_steps[i])
         outputs.append(
-            TrackingOutput(
-                rows=rows,
-                tracker=history,  # duck-typed tracker view
-                empty_frame_count=n_empty,
-                break_frame=int(fi[i, stop]) if stop >= 0 else None,
-                break_reason=reason_map[int(stop_reasons[i])],
+            build_device_scan_output(
+                fi[i, :m],
+                empty[i, :m],
+                finals[i, :m],
+                recs[i, :m],
+                posts[i, :m],
+                stop_step=stop if stop < m else m - 1,
+                stop_reason=int(stop_reasons[i]),
+                clear_vc_entry=int(clear_entries[i]),
+                ddt_frame=int(ddt_frames[i]),
+                frame_rate=video.frame_rate,
+                calibration=cal,
+                position_offset=off,
+                time_fn=time_fn,
+                total_frames=len(video),
             )
         )
     return outputs

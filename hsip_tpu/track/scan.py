@@ -129,8 +129,16 @@ def compute_profiles_batched(
         read_band: callable (start, stop, rows) -> (n, B, row_nbytes) packed
             BAND bytes. With ``count_fn`` (native empty-frame counts on
             host), only the centerline band ever crosses to the device —
-            the minimal-transfer path (~15%% of the payload at H=128).
-            10- and 12-bit packed containers supported (``band_bit_depth``).
+            the minimal-transfer path (~15 percent of the payload at H=128).
+            10/12/16-bit containers supported (``band_bit_depth``).
+        use_pallas: run the fused Mosaic kernel for the band chain (defaults
+            to True on TPU backends, False elsewhere).
+        keep_device: return the (N, W) profile lines as DEVICE-resident jnp
+            arrays (for the on-device scan) instead of fetched numpy; only
+            the signal counts come back to host.
+        need_intensity / need_raw: skip the device->host fetch of profile
+            line sets the caller's detection method never reads (their
+            arrays stay zero). Ignored when keep_device=True.
         count_fn: callable (start, stop, background, threshold) -> (n,) int
             above-noise pixel counts computed host-side (C++ fused pass).
 
@@ -309,6 +317,22 @@ def compute_profiles_batched(
         # signal counts come back to host; the (N, W) lines never do.
         import jax.numpy as jnp
 
+        if not pending:  # zero processed frames (e.g. everything skipped)
+            z = jnp.zeros((0, w), dtype=jnp.float32)
+            sobel_lines = gradient_lines = intensity_lines = z
+            raw_center_lines = z
+            signal_counts = np.zeros(0, dtype=np.int64)
+            return FrameProfiles(
+                frame_indices=processed,
+                sobel_lines=sobel_lines,
+                gradient_lines=gradient_lines,
+                intensity_lines=intensity_lines,
+                raw_center_lines=raw_center_lines,
+                signal_counts=signal_counts,
+                has_prior=np.ones(0, dtype=bool),
+                width=w,
+                total_pixels=h * w,
+            )
         sel = [
             (jnp.asarray(local), sob, grad, intens, rawc)
             for pos, stop, local, sob, grad, intens, rawc, counts in pending
@@ -441,6 +465,13 @@ def run_tracking_scan(
 
     width = profiles.width
     total_px = profiles.total_pixels
+    # Single source of truth for profile selection (shared with the device
+    # and collection scans).
+    intensity_lines, detect_gate = profiles.select_intensity(
+        detection_method, use_frame_diff
+    )
+    if intensity_lines is None and detection_method != "combined":
+        intensity_lines = profiles.intensity_lines
 
     for j, frame_idx in enumerate(profiles.frame_indices):
         frame_idx = int(frame_idx)
@@ -455,19 +486,14 @@ def run_tracking_scan(
         if profiles.has_prior[j]:
             sobel_line = np.asarray(profiles.sobel_lines[j], dtype=np.float64)
             gradient_line = np.asarray(profiles.gradient_lines[j], dtype=np.float64)
-            intensity_line = np.asarray(
-                profiles.intensity_lines[j], dtype=np.float64
-            )
         else:
             sobel_line = None
             gradient_line = None
-            intensity_line = None
-        if not use_frame_diff and detection_method != "combined":
-            # Named profile methods read the raw BG-subtracted centerline
-            # (available from the very first frame; no motion isolation).
-            intensity_line = np.asarray(
-                profiles.raw_center_lines[j], dtype=np.float64
-            )
+        intensity_line = (
+            np.asarray(intensity_lines[j], dtype=np.float64)
+            if intensity_lines is not None and detect_gate[j]
+            else None
+        )
 
         # Spline prediction is plot-only; skip it unless a viz hook consumes
         # the result (an every-frame refit would make the scan O(N^2)).
@@ -535,8 +561,8 @@ def run_tracking_scan_device(
     """
     import numpy as _np
 
-    from .batch import ScanHistory
-    from .device_scan import device_tracking_scan, velocities_from_positions
+    from .batch import ScanHistory, build_device_scan_output
+    from .device_scan import device_tracking_scan
     from .tracker import FlameTracker
 
     if time_fn is None:
@@ -581,47 +607,23 @@ def run_tracking_scan_device(
         method_fraction=_np.float32(fraction),
     )
 
-    finals = _np.asarray(res.final_position)
-    recs = _np.asarray(res.recorded)
-    posts = _np.asarray(res.is_post_ddt)
-    stop = int(res.stop_step)
-    reason_map = {0: None, 1: "exit", 2: "velocity_drop"}
-    limit = m if stop < 0 else min(m, stop + 1)
-
-    fi = _np.asarray(profiles.frame_indices)
-    entries = []
-    rows = []
-    n_empty = 0
-    for j in range(limit):
-        if empty[j]:
-            n_empty += 1
-            continue
-        frame = int(fi[j])
-        pos = int(finals[j]) if finals[j] >= 0 else None
-        entries.append((frame, pos))
-        if recs[j]:
-            rows.append(
-                (
-                    frame,
-                    time_fn(frame),
-                    pos,
-                    pos * calibration_m_per_px + position_offset_m,
-                    bool(posts[j]),
-                )
-            )
-    vel = velocities_from_positions(
-        entries, frame_rate, calibration_m_per_px,
+    out = build_device_scan_output(
+        _np.asarray(profiles.frame_indices),
+        empty,
+        _np.asarray(res.final_position),
+        _np.asarray(res.recorded),
+        _np.asarray(res.is_post_ddt),
+        stop_step=int(res.stop_step),
+        stop_reason=int(res.stop_reason),
         clear_vc_entry=int(res.clear_vc_entry),
+        ddt_frame=int(res.ddt_frame),
+        frame_rate=frame_rate,
+        calibration=calibration_m_per_px,
+        position_offset=position_offset_m,
+        time_fn=time_fn,
+        total_frames=0,  # caller (track_video) fills the recording length
     )
-    ddt = int(res.ddt_frame)
-    history = ScanHistory(entries, vel, ddt if ddt >= 0 else None)
-    return TrackingOutput(
-        rows=rows,
-        tracker=history,
-        empty_frame_count=n_empty,
-        break_frame=int(fi[stop]) if stop >= 0 else None,
-        break_reason=reason_map[int(res.stop_reason)],
-    )
+    return out
 
 
 def track_video(
@@ -650,8 +652,14 @@ def track_video(
     With ``mesh`` (a Mesh carrying a 'frame' axis), the map phase shards the
     video's frames across devices with a one-band ``ppermute`` halo for the
     differencing priors — the shard_map replacement for the reference's MPI
-    frame scatter, with serial-identical results at any device count.
+    frame scatter, with serial-identical results at any device count; it
+    composes with either scan backend.
     """
+    if scan not in ("host", "device"):
+        raise ValueError(f"Unknown scan backend {scan!r} ('host' or 'device')")
+    if scan == "device" and on_result is not None:
+        # Validate BEFORE the (potentially minutes-long) map phase runs.
+        raise ValueError("viz hooks require scan='host'")
     if background_scalar is None:
         background_scalar = float(np.max(video[0]))
 
@@ -662,16 +670,18 @@ def track_video(
         time_fn = (
             video.get_absolute_time if use_absolute_time else video.get_time
         )
-        out = run_tracking_scan(
+        scan_fn = run_tracking_scan_device if scan == "device" else run_tracking_scan
+        kwargs = {} if scan == "device" else {"on_result": on_result}
+        out = scan_fn(
             profiles,
             config,
             frame_rate=video.frame_rate,
             calibration_m_per_px=calibration_m_per_px,
             position_offset_m=position_offset_m,
             time_fn=time_fn,
-            on_result=on_result,
             detection_method=detection_method,
             use_frame_diff=use_frame_diff,
+            **kwargs,
         )
         out.total_frames = len(video)
         return out
@@ -706,8 +716,6 @@ def track_video(
     )
     time_fn = video.get_absolute_time if use_absolute_time else video.get_time
     if scan == "device":
-        if on_result is not None:
-            raise ValueError("viz hooks require scan='host'")
         out = run_tracking_scan_device(
             profiles,
             config,
@@ -736,10 +744,17 @@ def track_video(
 
 
 def _compute_profiles_sharded(
-    video, background_scalar, config, skip_frames, mesh
+    video, background_scalar, config, skip_frames, mesh,
+    frames_per_shard: int = 512,
 ) -> FrameProfiles:
     """Map phase over a device mesh: frames shard along the 'frame' axis with
-    halo exchange for the differencing priors (parallel/sharding.py)."""
+    halo exchange for the differencing priors (parallel/sharding.py).
+
+    Streams the recording in chunks of ``frames_per_shard * n_shards`` with a
+    one-frame overlap (each chunk's first frame is the previous chunk's last,
+    carrying the differencing prior; its output row is dropped), so host/HBM
+    footprint stays bounded on long recordings.
+    """
     from ..parallel.sharding import sharded_centerline_profiles
 
     if skip_frames:
@@ -747,19 +762,40 @@ def _compute_profiles_sharded(
             "skip_frames is not supported on the sharded map phase yet; "
             "use the single-device path"
         )
-    frames = video.read_batch(0, len(video))
+    m = len(video)
     h, w = video.frame_shape
     noise_threshold = max(NOISE_THRESHOLD_FLOOR, background_scalar * 0.5)
-    sob, grad, intens, rawc, counts = sharded_centerline_profiles(
-        frames,
-        background_scalar,
-        config.frame_diff_threshold,
-        noise_threshold,
-        mesh,
-        morphology_kernel_size=config.morphology_kernel_size,
-        gaussian_sigma=config.gaussian_sigma,
-    )
-    m = len(video)
+    n_shards = mesh.shape["frame"]
+    chunk = max(n_shards, frames_per_shard * n_shards)
+
+    sob = np.zeros((m, w), dtype=np.float32)
+    grad = np.zeros((m, w), dtype=np.float32)
+    intens = np.zeros((m, w), dtype=np.float32)
+    rawc = np.zeros((m, w), dtype=np.float32)
+    counts = np.zeros(m, dtype=np.int64)
+
+    start = 0
+    while start < m:
+        stop = min(m, start + chunk)
+        lo = max(0, start - 1)  # one-frame overlap carries the prior
+        frames = video.read_batch(lo, stop)
+        c_sob, c_grad, c_int, c_raw, c_cnt = sharded_centerline_profiles(
+            frames,
+            background_scalar,
+            config.frame_diff_threshold,
+            noise_threshold,
+            mesh,
+            morphology_kernel_size=config.morphology_kernel_size,
+            gaussian_sigma=config.gaussian_sigma,
+        )
+        off = start - lo  # 0 for the first chunk, 1 afterwards
+        sob[start:stop] = c_sob[off:]
+        grad[start:stop] = c_grad[off:]
+        intens[start:stop] = c_int[off:]
+        rawc[start:stop] = c_raw[off:]
+        counts[start:stop] = c_cnt[off:]
+        start = stop
+
     has_prior = np.ones(m, dtype=bool)
     if m:
         has_prior[0] = False
@@ -769,7 +805,7 @@ def _compute_profiles_sharded(
         gradient_lines=grad,
         intensity_lines=intens,
         raw_center_lines=rawc,
-        signal_counts=counts.astype(np.int64),
+        signal_counts=counts,
         has_prior=has_prior,
         width=w,
         total_pixels=h * w,

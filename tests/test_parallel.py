@@ -160,3 +160,38 @@ def test_track_video_over_mesh_matches_single_device(tmp_path):
     assert [r[:4] for r in sharded.rows] == [r[:4] for r in single.rows]
     assert sharded.break_reason == single.break_reason
     assert sharded.tracker.ddt_frame == single.tracker.ddt_frame
+
+
+def test_track_video_over_mesh_streams_chunks(tmp_path):
+    """The sharded map phase streams chunks with one-frame prior overlap;
+    tiny chunk size forces multiple chunks and must still match serial.
+    Also composes with the device scan."""
+    from hsip_tpu import open_video
+    from hsip_tpu.track import FlameDetectorConfig
+    from hsip_tpu.track.scan import _compute_profiles_sharded, track_video
+
+    frames, _ = synthesize_flame_video(
+        37, height=32, width=256,
+        flame=FlameSpec(x0=25, v0_px=6, ignition_frame=2, seed=14),
+    )
+    meta = write_recording(tmp_path, "stream-tv-run-1", frames)
+    mesh = make_mesh("frame", n_devices=4)
+    with open_video(str(meta)) as video:
+        single = track_video(video, FlameDetectorConfig(), 0.001, 0.0)
+        # frames_per_shard=2 -> chunks of 8 frames -> 5 chunks with overlap.
+        profiles = _compute_profiles_sharded(
+            video, float(np.max(video[0])), FlameDetectorConfig(), (), mesh,
+            frames_per_shard=2,
+        )
+        from hsip_tpu.track.scan import run_tracking_scan
+
+        streamed = run_tracking_scan(
+            profiles, FlameDetectorConfig(), video.frame_rate, 0.001,
+            time_fn=video.get_absolute_time,
+        )
+        # mesh + device scan composition.
+        dev = track_video(video, FlameDetectorConfig(), 0.001, 0.0,
+                          mesh=mesh, scan="device")
+    assert [r[:3] for r in streamed.rows] == [r[:3] for r in single.rows]
+    assert [r[:4] for r in dev.rows] == [r[:4] for r in single.rows]
+    assert dev.total_frames == 37
