@@ -316,3 +316,25 @@ def test_tpu_matches_exact_random_configs(recording, tmp_path, seed):
                            verbose=False, write_outputs=False)
     assert [r[:3] for r in t.rows] == [r[:3] for r in e.rows], det
     assert t.break_reason == e.break_reason
+
+
+def test_pipeline_without_native_codec(recording, tmp_path, monkeypatch):
+    """With no C++ codec (no toolchain), the pipeline falls back to numpy
+    decode + full-packed device staging and still matches exact."""
+    import hsip_tpu._native as native
+
+    def no_native():
+        raise RuntimeError("simulated: toolchain unavailable")
+
+    monkeypatch.setattr(native, "native_decoder", no_native)
+    from hsip_tpu import open_video
+
+    with open_video(str(recording["path"])) as v:
+        assert not v.supports_packed_band  # band fast path off
+    cfg = _source_config(recording, tmp_path / "nonative")
+    t = process_video_file(recording["path"], cfg, backend="tpu",
+                           verbose=False, write_outputs=False)
+    e = process_video_file(recording["path"], cfg, backend="exact",
+                           verbose=False, write_outputs=False)
+    assert [r[:3] for r in t.rows] == [r[:3] for r in e.rows]
+    assert t.break_reason == e.break_reason
