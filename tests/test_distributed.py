@@ -6,12 +6,16 @@ barrier / distribute_indices) across a genuine process boundary — the
 moral equivalent of the reference's `mpiexec -n 2` path.
 """
 
+import os
 import socket
 import subprocess
 import sys
 import textwrap
+from pathlib import Path
 
 import pytest
+
+_REPO_ROOT = str(Path(__file__).resolve().parent.parent)
 
 _WORKER = textwrap.dedent(
     """
@@ -101,12 +105,20 @@ def test_two_process_collectives(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(_WORKER)
 
+    # The workers must import hsip_tpu even when the package isn't
+    # pip-installed (fresh sandbox): put the repo root on PYTHONPATH.
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (_REPO_ROOT, env.get("PYTHONPATH")) if p
+    )
+
     procs = [
         subprocess.Popen(
             [sys.executable, str(script), coord, str(i), str(tmp_path)],
             stdout=subprocess.PIPE,
             stderr=subprocess.PIPE,
             text=True,
+            env=env,
         )
         for i in range(2)
     ]
