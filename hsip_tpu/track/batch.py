@@ -175,7 +175,11 @@ def track_collection_device(
     for video in videos:
         bg = float(np.max(video[0]))
         storage_depth = video._require_reader().bit_depth
-        read_packed = video.frame_bytes if storage_depth == 12 else None
+        read_packed = (
+            video.frame_bytes
+            if getattr(video, "supports_packed_frames", False)
+            else None
+        )
         read_band = count_fn = None
         if getattr(video, "supports_packed_band", False):
             read_band = video.band_bytes

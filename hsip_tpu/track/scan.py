@@ -689,7 +689,11 @@ def track_video(
     # 12-bit recordings decode on-device from raw packed bytes; with the
     # native codec, only band rows ship (counts computed host-side).
     storage_depth = video._require_reader().bit_depth
-    read_packed = video.frame_bytes if storage_depth == 12 else None
+    read_packed = (
+        video.frame_bytes
+        if getattr(video, "supports_packed_frames", False)
+        else None
+    )
     read_band = count_fn = None
     if getattr(video, "supports_packed_band", False):
         read_band = video.band_bytes

@@ -412,6 +412,18 @@ class PhotonVideo:
         return self._require_reader().read_frames(slice(start, stop))
 
     @property
+    def supports_packed_frames(self) -> bool:
+        """True when full packed frames can decode ON-DEVICE: 12-bit packing
+        with byte-aligned rows (even width). Odd-width 12-bit payloads are
+        byte-aligned per frame but not per row, so they decode host-side."""
+        reader = self._reader
+        return (
+            reader is not None
+            and reader.bit_depth == 12
+            and reader.row_nbytes is not None
+        )
+
+    @property
     def supports_packed_band(self) -> bool:
         """True when the minimal-transfer band path is available: 12-bit
         packing with byte-aligned rows and the native codec built (the codec

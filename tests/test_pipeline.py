@@ -238,6 +238,35 @@ def test_device_backend_matches_tpu_backend(recording, tmp_path):
     assert out_dev.tracker.ddt_frame == out_tpu.tracker.ddt_frame
 
 
+def test_odd_width_12bit_matches_exact(tmp_path):
+    """Odd-width 12-bit payloads are byte-aligned per FRAME but not per row,
+    so neither the on-device packed decode nor the band path applies — the
+    pipeline must fall back to host decode and still match exactly
+    (regression: the packed staging path used to be keyed on bit depth
+    alone and crashed reshaping (n, frame_nbytes) to row-aligned rows)."""
+    flame = FlameSpec(x0=25.0, v0_px=9.0, ignition_frame=2, seed=11)
+    frames, _ = synthesize_flame_video(30, height=48, width=255, flame=flame)
+    meta = write_recording(tmp_path, "odd-run-1-a", frames,
+                           spec=CihxSpec(width=255, height=48, total_frames=30,
+                                         record_rate=50_000, bit_depth=12))
+    from hsip_tpu import open_video
+
+    with open_video(str(meta)) as video:
+        assert not video.supports_packed_frames
+        assert not video.supports_packed_band
+        np.testing.assert_array_equal(video[0], frames[0])  # exact round-trip
+    cfg = VideoSourceConfig(name="T", save_frame_images=False,
+                            save_stacked_sequences=False)
+    cfg.output_dir = str(tmp_path / "out")
+    out = process_video_file(meta, cfg, backend="tpu", verbose=False,
+                             write_outputs=False)
+    out_e = process_video_file(meta, cfg, backend="exact", verbose=False,
+                               write_outputs=False)
+    assert len(out.rows) > 5
+    assert [r[:3] for r in out.rows] == [r[:3] for r in out_e.rows]
+    assert out.break_reason == out_e.break_reason
+
+
 def test_ten_bit_band_path_matches_exact(tmp_path):
     """10-bit packed recordings use the same minimal-transfer band path as
     12-bit (device unpack + C++ host counts) and must match the exact
