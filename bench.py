@@ -43,7 +43,7 @@ def build_recording(tmpdir: Path, n_frames: int, height: int, width: int):
     return write_recording(tmpdir, "bench-run-1-001", frames, spec=spec)
 
 
-def run_tpu_pipeline(meta_path, config, chunk_size=256):
+def run_tpu_pipeline(meta_path, config, chunk_size=256, scan="device"):
     from hsip_tpu import open_video
     from hsip_tpu.track.scan import track_video
 
@@ -53,6 +53,7 @@ def run_tpu_pipeline(meta_path, config, chunk_size=256):
             calibration_m_per_px=0.000833333,
             position_offset_m=1.0159,
             chunk_size=chunk_size,
+            scan=scan,
         )
     return out
 
@@ -101,9 +102,19 @@ def main() -> int:
     parser.add_argument("--frames", type=int, default=2048)
     parser.add_argument("--height", type=int, default=128)
     parser.add_argument("--width", type=int, default=1024)
-    parser.add_argument("--repeat", type=int, default=3)
+    parser.add_argument(
+        "--repeat", type=int, default=4,
+        help="best-of repeats (the dev-tunnel transfer path has ~3x "
+        "run-to-run variance; best-of damps it)",
+    )
     parser.add_argument("--baseline-sample", type=int, default=48)
     parser.add_argument("--chunk-size", type=int, default=None)
+    parser.add_argument(
+        "--scan", choices=("host", "device"), default="device",
+        help="tracking-scan backend (both proven row-identical); 'device' "
+        "keeps profile lines on the TPU and runs the state machine as a "
+        "lax.scan — the flagship fully on-device path",
+    )
     parser.add_argument(
         "--videos", type=int, default=1,
         help=">1: library mode — N recordings tracked by one vmapped device scan",
@@ -139,12 +150,12 @@ def main() -> int:
             meta = build_recording(tmpdir, args.frames, args.height, args.width)
 
             # Warm-up: compile + cache.
-            run_tpu_pipeline(meta, config, args.chunk_size)
+            run_tpu_pipeline(meta, config, args.chunk_size, args.scan)
 
             best = float("inf")
             for _ in range(args.repeat):
                 t0 = time.perf_counter()
-                out = run_tpu_pipeline(meta, config, args.chunk_size)
+                out = run_tpu_pipeline(meta, config, args.chunk_size, args.scan)
                 best = min(best, time.perf_counter() - t0)
             args_frames = args.frames
 
