@@ -144,31 +144,53 @@ def track_collection_device(
     mesh=None,
     video_axis: str = "video",
 ) -> List[TrackingOutput]:
-    """Track every video of a collection with one vmapped device scan.
+    """Track every video of a collection with vmapped device scans.
 
-    All videos must share (H, W). Per-video calibration/offset come from
-    ``source_config.get_calibration_for_file`` (defaults 1.0 / 0.0).
-    Returns one :class:`TrackingOutput` per video, identical to running the
-    serial host scan on each.
+    Videos sharing (H, W) batch into ONE vmapped scan; a mixed-shape
+    collection (e.g. Nova + Mini cameras in one library) runs one scan per
+    shape group, results returned in collection order. Per-video
+    calibration/offset come from ``source_config.get_calibration_for_file``
+    (defaults 1.0 / 0.0). Returns one :class:`TrackingOutput` per video,
+    identical to running the serial host scan on each.
 
     With ``mesh`` (a :class:`jax.sharding.Mesh` carrying ``video_axis``),
-    the video axis shards across devices: each device scans its videos
-    concurrently — the pod-scale layout where a whole library tracks in one
-    dispatch across a slice. The video count is padded to the axis size
-    with inert (all-empty) videos.
+    each group's video axis shards across devices: each device scans its
+    videos concurrently — the pod-scale layout where a whole library tracks
+    in one dispatch across a slice. The video count is padded to the axis
+    size with inert (all-empty) videos.
     """
     config = config or FlameDetectorConfig()
-    method = source_config.detection_method if source_config else "combined"
-    use_frame_diff = source_config.use_frame_diff if source_config else True
     videos = list(collection)
     if not videos:
         return []
-    shapes = {v.frame_shape for v in videos}
-    if len(shapes) != 1:
-        raise ValueError(
-            f"track_collection_device requires uniform frame shapes, got {shapes}"
+    groups: dict = {}
+    for idx, video in enumerate(videos):
+        groups.setdefault(video.frame_shape, []).append(idx)
+    outputs: List[Optional[TrackingOutput]] = [None] * len(videos)
+    for (h, w), idxs in groups.items():
+        group_outputs = _track_uniform_videos(
+            [videos[i] for i in idxs], h, w, config, source_config,
+            use_absolute_time, chunk_size, mesh, video_axis,
         )
-    h, w = shapes.pop()
+        for i, out in zip(idxs, group_outputs):
+            outputs[i] = out
+    return outputs  # type: ignore[return-value]
+
+
+def _track_uniform_videos(
+    videos,
+    h: int,
+    w: int,
+    config: FlameDetectorConfig,
+    source_config: Optional[VideoSourceConfig],
+    use_absolute_time: bool,
+    chunk_size: Optional[int],
+    mesh,
+    video_axis: str,
+) -> List[TrackingOutput]:
+    """One vmapped device scan over videos that share frame shape (h, w)."""
+    method = source_config.detection_method if source_config else "combined"
+    use_frame_diff = source_config.use_frame_diff if source_config else True
 
     # --- map phase per video (chunked, packed on-device decode) ---
     profiles: List[FrameProfiles] = []

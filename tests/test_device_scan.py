@@ -187,6 +187,41 @@ def test_track_collection_device_matches_per_video(tmp_path):
     coll.close_all()
 
 
+def test_track_collection_device_mixed_shapes(tmp_path):
+    """A mixed-shape library (two camera geometries) tracks as one scan per
+    shape group, results in collection order and identical to per-video
+    runs (regression: used to raise ValueError on non-uniform shapes)."""
+    from hsip_tpu import open_collection
+    from hsip_tpu.track.batch import track_collection_device
+
+    geom = [(48, 512), (32, 256), (48, 512), (32, 256)]
+    for i, (h, w) in enumerate(geom):
+        fl = FlameSpec(x0=20, v0_px=5 + 2 * i, ignition_frame=2, seed=i)
+        frames, _ = synthesize_flame_video(30, height=h, width=w, flame=fl)
+        write_recording(
+            tmp_path, f"mix-run-{i + 1}-x", frames,
+            spec=CihxSpec(width=w, height=h, total_frames=30,
+                          record_rate=50_000),
+        )
+
+    src = VideoSourceConfig(name="Mix", save_frame_images=False,
+                            save_stacked_sequences=False)
+    src.video_path = str(tmp_path)
+
+    coll = open_collection(str(tmp_path))
+    batch_outputs = track_collection_device(coll, FlameDetectorConfig(),
+                                            source_config=src)
+    assert len(batch_outputs) == 4
+    for i, video_path in enumerate(sorted(tmp_path.glob("*.cihx"))):
+        single = process_video_file(
+            video_path, src, backend="tpu", verbose=False, write_outputs=False
+        )
+        b = batch_outputs[i]
+        assert [r[:4] for r in b.rows] == [r[:4] for r in single.rows], f"video {i}"
+        assert b.break_reason == single.break_reason
+    coll.close_all()
+
+
 @pytest.mark.parametrize("method", ["threshold", "gradient", "half_maximum"])
 def test_track_collection_device_named_methods(tmp_path, method):
     """Batch device tracking with a named method == per-video host pipeline."""
