@@ -335,14 +335,14 @@ def _track_uniform_videos(
         )
 
     # --- host: rows + exact velocities per video (shared reconstruction) ---
+    # ONE device->host round-trip for every scan output (per-field fetches
+    # block on separate transfers — expensive over a high-latency link).
     outputs: List[TrackingOutput] = []
-    finals = np.asarray(res.final_position)
-    recs = np.asarray(res.recorded)
-    posts = np.asarray(res.is_post_ddt)
-    stop_steps = np.asarray(res.stop_step)
-    stop_reasons = np.asarray(res.stop_reason)
-    ddt_frames = np.asarray(res.ddt_frame)
-    clear_entries = np.asarray(res.clear_vc_entry)
+    (finals, recs, posts, stop_steps, stop_reasons, ddt_frames,
+     clear_entries) = jax.device_get(
+        (res.final_position, res.recorded, res.is_post_ddt, res.stop_step,
+         res.stop_reason, res.ddt_frame, res.clear_vc_entry)
+    )
 
     for i, (video, p) in enumerate(zip(videos, profiles)):
         m = p.frame_indices.size

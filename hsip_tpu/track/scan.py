@@ -607,16 +607,25 @@ def run_tracking_scan_device(
         method_fraction=_np.float32(fraction),
     )
 
+    # ONE device->host round-trip for all scan outputs: per-field fetches
+    # each block on a separate transfer (4 of them scalars), which costs
+    # ~0.2s through a high-latency link.
+    import jax as _jax
+
+    finals, recs, posts, stop_step, stop_reason, clear_vc, ddt = _jax.device_get(
+        (res.final_position, res.recorded, res.is_post_ddt,
+         res.stop_step, res.stop_reason, res.clear_vc_entry, res.ddt_frame)
+    )
     out = build_device_scan_output(
         _np.asarray(profiles.frame_indices),
         empty,
-        _np.asarray(res.final_position),
-        _np.asarray(res.recorded),
-        _np.asarray(res.is_post_ddt),
-        stop_step=int(res.stop_step),
-        stop_reason=int(res.stop_reason),
-        clear_vc_entry=int(res.clear_vc_entry),
-        ddt_frame=int(res.ddt_frame),
+        finals,
+        recs,
+        posts,
+        stop_step=int(stop_step),
+        stop_reason=int(stop_reason),
+        clear_vc_entry=int(clear_vc),
+        ddt_frame=int(ddt),
         frame_rate=frame_rate,
         calibration=calibration_m_per_px,
         position_offset=position_offset_m,
