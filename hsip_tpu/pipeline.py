@@ -469,13 +469,25 @@ def process_video_source(
                 print(f"  Skipping {cihx_file.name} (already complete)")
             continue
         t0 = _time.perf_counter()
-        output = process_video_file(
-            cihx_file,
-            config,
-            detector_config,
-            backend=backend,
-            verbose=verbose and is_root,
-        )
+        try:
+            output = process_video_file(
+                cihx_file,
+                config,
+                detector_config,
+                backend=backend,
+                verbose=verbose and is_root,
+            )
+        except Exception as exc:
+            # Batch semantics match VideoCollection.from_directory (and the
+            # reference collection layer, collection.py:104-114): one
+            # unreadable or corrupt recording must not abort the library
+            # run. Warn, record in the summary, leave it unmarked in the
+            # checkpoint so --resume retries it.
+            print(f"Warning: Could not process {cihx_file}: {exc}")
+            _log.warning("failed %s: %s", cihx_file.name, exc)
+            if summary is not None:
+                summary.add_failure(cihx_file.name, exc)
+            continue
         wall = _time.perf_counter() - t0
         _log.debug(
             "processed %s: rows=%d empty=%d break=%s wall=%.3fs",
@@ -490,7 +502,7 @@ def process_video_source(
             summary.add_file(
                 cihx_file.name, output, cal, off, wall, output.total_frames
             )
-    if summary is not None and summary.files and config.output_dir:
+    if summary is not None and (summary.files or summary.failures) and config.output_dir:
         # Never clobber a previous run's summary with an empty one (e.g. a
         # --resume invocation that skipped every recording).
         summary.write(config.output_dir, rank=rank)

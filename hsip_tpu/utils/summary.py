@@ -23,7 +23,14 @@ class RunSummary:
         self.source_name = source_name
         self.config_echo = config_echo or {}
         self.files: List[Dict[str, Any]] = []
+        self.failures: List[Dict[str, str]] = []
         self._t0 = time.time()
+
+    def add_failure(self, filename: str, error: BaseException) -> None:
+        """Record a recording that could not be processed (skipped)."""
+        self.failures.append(
+            {"file": filename, "error": f"{type(error).__name__}: {error}"}
+        )
 
     def add_file(
         self,
@@ -59,7 +66,9 @@ class RunSummary:
             "source": self.source_name,
             "config": _jsonable(self.config_echo),
             "files": self.files,
+            "failures": self.failures,
             "total_files": len(self.files),
+            "total_failures": len(self.failures),
             "total_rows": sum(f["rows"] for f in self.files),
             "total_wall_s": round(time.time() - self._t0, 3),
         }

@@ -238,6 +238,34 @@ def test_device_backend_matches_tpu_backend(recording, tmp_path):
     assert out_dev.tracker.ddt_frame == out_tpu.tracker.ddt_frame
 
 
+def test_corrupt_recording_skipped_with_warning(tmp_path, capsys):
+    """One unreadable recording must not abort a library run: the pipeline
+    warns, records the failure in run-summary.json, and processes the rest
+    (matching the collection layer's skip-and-warn contract)."""
+    import json
+
+    flame = FlameSpec(x0=25.0, v0_px=8.0, ignition_frame=2, seed=4)
+    frames, _ = synthesize_flame_video(25, height=32, width=256, flame=flame)
+    write_recording(tmp_path / "v", "good-run-1-a", frames,
+                    spec=CihxSpec(width=256, height=32, total_frames=25,
+                                  record_rate=50_000))
+    (tmp_path / "v" / "corrupt-run-1-b.cihx").write_bytes(b"\x00garbage" * 64)
+
+    cfg = VideoSourceConfig(name="T", save_frame_images=False,
+                            save_stacked_sequences=False)
+    cfg.video_path = str(tmp_path / "v")
+    cfg.output_dir = str(tmp_path / "out")
+    outs = process_video_source(cfg, verbose=False)
+    assert len(outs) == 1 and len(outs[0].rows) > 5
+    assert "Could not process" in capsys.readouterr().out
+    summary = json.loads((tmp_path / "out" / "run-summary.json").read_text())
+    assert summary["total_failures"] == 1
+    assert summary["failures"][0]["file"] == "corrupt-run-1-b.cihx"
+    assert summary["total_files"] == 1
+    # The good recording's table was written.
+    assert (tmp_path / "out" / "good-run-1-a-flame-position.txt").exists()
+
+
 def test_odd_width_12bit_matches_exact(tmp_path):
     """Odd-width 12-bit payloads are byte-aligned per FRAME but not per row,
     so neither the on-device packed decode nor the band path applies — the
