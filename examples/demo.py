@@ -11,7 +11,11 @@ user of the reference pipeline.
 import sys
 from pathlib import Path
 
-from hsip_tpu.cli import main
+try:
+    from hsip_tpu.cli import main
+except ModuleNotFoundError:  # running from a checkout without pip install
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from hsip_tpu.cli import main
 from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
 
 
