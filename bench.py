@@ -5,10 +5,12 @@ Prints ONE JSON line:
 
 Pipeline measured (the north-star metric, BASELINE.json): open a synthetic
 CIHX/MRAW recording from disk, decode packed 12-bit frames, run the batched
-band preprocess on the TPU, run the float64 host tracking scan, produce the
-results rows. Baseline: the reference-equivalent serial scipy chain
-(full-frame grey_opening → gaussian_filter → sobel → gradient per frame)
-measured on this host and extrapolated per-frame.
+band preprocess on the TPU, run the tracking state machine (default: the
+fully on-device lax.scan; ``--scan host`` for the float64 host scan — both
+proven row-identical), produce the results rows. Baseline: the
+reference-equivalent serial scipy chain (full-frame grey_opening →
+gaussian_filter → sobel → gradient per frame) measured on this host and
+extrapolated per-frame.
 
 Usage: python bench.py [--frames N] [--height H] [--width W] [--repeat R]
 """
@@ -124,6 +126,10 @@ def main() -> int:
     from hsip_tpu.track import FlameDetectorConfig
 
     config = FlameDetectorConfig()
+
+    if args.videos > 1 and args.scan != "device":
+        parser.error("--videos > 1 (library mode) always runs the vmapped "
+                     "device scan; --scan host applies to single-video mode")
 
     with tempfile.TemporaryDirectory() as tmp:
         tmpdir = Path(tmp)

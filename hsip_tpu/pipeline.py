@@ -461,6 +461,10 @@ def process_video_source(
             config_echo={"source": config, "detector": detector_config,
                          "backend": backend},
         )
+        if resume:
+            # Accumulate onto the previous run's records: files skipped via
+            # the checkpoint keep their entries; retried files replace theirs.
+            summary.seed_from(config.output_dir, rank=rank)
 
     outputs = []
     for cihx_file in cihx_files:
@@ -502,9 +506,10 @@ def process_video_source(
             summary.add_file(
                 cihx_file.name, output, cal, off, wall, output.total_frames
             )
-    if summary is not None and (summary.files or summary.failures) and config.output_dir:
-        # Never clobber a previous run's summary with an empty one (e.g. a
-        # --resume invocation that skipped every recording).
+    if summary is not None and summary.dirty and config.output_dir:
+        # Resume runs are seeded from the previous summary above, so the
+        # write is cumulative; a run that recorded nothing (everything
+        # checkpoint-skipped) leaves the previous summary untouched.
         summary.write(config.output_dir, rank=rank)
     if processor is not None:
         processor.barrier()

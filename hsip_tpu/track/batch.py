@@ -167,9 +167,9 @@ def track_collection_device(
     for idx, video in enumerate(videos):
         groups.setdefault(video.frame_shape, []).append(idx)
     outputs: List[Optional[TrackingOutput]] = [None] * len(videos)
-    for (h, w), idxs in groups.items():
+    for (_h, w), idxs in groups.items():
         group_outputs = _track_uniform_videos(
-            [videos[i] for i in idxs], h, w, config, source_config,
+            [videos[i] for i in idxs], w, config, source_config,
             use_absolute_time, chunk_size, mesh, video_axis,
         )
         for i, out in zip(idxs, group_outputs):
@@ -179,7 +179,6 @@ def track_collection_device(
 
 def _track_uniform_videos(
     videos,
-    h: int,
     w: int,
     config: FlameDetectorConfig,
     source_config: Optional[VideoSourceConfig],
@@ -188,7 +187,8 @@ def _track_uniform_videos(
     mesh,
     video_axis: str,
 ) -> List[TrackingOutput]:
-    """One vmapped device scan over videos that share frame shape (h, w)."""
+    """One vmapped device scan over videos sharing a frame shape (the scan
+    consumes width-``w`` profiles; height only shapes the map phase)."""
     method = source_config.detection_method if source_config else "combined"
     use_frame_diff = source_config.use_frame_diff if source_config else True
 
@@ -196,16 +196,7 @@ def _track_uniform_videos(
     profiles: List[FrameProfiles] = []
     for video in videos:
         bg = float(np.max(video[0]))
-        storage_depth = video._require_reader().bit_depth
-        read_packed = (
-            video.frame_bytes
-            if getattr(video, "supports_packed_frames", False)
-            else None
-        )
-        read_band = count_fn = None
-        if getattr(video, "supports_packed_band", False):
-            read_band = video.band_bytes
-            count_fn = video.count_above
+        read_packed, read_band, count_fn, storage_depth = video.staging_paths()
         cs = chunk_size or (4096 if read_band is not None else 256)
         profiles.append(
             compute_profiles_batched(

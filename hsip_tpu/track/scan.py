@@ -697,16 +697,7 @@ def track_video(
 
     # 12-bit recordings decode on-device from raw packed bytes; with the
     # native codec, only band rows ship (counts computed host-side).
-    storage_depth = video._require_reader().bit_depth
-    read_packed = (
-        video.frame_bytes
-        if getattr(video, "supports_packed_frames", False)
-        else None
-    )
-    read_band = count_fn = None
-    if getattr(video, "supports_packed_band", False):
-        read_band = video.band_bytes
-        count_fn = video.count_above
+    read_packed, read_band, count_fn, storage_depth = video.staging_paths()
     if chunk_size is None:
         # Band staging is ~2% of the payload, so big chunks amortize
         # dispatch overhead cheaply; full-frame staging stays bounded.

@@ -24,13 +24,37 @@ class RunSummary:
         self.config_echo = config_echo or {}
         self.files: List[Dict[str, Any]] = []
         self.failures: List[Dict[str, str]] = []
+        #: True once THIS run recorded an outcome (seeding doesn't count) —
+        #: the write gate, so an all-skipped --resume never rewrites.
+        self.dirty = False
         self._t0 = time.time()
 
     def add_failure(self, filename: str, error: BaseException) -> None:
         """Record a recording that could not be processed (skipped)."""
+        self._drop(filename)
+        self.dirty = True
         self.failures.append(
             {"file": filename, "error": f"{type(error).__name__}: {error}"}
         )
+
+    def seed_from(self, output_dir, rank: int = 0) -> None:
+        """Load a previous run's summary so a ``--resume`` run accumulates
+        onto it instead of clobbering it with only the retried files.
+        Entries re-processed this run replace their previous record."""
+        name = "run-summary.json" if rank == 0 else f"run-summary.rank{rank}.json"
+        path = Path(output_dir) / name
+        try:
+            data = json.loads(path.read_text())
+        except (OSError, ValueError):
+            return
+        self.files = [f for f in data.get("files", []) if isinstance(f, dict)]
+        self.failures = [
+            f for f in data.get("failures", []) if isinstance(f, dict)
+        ]
+
+    def _drop(self, filename: str) -> None:
+        self.files = [f for f in self.files if f.get("file") != filename]
+        self.failures = [f for f in self.failures if f.get("file") != filename]
 
     def add_file(
         self,
@@ -42,6 +66,8 @@ class RunSummary:
         n_frames: int,
     ) -> None:
         """Record one processed recording's outcome (a TrackingOutput)."""
+        self._drop(filename)
+        self.dirty = True
         tracker = output.tracker
         self.files.append(
             {

@@ -457,6 +457,24 @@ class PhotonVideo:
         """
         return self._require_reader().frame_bytes(start, stop)
 
+    def staging_paths(self):
+        """The device staging ladder for this recording, best path first.
+
+        Returns ``(read_packed, read_band, count_fn, storage_bit_depth)``:
+        ``read_band``+``count_fn`` when only packed band rows need to cross
+        to the device (12/10/16-bit, byte-aligned rows, native codec);
+        ``read_packed`` when full packed frames can decode on-device
+        (12-bit, byte-aligned rows); all None → host decode via
+        :meth:`read_batch`. Single source of truth for every map-phase
+        caller — the gating rules must never be re-derived at call sites.
+        """
+        read_packed = self.frame_bytes if self.supports_packed_frames else None
+        read_band = count_fn = None
+        if self.supports_packed_band:
+            read_band = self.band_bytes
+            count_fn = self.count_above
+        return read_packed, read_band, count_fn, self._require_reader().bit_depth
+
     # -- timing ------------------------------------------------------------------
 
     def get_time(self, frame_index: int) -> float:

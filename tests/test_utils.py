@@ -128,3 +128,37 @@ def test_resume_does_not_clobber_summary(source_dir):
     out = process_video_source(cfg, verbose=False, resume=True)
     assert out == []  # everything skipped
     assert (source_dir / "out" / "run-summary.json").read_text() == before
+
+
+def test_resume_summary_accumulates_over_retried_failure(source_dir):
+    """A --resume run that only retries a (still-failing) recording must
+    keep the previous run's per-file records and add the failure — not
+    clobber run-summary.json with total_files=0."""
+    cfg = _cfg(source_dir)
+    corrupt = source_dir / "v" / "bad-run-9-z.cihx"
+    corrupt.write_bytes(b"\x01not-a-cihx" * 32)
+    out1 = process_video_source(cfg, verbose=False)
+    assert len(out1) == 2
+    s1 = json.loads((source_dir / "out" / "run-summary.json").read_text())
+    assert s1["total_files"] == 2 and s1["total_failures"] == 1
+
+    # Resume: both good files skip via the checkpoint, the corrupt one
+    # retries (it was never marked done) and fails again.
+    out2 = process_video_source(cfg, verbose=False, resume=True)
+    assert out2 == []
+    s2 = json.loads((source_dir / "out" / "run-summary.json").read_text())
+    assert s2["total_files"] == 2  # previous records kept
+    assert s2["total_failures"] == 1  # replaced, not duplicated
+    assert {f["file"] for f in s2["files"]} == {f["file"] for f in s1["files"]}
+
+    # Fixing the recording and resuming replaces the failure with a record.
+    frames, _ = synthesize_flame_video(
+        20, height=32, width=256,
+        flame=FlameSpec(x0=30, v0_px=7, ignition_frame=2, seed=5),
+    )
+    corrupt.unlink()
+    write_recording(source_dir / "v", "bad-run-9-z", frames)
+    out3 = process_video_source(cfg, verbose=False, resume=True)
+    assert len(out3) == 1
+    s3 = json.loads((source_dir / "out" / "run-summary.json").read_text())
+    assert s3["total_files"] == 3 and s3["total_failures"] == 0
