@@ -96,6 +96,70 @@ _WORKER = textwrap.dedent(
 )
 
 
+_HIER_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    import numpy as np
+    import jax
+
+    coord, pid = sys.argv[1], int(sys.argv[2])
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=2, process_id=pid
+    )
+    assert len(jax.local_devices()) == 4, jax.local_devices()
+
+    from pathlib import Path
+    from hsip_tpu import open_video
+    from hsip_tpu.io import FlameSpec, synthesize_flame_video, write_recording
+    from hsip_tpu.parallel import TPUVideoProcessor, make_mesh
+    from hsip_tpu.track import FlameDetectorConfig
+    from hsip_tpu.track.scan import track_video
+
+    work = Path(sys.argv[3])
+    p = TPUVideoProcessor()
+
+    # The production pod layout: whole videos distribute across PROCESSES,
+    # each process shards its video's frames over its LOCAL device mesh.
+    if p.is_root:
+        for i in range(2):
+            fr, _ = synthesize_flame_video(
+                24, height=32, width=256,
+                flame=FlameSpec(x0=25, v0_px=6 + 2 * i, ignition_frame=2,
+                                seed=40 + i),
+            )
+            write_recording(work / "v", f"hier-run-{i + 1}-a", fr)
+    p.barrier()
+
+    files = sorted((work / "v").glob("*.cihx"))
+    mine = [files[i] for i in p.distribute_indices(len(files))]
+    assert len(mine) == 1, mine
+
+    mesh = make_mesh("frame", devices=jax.local_devices())
+    cfg = FlameDetectorConfig()
+    rows_sharded = []
+    for f in mine:
+        with open_video(str(f)) as video:
+            out = track_video(video, cfg, calibration_m_per_px=0.001,
+                              mesh=mesh)
+            single = track_video(video, cfg, calibration_m_per_px=0.001)
+        assert [r[:4] for r in out.rows] == [r[:4] for r in single.rows]
+        rows_sharded.append((f.name, len(out.rows)))
+
+    gathered = p.gather(rows_sharded)
+    if p.is_root:
+        flat = sorted(r for sub in gathered for r in sub)
+        assert len(flat) == 2 and all(n > 5 for _, n in flat), flat
+    p.barrier()
+    print(f"RANK{pid}_OK")
+    """
+)
+
+
 def test_two_process_collectives(tmp_path):
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -129,6 +193,47 @@ def test_two_process_collectives(tmp_path):
             outs.append((proc.returncode, out, err))
     finally:
         for proc in procs:  # never leak hung coordinator/worker processes
+            if proc.poll() is None:
+                proc.kill()
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"rank {i} failed:\n{out}\n{err[-2000:]}"
+        assert f"RANK{i}_OK" in out
+
+
+def test_video_per_process_frames_per_device(tmp_path):
+    """Hierarchical layout: videos across 2 processes, each video's frames
+    sharded over that process's 4 local (virtual) devices; sharded rows
+    must equal the single-device rows."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    script = tmp_path / "hier_worker.py"
+    script.write_text(_HIER_WORKER)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (_REPO_ROOT, env.get("PYTHONPATH")) if p
+    )
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(i), str(tmp_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for proc in procs:
+            out, err = proc.communicate(timeout=150)
+            outs.append((proc.returncode, out, err))
+    finally:
+        for proc in procs:
             if proc.poll() is None:
                 proc.kill()
     for i, (rc, out, err) in enumerate(outs):
