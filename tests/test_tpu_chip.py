@@ -1,0 +1,114 @@
+"""Opt-in REAL-TPU parity checks (set HSIP_TPU_CHIP=1).
+
+The regular suite pins JAX to 8 virtual CPU devices (tests/conftest.py), so
+the fused Mosaic kernel only runs in interpret mode there. These tests spawn
+a subprocess WITHOUT the CPU pin and assert, on the actual chip:
+
+1. the compiled Pallas band kernel is BIT-IDENTICAL to the jnp chain, and
+2. the full TPU pipeline produces rows identical to the exact float64
+   backend.
+
+Skipped (not failed) when no TPU backend is reachable from the subprocess.
+"""
+
+import os
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import pytest
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("HSIP_TPU_CHIP") != "1",
+    reason="real-chip parity is opt-in: set HSIP_TPU_CHIP=1",
+)
+
+_REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+
+_CHIP_CHECK = textwrap.dedent(
+    """
+    import sys
+    import numpy as np
+    import jax, jax.numpy as jnp
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("NO_TPU")
+        sys.exit(0)
+
+    from hsip_tpu.kernels.pallas_preprocess import pallas_band_profiles
+    from hsip_tpu.kernels.preprocess import diff_profiles_from_band, gaussian_taps
+
+    rng = np.random.default_rng(7)
+    n, b, w = 64, 19, 1024
+    band = rng.uniform(0, 4096, (n, b, w)).astype(np.float32)
+    pidx = np.arange(-1, n - 1, dtype=np.int32)
+
+    sob_p, grad_p, int_p = pallas_band_profiles(band, pidx, np.float32(5.0))
+
+    prior = band[np.maximum(pidx, 0)]
+    diff = np.where(band - prior < 5.0, 0.0, band - prior)
+    sob_j, grad_j, int_j = diff_profiles_from_band(
+        jnp.asarray(diff), 3, jnp.asarray(gaussian_taps(1.5))
+    )
+    for name, a, bb in (("sobel", sob_p, sob_j), ("grad", grad_p, grad_j),
+                        ("intens", int_p, int_j)):
+        a, bb = np.asarray(a)[1:], np.asarray(bb)[1:]
+        assert np.array_equal(a, bb), (
+            f"{name} differs on chip: max abs {np.abs(a - bb).max()}"
+        )
+
+    # Full pipeline: TPU backend rows == exact float64 backend rows.
+    import tempfile
+    from pathlib import Path
+    from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
+    from hsip_tpu.pipeline import process_video_file
+    from hsip_tpu.track import VideoSourceConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        fr, _ = synthesize_flame_video(
+            50, height=64, width=512,
+            flame=FlameSpec(x0=30, v0_px=8, accel_px=0.2, ignition_frame=3,
+                            seed=13),
+        )
+        meta = write_recording(Path(tmp), "chip-run-1-a", fr,
+                               spec=CihxSpec(width=512, height=64,
+                                             total_frames=50,
+                                             record_rate=100_000,
+                                             bit_depth=12))
+        cfg = VideoSourceConfig(name="C", save_frame_images=False,
+                                save_stacked_sequences=False)
+        cfg.output_dir = tmp
+        t = process_video_file(meta, cfg, backend="tpu", verbose=False,
+                               write_outputs=False)
+        d = process_video_file(meta, cfg, backend="device", verbose=False,
+                               write_outputs=False)
+        e = process_video_file(meta, cfg, backend="exact", verbose=False,
+                               write_outputs=False)
+        assert [r[:4] for r in t.rows] == [r[:4] for r in e.rows]
+        assert [r[:4] for r in d.rows] == [r[:4] for r in e.rows]
+        assert len(t.rows) > 20
+
+    print("CHIP_OK")
+    """
+)
+
+
+def test_pallas_and_pipeline_parity_on_chip(tmp_path):
+    script = tmp_path / "chip_check.py"
+    script.write_text(_CHIP_CHECK)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (_REPO_ROOT, env.get("PYTHONPATH")) if p
+    )
+    # Drop the suite's CPU pin so the subprocess sees the real backend.
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    proc = subprocess.run(
+        [sys.executable, str(script)], capture_output=True, text=True,
+        timeout=600, env=env,
+    )
+    assert proc.returncode == 0, f"{proc.stdout}\n{proc.stderr[-3000:]}"
+    if "NO_TPU" in proc.stdout:
+        pytest.skip("no TPU backend reachable from subprocess")
+    assert "CHIP_OK" in proc.stdout
