@@ -54,10 +54,14 @@ calibration = 0.000833333
 position_offset = 1.0159
 files = ["run-1-"]
 
+# NOTE: range patterns ("A:B") compare the LAST integer in each filename
+# (reference semantics) — with names like nova-run-2-001 that integer is
+# the trailing 001, so a "run-2-:run-3-" range would never match. Use
+# substring patterns for this naming scheme.
 [[source.file_calibration]]
 calibration = 0.000833333
 position_offset = 1.197565
-files = ["run-2-:run-3-"]
+files = ["run-2-", "run-3-"]
 
 [[source]]
 name = "Mini"

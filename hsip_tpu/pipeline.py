@@ -156,6 +156,17 @@ def process_video_file(
     file_calibration, file_position_offset = config.get_calibration_for_file(
         cihx_file.name
     )
+    if config.file_calibrations and not config.has_calibration_for_file(
+        cihx_file.name
+    ):
+        # Almost always a config mistake (e.g. an "A:B" range pattern that
+        # compares the LAST filename integer and never matches): say so
+        # instead of silently producing tables in the wrong units.
+        print(
+            f"Warning: no file_calibration entry matches {cihx_file.name}; "
+            f"using source default ({file_calibration} m/px, "
+            f"offset {file_position_offset} m)"
+        )
 
     if verbose:
         print(f"\nLoading: {cihx_file.name}")

@@ -128,6 +128,13 @@ class VideoSourceConfig:
                 return (fc.calibration, fc.position_offset)
         return (self.calibration, self.position_offset)
 
+    def has_calibration_for_file(self, filename: str) -> bool:
+        """True when an explicit :class:`FileCalibration` entry matches —
+        lets callers flag the silent fall-through to source defaults (a
+        common config mistake with "A:B" range patterns, which compare the
+        LAST integer in the filename)."""
+        return any(fc.matches(filename) for fc in self.file_calibrations)
+
 
 @dataclass
 class FlameDetectorConfig:

@@ -238,6 +238,30 @@ def test_device_backend_matches_tpu_backend(recording, tmp_path):
     assert out_dev.tracker.ddt_frame == out_tpu.tracker.ddt_frame
 
 
+def test_unmatched_file_calibration_warns(recording, tmp_path, capsys):
+    """When file_calibrations exist but none matches a recording, the
+    pipeline must say so instead of silently using default units (the
+    classic "A:B" range-pattern trap: it compares the LAST filename
+    integer — 3 for the fixture's nova-run-1-003 — not the run number)."""
+    cfg = _source_config(recording, tmp_path / "warn")
+    cfg.file_calibrations = [
+        FileCalibration(calibration=0.0008, position_offset=1.0,
+                        files=["run-4-:run-9-"]),  # 3 is outside 4..9
+    ]
+    process_video_file(recording["path"], cfg, backend="tpu", verbose=False,
+                       write_outputs=False)
+    out = capsys.readouterr().out
+    assert "no file_calibration entry matches" in out
+
+    cfg.file_calibrations = [
+        FileCalibration(calibration=0.0008, position_offset=1.0,
+                        files=["run-1-"]),
+    ]
+    process_video_file(recording["path"], cfg, backend="tpu", verbose=False,
+                       write_outputs=False)
+    assert "no file_calibration entry" not in capsys.readouterr().out
+
+
 def test_corrupt_recording_skipped_with_warning(tmp_path, capsys):
     """One unreadable recording must not abort a library run: the pipeline
     warns, records the failure in run-summary.json, and processes the rest
