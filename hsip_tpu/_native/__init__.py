@@ -77,6 +77,11 @@ class NativeDecoder:
             u8p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_float, ctypes.c_float, i32p,
         ]
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.gather_rows.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64,
+            i64p, ctypes.c_int64, ctypes.c_int64, u8p,
+        ]
         lib.native_num_threads.restype = ctypes.c_int
         self._lib = lib
 
@@ -177,6 +182,32 @@ class NativeDecoder:
             float(background), float(threshold), counts,
         )
         return counts
+
+    def gather_rows(
+        self,
+        packed: np.ndarray,
+        frame_nbytes: int,
+        row_offsets: np.ndarray,
+        row_nbytes: int,
+    ) -> np.ndarray:
+        """(n_frames, n_rows, row_nbytes) copy of byte-aligned rows from a
+        packed payload — the parallel band-staging gather (bandwidth-bound;
+        beats numpy's single-threaded gather under CPU contention)."""
+        packed = np.ascontiguousarray(packed, dtype=np.uint8).reshape(-1)
+        if packed.size % frame_nbytes:
+            raise ValueError("packed size must be whole frames")
+        offsets = np.ascontiguousarray(row_offsets, dtype=np.int64)
+        if offsets.size and (
+            offsets.min() < 0 or offsets.max() + row_nbytes > frame_nbytes
+        ):
+            raise ValueError("row offsets out of frame bounds")
+        n_frames = packed.size // frame_nbytes
+        out = np.empty((n_frames, offsets.size, row_nbytes), dtype=np.uint8)
+        self._lib.gather_rows(
+            packed, n_frames, frame_nbytes, offsets, offsets.size,
+            row_nbytes, out,
+        )
+        return out
 
     def unpack_12bit_bgsub(self, packed: np.ndarray, background: float) -> np.ndarray:
         """Fused unpack + background-subtract-clamp to float32."""

@@ -166,6 +166,28 @@ void count_above16(const uint8_t* __restrict src, int64_t n_frames,
     }
 }
 
+// Gather selected byte-aligned rows from every frame of a packed payload:
+// dst[f, r, :] = src[f * frame_nbytes + row_offsets[r] : + row_nbytes].
+// The band-staging hot path. The copy is memory-bandwidth bound, so the
+// win over numpy's single-threaded fancy-index gather is modest when the
+// host is idle (~1.2x) but grows under CPU contention from transfer/
+// render threads, which is the steady state of the pipeline.
+void gather_rows(const uint8_t* __restrict src, int64_t n_frames,
+                 int64_t frame_nbytes, const int64_t* __restrict row_offsets,
+                 int64_t n_rows, int64_t row_nbytes,
+                 uint8_t* __restrict dst) {
+#pragma omp parallel for schedule(static)
+    for (int64_t f = 0; f < n_frames; ++f) {
+        const uint8_t* s = src + f * frame_nbytes;
+        uint8_t* d = dst + f * n_rows * row_nbytes;
+        for (int64_t r = 0; r < n_rows; ++r) {
+            const uint8_t* sr = s + row_offsets[r];
+            uint8_t* dr = d + r * row_nbytes;
+            for (int64_t i = 0; i < row_nbytes; ++i) dr[i] = sr[i];
+        }
+    }
+}
+
 int native_num_threads() {
 #ifdef _OPENMP
     return omp_get_max_threads();

@@ -247,8 +247,16 @@ class MRAWReader:
                 f"rows are not byte-aligned for width={self.width}, "
                 f"bit_depth={self.bit_depth}"
             )
+        rows = np.asarray(rows, dtype=np.int64)
+        if self._native is not None:
+            # Parallel C++ gather (OpenMP memcpy per row) — bandwidth-bound,
+            # but unlike numpy's single-threaded gather it holds its rate
+            # when transfer/render threads contend for cores.
+            return self._native.gather_rows(
+                self._mmap[start:stop], self._frame_nbytes, rows * rnb, rnb
+            )
         view = self._mmap[start:stop].reshape(stop - start, self.height, rnb)
-        return view[:, np.asarray(rows, dtype=np.int64), :]
+        return view[:, rows, :]
 
     def count_above(
         self, start: int, stop: int, background: float, threshold: float

@@ -234,6 +234,17 @@ def test_band_bytes_and_count_above(tmp_path):
     decoded = unpack_12bit(np.ascontiguousarray(band).reshape(-1)).reshape(3, 4, 64)
     np.testing.assert_array_equal(decoded, frames[1:4][:, rows, :])
 
+    # Native C++ gather (when built) must match the numpy fancy-index path.
+    if reader._native is not None:
+        native = reader._native
+        reader._native = None
+        try:
+            np.testing.assert_array_equal(
+                band, reader.band_bytes(1, 4, rows)
+            )
+        finally:
+            reader._native = native
+
     counts = reader.count_above(0, 6, background=100.0, threshold=500.0)
     if counts is None:
         pytest.skip("native codec unavailable")
