@@ -124,7 +124,9 @@ def main() -> int:
     args = parser.parse_args()
 
     from hsip_tpu.track import FlameDetectorConfig
+    from hsip_tpu.utils import enable_persistent_compilation_cache
 
+    enable_persistent_compilation_cache()
     config = FlameDetectorConfig()
 
     if args.videos > 1 and args.scan != "device":

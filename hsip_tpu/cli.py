@@ -183,6 +183,11 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
 
+    # Repeat invocations skip XLA recompiles (per-process otherwise).
+    from .utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     detector_config = FlameDetectorConfig()
     sources: List[VideoSourceConfig] = []
 

@@ -10,8 +10,10 @@ from .logging import get_logger, set_log_level
 from .profiling import profile_trace, start_profiler_server
 from .summary import RunSummary
 from .checkpoint import BatchCheckpoint
+from .xla_cache import enable_persistent_compilation_cache
 
 __all__ = [
+    "enable_persistent_compilation_cache",
     "get_logger",
     "set_log_level",
     "profile_trace",

@@ -162,3 +162,24 @@ def test_resume_summary_accumulates_over_retried_failure(source_dir):
     assert len(out3) == 1
     s3 = json.loads((source_dir / "out" / "run-summary.json").read_text())
     assert s3["total_files"] == 3 and s3["total_failures"] == 0
+
+
+def test_enable_persistent_compilation_cache(tmp_path, monkeypatch):
+    import jax
+
+    from hsip_tpu.utils import enable_persistent_compilation_cache
+
+    old = jax.config.jax_compilation_cache_dir
+    try:
+        target = tmp_path / "xla-cache"
+        got = enable_persistent_compilation_cache(str(target))
+        assert got == str(target) and target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+        # Env-var resolution when no explicit path is given.
+        monkeypatch.setenv(
+            "JAX_COMPILATION_CACHE_DIR", str(tmp_path / "env-cache")
+        )
+        got2 = enable_persistent_compilation_cache()
+        assert got2 == str(tmp_path / "env-cache")
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old)
