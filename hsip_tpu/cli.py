@@ -126,7 +126,19 @@ def build_parser() -> argparse.ArgumentParser:
             "and DDT detection over Photron CIHX/MRAW recordings."
         ),
     )
+    from . import __version__
+
+    parser.add_argument(
+        "--version", action="version", version=f"hsip_tpu {__version__}"
+    )
     parser.add_argument("--config", type=Path, help="TOML/JSON config file")
+    parser.add_argument(
+        "--detection-method",
+        choices=("combined", "threshold", "gradient", "half_maximum"),
+        default=None,
+        help="front-detection method (overrides config-file sources when "
+        "given; default: combined, the reference tracker)",
+    )
     parser.add_argument("--video-path", help="directory of .cihx recordings")
     parser.add_argument("--output-dir", help="output directory")
     parser.add_argument("--name", default="source", help="source name")
@@ -226,6 +238,8 @@ def main(argv: Optional[List[str]] = None) -> int:
             cfg.trigger_frame = args.trigger_frame
         if args.relative_time:
             cfg.use_absolute_time = False
+        if args.detection_method:
+            cfg.detection_method = args.detection_method
 
     processor = None
     if args.distributed:

@@ -100,6 +100,30 @@ def test_cli_parser_defaults():
     args = build_parser().parse_args(["--video-path", "x"])
     assert args.backend == "tpu"
     assert not args.no_images
+    assert args.detection_method is None
+
+
+def test_cli_detection_method_flag(videos, tmp_path, capsys):
+    rc = main([
+        "--video-path", str(videos), "--output-dir", str(tmp_path / "o"),
+        "--calibration", "0.001", "--no-images", "--no-sequences",
+        "--detection-method", "threshold", "--quiet",
+    ])
+    assert rc == 0
+    tables = list((tmp_path / "o").glob("*-flame-position.txt"))
+    assert tables and any(
+        l for l in tables[0].read_text().splitlines()
+        if l and not l.startswith("#")
+    )
+
+
+def test_cli_version(capsys):
+    import hsip_tpu
+
+    with pytest.raises(SystemExit) as e:
+        main(["--version"])
+    assert e.value.code == 0
+    assert hsip_tpu.__version__ in capsys.readouterr().out
 
 
 def test_config_rejects_unknown_source_keys(tmp_path):
