@@ -10,8 +10,10 @@ index is data, not control flow).
 Contract-identical to the jnp reference
 (:func:`hsip_tpu.kernels.preprocess.diff_profiles_from_band` composed with
 the diff/threshold step); validated against it in tests (interpret mode on
-CPU, compiled on TPU). Grid: one program per frame; block shapes
-(1, B, W_padded) with W padded to the 128-lane boundary.
+CPU, compiled on TPU). Grid: one program per frame; block shape
+(1, B, W) with the raw width passed through — Mosaic handles trailing-dim
+lane tiling for non-128-multiple widths (verified on chip at W=136/520/
+1000).
 """
 
 from __future__ import annotations
@@ -47,8 +49,10 @@ def _reflect_pad_w(x: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=-1)
 
 
-def _open_rows(x, k, op, dilation):
-    """Sliding min/max along rows (axis 0), VALID."""
+def _open_rows(x, k, op):
+    """Sliding min/max along rows (axis 0), VALID — window placement
+    (erosion vs dilation origin) is absorbed by the VALID crop accounting
+    in band_margin, so rows need no origin flag."""
     nrows = x.shape[0]
     out = x[0 : nrows - k + 1]
     for off in range(1, k):
@@ -67,8 +71,7 @@ def _open_w(x, k, op, dilation, w):
     return out
 
 
-def _make_kernel(k: int, taps: np.ndarray, width: int, band: int,
-                 threshold_is_arg: bool = True):
+def _make_kernel(k: int, taps: np.ndarray, width: int):
     ntaps = taps.shape[0]
     radius = (ntaps - 1) // 2
     taps_f = [float(t) for t in taps]
@@ -86,9 +89,9 @@ def _make_kernel(k: int, taps: np.ndarray, width: int, band: int,
         # Grey opening: erosion (min) then dilation (max), k x k flat,
         # reflect along W, VALID along rows (band margins absorb it).
         ero = _open_w(diff, k, jnp.minimum, False, width)
-        ero = _open_rows(ero, k, jnp.minimum, False)
+        ero = _open_rows(ero, k, jnp.minimum)
         opened = _open_w(ero, k, jnp.maximum, True, width)
-        opened = _open_rows(opened, k, jnp.maximum, True)
+        opened = _open_rows(opened, k, jnp.maximum)
 
         # Separable Gaussian: horizontal reflect, vertical VALID.
         padded = _reflect_pad_w(opened, radius, radius)
@@ -148,7 +151,7 @@ def pallas_band_profiles(
     if b != expected_b:
         raise ValueError(f"band height {b} != expected {expected_b}")
 
-    kernel = _make_kernel(k, taps, w, b)
+    kernel = _make_kernel(k, taps, w)
     prior_clamped = jnp.maximum(prior_index, 0).astype(jnp.int32)
     thresh_arr = jnp.full((1,), frame_diff_threshold, dtype=jnp.float32)
 

@@ -41,6 +41,7 @@ __all__ = [
     "blur_band",
     "sobel_gradient_lines",
     "diff_profiles_from_band",
+    "band_to_profiles",
     "batch_centerline_profiles",
     "subtract_background",
     "signal_count",
@@ -72,8 +73,7 @@ def reflect_indices(center: int, margin: int, n: int) -> np.ndarray:
     (symmetric) folding into [0, n): triangle wave of period 2n."""
     idx = np.arange(center - margin, center + margin + 1)
     period = 2 * n
-    idx = np.mod(idx, period)
-    idx = np.where(idx < 0, idx + period, idx)
+    idx = np.mod(idx, period)  # non-negative: np.mod keeps the divisor's sign
     return np.where(idx >= n, period - 1 - idx, idx).astype(np.int32)
 
 
@@ -109,9 +109,10 @@ def _sliding_extremum_w(x: jnp.ndarray, k: int, op, dilation: bool) -> jnp.ndarr
     return out
 
 
-def _sliding_extremum_rows(x: jnp.ndarray, k: int, op, dilation: bool) -> jnp.ndarray:
+def _sliding_extremum_rows(x: jnp.ndarray, k: int, op) -> jnp.ndarray:
     """Running min/max along the row (second-to-last) axis, VALID — shrinks
-    the band by k-1 rows."""
+    the band by k-1 rows (window origin is absorbed by the VALID crop
+    accounting in band_margin, so rows need no erosion/dilation flag)."""
     if k <= 1:
         return x
     nrows = x.shape[-2]
@@ -130,10 +131,10 @@ def grey_opening_band(band: jnp.ndarray, k: int) -> jnp.ndarray:
     """
     # Erosion: min filter. scipy centers even windows left for erosion.
     ero = _sliding_extremum_w(band, k, jnp.minimum, dilation=False)
-    ero = _sliding_extremum_rows(ero, k, jnp.minimum, dilation=False)
+    ero = _sliding_extremum_rows(ero, k, jnp.minimum)
     # Dilation: max filter with flipped (mirrored) window placement.
     dil = _sliding_extremum_w(ero, k, jnp.maximum, dilation=True)
-    dil = _sliding_extremum_rows(dil, k, jnp.maximum, dilation=True)
+    dil = _sliding_extremum_rows(dil, k, jnp.maximum)
     return dil
 
 
@@ -199,6 +200,54 @@ def diff_profiles_from_band(
     return sobel_gradient_lines(blurred)
 
 
+def band_to_profiles(
+    band: jnp.ndarray,
+    prior_index: jnp.ndarray,
+    frame_diff_threshold,
+    morphology_kernel_size: int,
+    gaussian_sigma: float,
+    use_pallas: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """BG-subtracted band (N, 2M+1, W) → masked (sobel, gradient, intensity)
+    centerline profiles: prior gather → diff → threshold → fused chain →
+    zero rows without a prior. The single semantic core shared by every
+    band entry point (full-frame gather, packed full-frame, packed band).
+
+    Validates the band height against ``band_margin`` on BOTH kernel paths:
+    a band built for different (k, sigma) would otherwise silently produce
+    profiles centered off the centerline (the Pallas path raised, the jnp
+    path did not).
+    """
+    expected = 2 * band_margin(morphology_kernel_size, gaussian_sigma) + 1
+    if band.shape[-2] != expected:
+        raise ValueError(
+            f"band has {band.shape[-2]} rows; k={morphology_kernel_size}, "
+            f"sigma={gaussian_sigma} needs {expected}"
+        )
+    if use_pallas:
+        from .pallas_preprocess import pallas_band_profiles
+
+        sob, grad, intens = pallas_band_profiles(
+            band, prior_index, frame_diff_threshold,
+            morphology_kernel_size=morphology_kernel_size,
+            gaussian_sigma=gaussian_sigma,
+        )
+    else:
+        taps = jnp.asarray(gaussian_taps(gaussian_sigma))
+        prior_band = band[jnp.maximum(prior_index, 0)]
+        diff = band - prior_band
+        diff = jnp.where(diff < frame_diff_threshold, 0.0, diff)
+        sob, grad, intens = diff_profiles_from_band(
+            diff, morphology_kernel_size, taps
+        )
+    valid = (prior_index >= 0)[:, None]
+    return (
+        jnp.where(valid, sob, 0.0),
+        jnp.where(valid, grad, 0.0),
+        jnp.where(valid, intens, 0.0),
+    )
+
+
 def subtract_background(frames: jnp.ndarray, background_scalar: float) -> jnp.ndarray:
     """Scalar background subtraction clamped at zero (float32)."""
     return jnp.maximum(frames.astype(jnp.float32) - background_scalar, 0.0)
@@ -256,31 +305,14 @@ def batch_centerline_profiles(
         center_row = h // 2
     margin = band_margin(morphology_kernel_size, gaussian_sigma)
     rows = jnp.asarray(reflect_indices(center_row, margin, h))
-    taps = jnp.asarray(gaussian_taps(gaussian_sigma))
 
     sub = subtract_background(frames, background_scalar)
     counts = signal_count(sub, noise_threshold)
 
     band = sub[:, rows, :]  # (N, 2M+1, W)
     raw_center_lines = band[:, margin, :]
-    if use_pallas:
-        from .pallas_preprocess import pallas_band_profiles
-
-        sobel_lines, gradient_lines, intensity_lines = pallas_band_profiles(
-            band, prior_index, frame_diff_threshold,
-            morphology_kernel_size=morphology_kernel_size,
-            gaussian_sigma=gaussian_sigma,
-        )
-    else:
-        prior_band = band[jnp.maximum(prior_index, 0)]
-        diff = band - prior_band
-        diff = jnp.where(diff < frame_diff_threshold, 0.0, diff)
-        sobel_lines, gradient_lines, intensity_lines = diff_profiles_from_band(
-            diff, morphology_kernel_size, taps
-        )
-
-    valid = (prior_index >= 0)[:, None]
-    sobel_lines = jnp.where(valid, sobel_lines, 0.0)
-    gradient_lines = jnp.where(valid, gradient_lines, 0.0)
-    intensity_lines = jnp.where(valid, intensity_lines, 0.0)
+    sobel_lines, gradient_lines, intensity_lines = band_to_profiles(
+        band, prior_index, frame_diff_threshold,
+        morphology_kernel_size, gaussian_sigma, use_pallas,
+    )
     return sobel_lines, gradient_lines, intensity_lines, raw_center_lines, counts

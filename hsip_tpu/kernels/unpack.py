@@ -19,12 +19,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .preprocess import (
-    band_margin,
-    diff_profiles_from_band,
-    gaussian_taps,
-    reflect_indices,
-)
+from .preprocess import band_margin, band_to_profiles, reflect_indices
 
 __all__ = [
     "unpack_12bit_device",
@@ -105,34 +100,15 @@ def packed_band_profiles(
         12: unpack_12bit_device,
         16: unpack_16bit_device,
     }[bit_depth]
-    band_pixels = unpack(
-        band_bytes.reshape(band_bytes.shape[0], band_bytes.shape[1], -1),
-        out_dtype=jnp.float32,
-    )  # (N, B, W)
+    band_pixels = unpack(band_bytes, out_dtype=jnp.float32)  # (N, B, W)
     band = jnp.maximum(band_pixels - background_scalar, 0.0)
     margin = (band.shape[1] - 1) // 2
     raw_center_lines = band[:, margin, :]
 
-    if use_pallas:
-        from .pallas_preprocess import pallas_band_profiles
-
-        sobel_lines, gradient_lines, intensity_lines = pallas_band_profiles(
-            band, prior_index, frame_diff_threshold,
-            morphology_kernel_size=morphology_kernel_size,
-            gaussian_sigma=gaussian_sigma,
-        )
-    else:
-        taps = jnp.asarray(gaussian_taps(gaussian_sigma))
-        prior_band = band[jnp.maximum(prior_index, 0)]
-        diff = band - prior_band
-        diff = jnp.where(diff < frame_diff_threshold, 0.0, diff)
-        sobel_lines, gradient_lines, intensity_lines = diff_profiles_from_band(
-            diff, morphology_kernel_size, taps
-        )
-    valid = (prior_index >= 0)[:, None]
-    sobel_lines = jnp.where(valid, sobel_lines, 0.0)
-    gradient_lines = jnp.where(valid, gradient_lines, 0.0)
-    intensity_lines = jnp.where(valid, intensity_lines, 0.0)
+    sobel_lines, gradient_lines, intensity_lines = band_to_profiles(
+        band, prior_index, frame_diff_threshold,
+        morphology_kernel_size, gaussian_sigma, use_pallas,
+    )
     return sobel_lines, gradient_lines, intensity_lines, raw_center_lines
 
 
@@ -163,12 +139,10 @@ def packed_centerline_profiles(
     band (2M+1 rows) is decoded on-device and the empty-frame signal count
     is computed from the full decoded frame (one cheap pass).
     """
-    n = packed.shape[0]
     if center_row is None:
         center_row = height // 2
     margin = band_margin(morphology_kernel_size, gaussian_sigma)
     rows = jnp.asarray(reflect_indices(center_row, margin, height))
-    taps = jnp.asarray(gaussian_taps(gaussian_sigma))
 
     # Empty-frame counts need the whole frame: decode once, count, discard.
     # (XLA fuses the decode+compare+reduce into one pass over the bytes.)
@@ -180,23 +154,8 @@ def packed_centerline_profiles(
     band = jnp.maximum(band_pixels - background_scalar, 0.0)
     raw_center_lines = band[:, margin, :]
 
-    if use_pallas:
-        from .pallas_preprocess import pallas_band_profiles
-
-        sobel_lines, gradient_lines, intensity_lines = pallas_band_profiles(
-            band, prior_index, frame_diff_threshold,
-            morphology_kernel_size=morphology_kernel_size,
-            gaussian_sigma=gaussian_sigma,
-        )
-    else:
-        prior_band = band[jnp.maximum(prior_index, 0)]
-        diff = band - prior_band
-        diff = jnp.where(diff < frame_diff_threshold, 0.0, diff)
-        sobel_lines, gradient_lines, intensity_lines = diff_profiles_from_band(
-            diff, morphology_kernel_size, taps
-        )
-    valid = (prior_index >= 0)[:, None]
-    sobel_lines = jnp.where(valid, sobel_lines, 0.0)
-    gradient_lines = jnp.where(valid, gradient_lines, 0.0)
-    intensity_lines = jnp.where(valid, intensity_lines, 0.0)
+    sobel_lines, gradient_lines, intensity_lines = band_to_profiles(
+        band, prior_index, frame_diff_threshold,
+        morphology_kernel_size, gaussian_sigma, use_pallas,
+    )
     return sobel_lines, gradient_lines, intensity_lines, raw_center_lines, counts

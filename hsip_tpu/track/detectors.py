@@ -47,6 +47,7 @@ def detect_threshold(
     fraction: float = 0.5,
     min_intensity: float = 0.0,
     bounds: Optional[Tuple[int, int]] = None,
+    quantize: bool = False,
 ) -> Optional[int]:
     """Rightmost edge of the contiguous above-threshold region.
 
@@ -59,9 +60,18 @@ def detect_threshold(
     if win.size == 0:
         return None
     peak = float(np.max(win))
+    if quantize:
+        # f32-quantized thresholds: bit-identical decisions to the device
+        # scan's native float32 compares (see FlameTracker).
+        min_intensity = float(np.float32(min_intensity))
     if peak <= min_intensity:
         return None
-    thr = float(threshold) if threshold is not None else fraction * peak
+    if threshold is not None:
+        thr = float(threshold)
+    elif quantize:
+        thr = float(np.float32(np.float32(fraction) * np.float32(peak)))
+    else:
+        thr = fraction * peak
     peak_idx = int(np.argmax(win))
     mask = win >= thr
     if not mask[peak_idx]:
@@ -77,6 +87,7 @@ def detect_half_maximum(
     fraction: float = 0.5,
     min_intensity: float = 0.0,
     bounds: Optional[Tuple[int, int]] = None,
+    quantize: bool = False,
 ) -> Optional[int]:
     """First falling-edge crossing of ``fraction`` × peak, right of the peak.
 
@@ -87,9 +98,14 @@ def detect_half_maximum(
     if win.size == 0:
         return None
     peak = float(np.max(win))
+    if quantize:
+        min_intensity = float(np.float32(min_intensity))
     if peak <= min_intensity:
         return None
-    level = fraction * peak
+    if quantize:
+        level = float(np.float32(np.float32(fraction) * np.float32(peak)))
+    else:
+        level = fraction * peak
     peak_idx = int(np.argmax(win))
     below = np.nonzero(win[peak_idx:] < level)[0]
     if below.size == 0:
@@ -102,6 +118,7 @@ def detect_gradient(
     profile: np.ndarray,
     min_strength: float = 0.0,
     bounds: Optional[Tuple[int, int]] = None,
+    quantize: bool = False,
 ) -> Optional[int]:
     """Location of the steepest intensity DROP (most negative gradient)."""
     win, offset = _window(np.asarray(profile, dtype=np.float64), bounds)
@@ -109,6 +126,8 @@ def detect_gradient(
         return None
     grad = np.gradient(win)
     min_val = float(np.min(grad))
+    if quantize:
+        min_strength = float(np.float32(min_strength))
     if min_val >= -min_strength or min_val >= 0:
         return None
     return offset + int(np.argmin(grad))
@@ -122,6 +141,7 @@ def detect_profile(
     method: str,
     config: Optional[FlameDetectorConfig] = None,
     bounds: Optional[Tuple[int, int]] = None,
+    quantize: bool = False,
 ) -> Optional[int]:
     """Dispatch a named detection method over a centerline profile.
 
@@ -135,6 +155,7 @@ def detect_profile(
             fraction=config.threshold_fraction,
             min_intensity=config.min_gradient_strength,
             bounds=bounds,
+            quantize=quantize,
         )
     if method == "half_maximum":
         return detect_half_maximum(
@@ -142,10 +163,12 @@ def detect_profile(
             fraction=config.half_maximum_fraction,
             min_intensity=config.min_gradient_strength,
             bounds=bounds,
+            quantize=quantize,
         )
     if method == "gradient":
         return detect_gradient(
-            profile, min_strength=config.min_gradient_strength, bounds=bounds
+            profile, min_strength=config.min_gradient_strength, bounds=bounds,
+            quantize=quantize,
         )
     raise ValueError(
         f"Unknown detection method {method!r}; expected one of "

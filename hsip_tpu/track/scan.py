@@ -453,8 +453,16 @@ def run_tracking_scan(
     check → velocity-drop check → record), in float64 on host.
 
     ``on_result(result, tracker)`` is invoked per detection (for viz hooks).
+
+    Thresholds quantize to float32 here (profiles are f32), making every
+    threshold decision bit-identical to the on-device lax.scan backend —
+    the two scans differ by construction in NOTHING, not just "within
+    margins". The full-frame float64 ``FlameDetector`` (exact backend)
+    keeps pure f64 thresholds; its anchor is the scipy oracle.
     """
-    tracker = FlameTracker(config, frame_rate, calibration_m_per_px)
+    tracker = FlameTracker(
+        config, frame_rate, calibration_m_per_px, quantize_thresholds=True
+    )
     rows: List[Tuple] = []
     empty_count = 0
     break_frame = None

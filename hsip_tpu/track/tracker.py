@@ -50,10 +50,19 @@ class FlameTracker:
         config: FlameDetectorConfig,
         frame_rate: float,
         calibration_m_per_px: float,
+        quantize_thresholds: bool = False,
     ):
         self.config = config
         self.frame_rate = frame_rate
         self.calibration = calibration_m_per_px
+        #: The f32-profile scan paths set this True: config thresholds and
+        #: fraction×peak products quantize to float32 so decisions are
+        #: BIT-IDENTICAL to the on-device lax.scan (which computes in f32).
+        #: The full-frame float64 FlameDetector keeps pure f64 thresholds —
+        #: its anchor is the scipy oracle, not the device scan. Profile
+        #: values are f32-exact in the scan paths, so quantization moves
+        #: thresholds by <= 2^-24 relative — far below detection margins.
+        self.quantize_thresholds = quantize_thresholds
 
         # (frame_idx, position | None), appended every step.
         self._position_history: List[Tuple[int, Optional[int]]] = []
@@ -192,13 +201,24 @@ class FlameTracker:
         if len(search_sobel) == 0 or len(search_gradient) == 0:
             return None, None
 
-        if np.min(search_gradient) < -self.config.min_gradient_strength:
+        min_strength = self.config.min_gradient_strength
+        fraction = self.config.sobel_threshold_fraction
+        if self.quantize_thresholds:
+            min_strength = float(np.float32(min_strength))
+
+        if np.min(search_gradient) < -min_strength:
             pos_min_gradient = search_start + int(np.argmin(search_gradient))
 
         abs_sobel = np.abs(search_sobel)
         sobel_max = np.max(abs_sobel)
-        if sobel_max > self.config.min_gradient_strength:
-            above = np.nonzero(abs_sobel > sobel_max * self.config.sobel_threshold_fraction)[0]
+        if sobel_max > min_strength:
+            if self.quantize_thresholds:
+                # Mirror the device's f32 product exactly (f32 inputs).
+                thr = float(np.float32(np.float32(sobel_max)
+                                       * np.float32(fraction)))
+            else:
+                thr = sobel_max * fraction
+            above = np.nonzero(abs_sobel > thr)[0]
             if above.size:
                 pos_rightmost_sobel = search_start + int(above[-1])
 
@@ -255,6 +275,7 @@ class FlameTracker:
                     method,
                     self.config,
                     bounds=(search_start, search_end),
+                    quantize=self.quantize_thresholds,
                 )
 
         pos_spline_predicted = None

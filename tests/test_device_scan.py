@@ -318,6 +318,60 @@ def test_track_collection_device_sharded_over_mesh(tmp_path):
     coll.close_all()
 
 
+def test_threshold_product_boundary_host_equals_device():
+    """Host scan and device scan must pick the SAME position when a profile
+    value sits exactly at the fraction×peak threshold (host thresholds are
+    f32-quantized to mirror the device's native float32 product — an f64
+    host product provably flips the rightmost-Sobel pick at such values,
+    e.g. smax=3185.1714, frac=0.1: f32 product 318.51715 vs f64 …13867)."""
+    import jax.numpy as jnp
+
+    from hsip_tpu.track.scan import FrameProfiles, run_tracking_scan
+
+    config = FlameDetectorConfig()
+    W, fps, cal = 256, 100_000.0, 0.0008
+    smax = np.float32(3185.1714)
+    boundary = np.float32(np.float32(smax) * np.float32(config.sobel_threshold_fraction))
+    probes = [boundary,
+              np.nextafter(boundary, np.float32(np.inf)),
+              np.nextafter(boundary, np.float32(-np.inf))]
+    for q in probes:
+        sob = np.zeros((2, W), dtype=np.float32)
+        sob[1, 100] = smax          # the window max
+        sob[1, 120] = 500.0         # clearly above threshold
+        sob[1, 140] = q             # the boundary probe, rightmost candidate
+        grad = np.zeros((2, W), dtype=np.float32)  # no min-gradient candidate
+        profiles = FrameProfiles(
+            frame_indices=np.array([0, 1]),
+            sobel_lines=sob,
+            gradient_lines=grad,
+            intensity_lines=np.zeros((2, W), np.float32),
+            raw_center_lines=np.zeros((2, W), np.float32),
+            signal_counts=np.array([10_000, 10_000]),
+            has_prior=np.array([False, True]),
+            width=W,
+            total_pixels=W * 64,
+        )
+        host = run_tracking_scan(profiles, config, fps, cal)
+
+        dev = device_tracking_scan(
+            profiles.frame_indices.astype(np.int32),
+            jnp.asarray(sob), jnp.asarray(grad),
+            jnp.zeros(2, bool), jnp.asarray(profiles.has_prior),
+            width=W,
+            min_gradient_strength=np.float32(config.min_gradient_strength),
+            sobel_threshold_fraction=np.float32(config.sobel_threshold_fraction),
+            ddt_velocity_jump=np.float32(config.ddt_velocity_jump_m_s),
+            calibration=np.float32(cal), frame_rate=np.float32(fps),
+            max_displacement_px=np.int32(16),
+        )
+        host_pos = host.rows[0][2] if host.rows else None
+        finals = np.asarray(dev.final_position)
+        recs = np.asarray(dev.recorded)
+        dev_pos = int(finals[1]) if recs[1] else None
+        assert host_pos == dev_pos, (float(q), host_pos, dev_pos)
+
+
 def test_device_gradient_exact_at_f64_ties():
     """The device 'gradient' detector carries differences as exact
     double-float pairs, so argmin ordering matches the host's float64
