@@ -201,10 +201,17 @@ def process_video_file(
         output_dir = Path(config.output_dir) if config.output_dir else None
         frames_output_dir = None
         do_images = config.save_frame_images if save_images is None else save_images
+        if backend == "device" and do_images:
+            # The fully on-device scan exposes no per-frame hook.
+            print("  Note: per-frame figures unavailable with backend='device'")
+            do_images = False
         if write_outputs and output_dir is not None:
             output_dir.mkdir(parents=True, exist_ok=True)
-            frames_output_dir = output_dir / f"{cihx_file.stem}-frames"
-            frames_output_dir.mkdir(parents=True, exist_ok=True)
+            if do_images or config.save_stacked_sequences:
+                # Only when figures will actually be written — otherwise a
+                # library run litters one empty '<stem>-frames/' per video.
+                frames_output_dir = output_dir / f"{cihx_file.stem}-frames"
+                frames_output_dir.mkdir(parents=True, exist_ok=True)
 
         # Paper-style stacked sequences (viz, root-only in distributed runs).
         if (
@@ -239,10 +246,6 @@ def process_video_file(
 
         on_result = None
         viz_tasks = []
-        if backend == "device" and do_images:
-            # The fully on-device scan exposes no per-frame hook.
-            print("  Note: per-frame figures unavailable with backend='device'")
-            do_images = False
         if do_images and frames_output_dir is not None and write_outputs:
             _task_fields = (
                 "frame_idx", "time_s", "pos_min_gradient", "pos_rightmost_sobel",

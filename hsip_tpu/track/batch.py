@@ -78,6 +78,15 @@ class ScanHistory:
         return [e for e in self.get_velocity_history() if e[0] >= self._ddt]
 
 
+def _checked_stop(stop: int, m: int) -> int:
+    """A device-scan stop step must land on a real step (padding is inert)."""
+    if stop >= m:
+        raise AssertionError(
+            f"device scan stopped at padded step {stop} (video has {m})"
+        )
+    return stop
+
+
 def build_device_scan_output(
     frame_indices,
     empty,
@@ -347,7 +356,10 @@ def _track_uniform_videos(
                 finals[i, :m],
                 recs[i, :m],
                 posts[i, :m],
-                stop_step=stop if stop < m else m - 1,
+                # Stops can only latch on active non-empty steps, and every
+                # padded step [m, n_max) is inert (empty=True) — fail loudly
+                # rather than mislabel a padding-region stop as frame m-1.
+                stop_step=_checked_stop(stop, m),
                 stop_reason=int(stop_reasons[i]),
                 clear_vc_entry=int(clear_entries[i]),
                 ddt_frame=int(ddt_frames[i]),

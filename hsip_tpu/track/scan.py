@@ -195,7 +195,11 @@ def compute_profiles_batched(
     chunks = []  # (pos, stop, lo, hi, local, prior_index_full)
     pos = 0
     while pos < m:
-        stop = min(m, pos + chunk_size)
+        # Interior chunks take chunk_size-1 NEW frames: with the one-frame
+        # prior overlap their batch spans exactly chunk_size rows, landing
+        # on the power-of-two bucket. chunk_size frames would span
+        # chunk_size+1 rows and bucket-pad to DOUBLE the transfer.
+        stop = min(m, pos + (chunk_size if pos == 0 else chunk_size - 1))
         head = processed[max(pos - 1, 0)]
         lo = int(head) if pos > 0 else int(processed[pos])
         hi = int(processed[stop - 1]) + 1
@@ -249,65 +253,73 @@ def compute_profiles_batched(
     from concurrent.futures import ThreadPoolExecutor
 
     count_pool = ThreadPoolExecutor(max_workers=1) if use_band else None
-    for ci, (pos, stop, lo, hi, local, prior_index_full) in enumerate(chunks):
-        if use_band:
-            # Minimal-transfer path: counts on host (C++ fused pass over the
-            # memmap, releases the GIL) run CONCURRENTLY with band gathering
-            # and the host->device transfer; only band rows ship.
-            counts = count_pool.submit(
-                count_fn, lo, hi, background_scalar, noise_threshold
+    try:
+        for ci, (pos, stop, lo, hi, local, prior_index_full) in enumerate(chunks):
+            if use_band:
+                # Minimal-transfer path: counts on host (C++ fused pass over the
+                # memmap, releases the GIL) run CONCURRENTLY with band gathering
+                # and the host->device transfer; only band rows ship.
+                counts = count_pool.submit(
+                    count_fn, lo, hi, background_scalar, noise_threshold
+                )
+                host = np.ascontiguousarray(read_band(lo, hi, band_rows))
+                host, prior_index_full = _pad_batch(host, prior_index_full)
+                dev = jax.device_put(host)
+                sob, grad, intens, rawc = packed_band_profiles(
+                    dev,
+                    np.float32(background_scalar),
+                    prior_index_full,
+                    np.float32(config.frame_diff_threshold),
+                    morphology_kernel_size=config.morphology_kernel_size,
+                    gaussian_sigma=config.gaussian_sigma,
+                    use_pallas=use_pallas,
+                    bit_depth=band_bit_depth,
+                )
+                del dev, host
+                # counts is a Future: resolved in the drain loop so chunk i's
+                # host count pass overlaps chunk i+1's gather/transfer.
+                pending.append((pos, stop, local, sob, grad, intens, rawc, counts))
+                continue
+            host = (
+                np.ascontiguousarray(read_packed(lo, hi))
+                if read_packed is not None
+                else read_batch(lo, hi)
             )
-            host = np.ascontiguousarray(read_band(lo, hi, band_rows))
             host, prior_index_full = _pad_batch(host, prior_index_full)
             dev = jax.device_put(host)
-            sob, grad, intens, rawc = packed_band_profiles(
-                dev,
-                np.float32(background_scalar),
-                prior_index_full,
-                np.float32(config.frame_diff_threshold),
-                morphology_kernel_size=config.morphology_kernel_size,
-                gaussian_sigma=config.gaussian_sigma,
-                use_pallas=use_pallas,
-                bit_depth=band_bit_depth,
-            )
+            if read_packed is not None:
+                sob, grad, intens, rawc, counts = packed_centerline_profiles(
+                    dev,
+                    h,
+                    w,
+                    np.float32(background_scalar),
+                    prior_index_full,
+                    np.float32(config.frame_diff_threshold),
+                    np.float32(noise_threshold),
+                    morphology_kernel_size=config.morphology_kernel_size,
+                    gaussian_sigma=config.gaussian_sigma,
+                    use_pallas=use_pallas,
+                )
+            else:
+                sob, grad, intens, rawc, counts = device_fn(
+                    dev,
+                    np.float32(background_scalar),
+                    prior_index_full,
+                    np.float32(config.frame_diff_threshold),
+                    np.float32(noise_threshold),
+                    morphology_kernel_size=config.morphology_kernel_size,
+                    gaussian_sigma=config.gaussian_sigma,
+                    use_pallas=use_pallas,
+                )
             del dev, host
-            # counts is a Future: resolved in the drain loop so chunk i's
-            # host count pass overlaps chunk i+1's gather/transfer.
             pending.append((pos, stop, local, sob, grad, intens, rawc, counts))
-            continue
-        host = (
-            np.ascontiguousarray(read_packed(lo, hi))
-            if read_packed is not None
-            else read_batch(lo, hi)
-        )
-        host, prior_index_full = _pad_batch(host, prior_index_full)
-        dev = jax.device_put(host)
-        if read_packed is not None:
-            sob, grad, intens, rawc, counts = packed_centerline_profiles(
-                dev,
-                h,
-                w,
-                np.float32(background_scalar),
-                prior_index_full,
-                np.float32(config.frame_diff_threshold),
-                np.float32(noise_threshold),
-                morphology_kernel_size=config.morphology_kernel_size,
-                gaussian_sigma=config.gaussian_sigma,
-                use_pallas=use_pallas,
-            )
-        else:
-            sob, grad, intens, rawc, counts = device_fn(
-                dev,
-                np.float32(background_scalar),
-                prior_index_full,
-                np.float32(config.frame_diff_threshold),
-                np.float32(noise_threshold),
-                morphology_kernel_size=config.morphology_kernel_size,
-                gaussian_sigma=config.gaussian_sigma,
-                use_pallas=use_pallas,
-            )
-        del dev, host
-        pending.append((pos, stop, local, sob, grad, intens, rawc, counts))
+
+    finally:
+        if count_pool is not None:
+            # Tear the worker down deterministically (queued count futures
+            # still execute and stay resolvable; wait=False so a raise in
+            # the dispatch loop doesn't block on them).
+            count_pool.shutdown(wait=False)
 
     def _counts_of(c):
         return c.result() if hasattr(c, "result") else c
@@ -478,8 +490,6 @@ def run_tracking_scan(
     intensity_lines, detect_gate = profiles.select_intensity(
         detection_method, use_frame_diff
     )
-    if intensity_lines is None and detection_method != "combined":
-        intensity_lines = profiles.intensity_lines
 
     for j, frame_idx in enumerate(profiles.frame_indices):
         frame_idx = int(frame_idx)
@@ -681,8 +691,15 @@ def track_video(
         background_scalar = float(np.max(video[0]))
 
     if mesh is not None:
+        sharded_kwargs = {}
+        if chunk_size is not None:
+            # Honor the caller's host-memory bound: chunk_size total frames
+            # per streamed chunk ≈ frames_per_shard × n_shards.
+            n_shards = mesh.shape["frame"]
+            sharded_kwargs["frames_per_shard"] = max(1, chunk_size // n_shards)
         profiles = _compute_profiles_sharded(
-            video, background_scalar, config, skip_frames, mesh
+            video, background_scalar, config, skip_frames, mesh,
+            **sharded_kwargs,
         )
         time_fn = (
             video.get_absolute_time if use_absolute_time else video.get_time

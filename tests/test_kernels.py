@@ -163,3 +163,71 @@ def test_pallas_band_profiles_matches_jnp_interpret():
                                atol=1e-4, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(intens)[1:], np.asarray(r_intens)[1:],
                                atol=1e-4, rtol=1e-5)
+
+
+def test_chunk_batches_land_on_buckets_with_overlap():
+    """Interior chunks take chunk_size-1 new frames so the one-frame prior
+    overlap lands the batch EXACTLY on the power-of-two bucket (regression:
+    chunk_size new frames spanned chunk_size+1 rows and bucket-padded to
+    double the transfer on every steady-state chunk)."""
+    from hsip_tpu.track.config import FlameDetectorConfig
+    from hsip_tpu.track.scan import compute_profiles_batched
+
+    n, h, w = 200, 32, 128
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 4096, size=(n, h, w), dtype=np.uint16)
+    shapes = []
+
+    def spy_fn(batch, *args, **kwargs):
+        from hsip_tpu.kernels.preprocess import batch_centerline_profiles
+
+        shapes.append(batch.shape[0])
+        return batch_centerline_profiles(batch, *args, **kwargs)
+
+    profiles = compute_profiles_batched(
+        read_batch=lambda a, b: frames[a:b],
+        n_frames=n,
+        frame_shape=(h, w),
+        background_scalar=100.0,
+        config=FlameDetectorConfig(),
+        chunk_size=64,
+        device_fn=spy_fn,
+        use_pallas=False,
+    )
+    # 64 new + (63+1)*2 + tail: batches 64, 64, 64, 10->16. No 2x padding.
+    assert shapes[:3] == [64, 64, 64], shapes
+    assert all(s <= 64 for s in shapes), shapes
+    assert profiles.frame_indices.size == n
+
+
+def test_multi_chunk_profiles_match_single_chunk():
+    """Chunked map phase (with prior overlap) must produce identical
+    profiles to one big batch, for contiguous and skip-listed frames."""
+    from hsip_tpu.track.config import FlameDetectorConfig
+    from hsip_tpu.track.scan import compute_profiles_batched
+
+    n, h, w = 150, 32, 128
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 4096, size=(n, h, w), dtype=np.uint16)
+    config = FlameDetectorConfig()
+
+    def run(chunk, skip=()):
+        return compute_profiles_batched(
+            read_batch=lambda a, b: frames[a:b],
+            n_frames=n,
+            frame_shape=(h, w),
+            background_scalar=100.0,
+            config=config,
+            chunk_size=chunk,
+            skip_frames=skip,
+            use_pallas=False,
+        )
+
+    for skip in ((), (0, 3, 77, 149)):
+        big = run(1024, skip)
+        small = run(17, skip)
+        np.testing.assert_array_equal(big.frame_indices, small.frame_indices)
+        np.testing.assert_array_equal(big.sobel_lines, small.sobel_lines)
+        np.testing.assert_array_equal(big.gradient_lines, small.gradient_lines)
+        np.testing.assert_array_equal(big.intensity_lines, small.intensity_lines)
+        np.testing.assert_array_equal(big.signal_counts, small.signal_counts)

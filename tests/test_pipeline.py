@@ -126,8 +126,9 @@ def test_results_tables_written_with_reference_format(recording, tmp_path):
     # DDT split files exist (DDT occurs in this recording).
     assert (out_dir / f"{stem}-flame-position-pre-DDT.txt").exists()
     assert (out_dir / f"{stem}-flame-position-post-DDT.txt").exists()
-    # Frame images were disabled but the frames dir exists for sequences.
-    assert (out_dir / f"{stem}-frames").exists()
+    # Figures and sequences were both disabled: no empty '<stem>-frames/'
+    # directory is littered into the output tree.
+    assert not (out_dir / f"{stem}-frames").exists()
 
 
 def test_write_position_results_none_velocities(tmp_path):
