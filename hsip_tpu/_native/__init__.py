@@ -19,7 +19,29 @@ import numpy as np
 __all__ = ["native_decoder", "NativeDecoder", "build_library"]
 
 _SRC = Path(__file__).parent / "mraw_decode.cpp"
-_LIB = Path(__file__).parent / "libmraw_decode.so"
+
+
+def _host_tag() -> str:
+    """CPU fingerprint for the .so cache name: -march=native binaries must
+    not be dlopen'd on a different microarchitecture (shared filesystems,
+    baked container images) — that dies with SIGILL, not an exception."""
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = line
+                    break
+    except OSError:
+        pass
+    digest = hashlib.sha256(flags.encode()).hexdigest()[:8]
+    return f"{platform.machine()}-{digest}"
+
+
+_LIB = Path(__file__).parent / f"libmraw_decode-{_host_tag()}.so"
 _BUILD_LOCK = threading.Lock()
 _DECODER: Optional["NativeDecoder"] = None
 _FAILED = False

@@ -196,12 +196,21 @@ def read_cih_header(filepath: PathLike) -> Dict[str, Any]:
                 try:
                     info[key] = int(float(value))
                 except ValueError:
-                    info[key] = 0
+                    # Omit rather than coerce to 0: downstream cannot tell a
+                    # real 0 from garbage, and the absent-key fallbacks (frame
+                    # count from file size, default bit depth) are correct.
+                    print(
+                        f"Warning: ignoring malformed .cih value "
+                        f"{key!r} : {value!r} in {filepath}"
+                    )
             elif key in _CIH_FLOAT_KEYS:
                 try:
                     info[key] = float(_parse_shutter(value))
                 except (ValueError, ZeroDivisionError):
-                    info[key] = 0.0
+                    print(
+                        f"Warning: ignoring malformed .cih value "
+                        f"{key!r} : {value!r} in {filepath}"
+                    )
             else:
                 info[key] = value
     return info

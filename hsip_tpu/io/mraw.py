@@ -248,6 +248,14 @@ class MRAWReader:
                 f"bit_depth={self.bit_depth}"
             )
         rows = np.asarray(rows, dtype=np.int64)
+        # Validate up front so the native and numpy paths behave identically
+        # (numpy fancy indexing would silently wrap negatives; the reshape
+        # below would raise confusingly on a stop past EOF).
+        if rows.size and (rows.min() < 0 or rows.max() >= self.height):
+            raise ValueError(
+                f"row indices out of range [0, {self.height}): {rows}"
+            )
+        stop = min(stop, self._total_frames)
         if self._native is not None:
             # Parallel C++ gather (OpenMP memcpy per row) — bandwidth-bound,
             # but unlike numpy's single-threaded gather it holds its rate

@@ -61,14 +61,21 @@ class CihxSpec:
 
 
 def _cihx_xml(spec: CihxSpec) -> bytes:
-    """Render the embedded <cih> XML document."""
+    """Render the embedded <cih> XML document (text fields escaped)."""
+    from xml.sax.saxutils import escape
+
+    comment = escape(str(spec.comment))
+    device_name = escape(str(spec.device_name))
+    date = escape(str(spec.date))
+    time_s = escape(str(spec.time))
+    file_format = escape(str(spec.file_format))
     xml = f"""<?xml version="1.0" encoding="UTF-8"?>
 <cih>
   <fileInfo>
-    <date>{spec.date}</date>
-    <time>{spec.time}</time>
-    <fileFormat>{spec.file_format}</fileFormat>
-    <comment>{spec.comment}</comment>
+    <date>{date}</date>
+    <time>{time_s}</time>
+    <fileFormat>{file_format}</fileFormat>
+    <comment>{comment}</comment>
   </fileInfo>
   <recordInfo>
     <recordRate>{spec.record_rate}</recordRate>
@@ -96,7 +103,7 @@ def _cihx_xml(spec: CihxSpec) -> bytes:
     </colorInfo>
   </imageDataInfo>
   <deviceInfo>
-    <deviceName>{spec.device_name}</deviceName>
+    <deviceName>{device_name}</deviceName>
     <recordRate>{spec.record_rate}</recordRate>
     <irig>{spec.irig}</irig>
   </deviceInfo>
@@ -121,6 +128,12 @@ def write_cihx(path: PathLike, spec: CihxSpec, preamble_bytes: int = 64) -> Path
 def write_cih(path: PathLike, spec: CihxSpec) -> Path:
     """Write a plain-text .cih header ('Key : Value' lines + END)."""
     path = Path(path)
+    for field in ("comment", "device_name", "date", "time"):
+        if "\n" in str(getattr(spec, field)):
+            raise ValueError(
+                f"CihxSpec.{field} contains a newline — .cih is a "
+                f"line-oriented format"
+            )
     lines = [
         "#Camera Information Header",
         f"Date : {spec.date}",
@@ -172,13 +185,30 @@ def write_recording(
     metadata_format: str = "cihx",
     **spec_overrides,
 ) -> Path:
-    """Write a full recording (metadata + payload); returns the metadata path."""
+    """Write a full recording (metadata + payload); returns the metadata path.
+
+    The payload packs at the STORAGE depth (``spec.color_bit`` when set,
+    else ``spec.bit_depth``) — the same 'Color Bit selects the container
+    decoder' contract readers follow, so a 12-effective-bits-in-16-bit-words
+    recording round-trips.
+    """
     directory = Path(directory)
     directory.mkdir(parents=True, exist_ok=True)
     n, h, w = frames.shape
     if spec is None:
         spec = CihxSpec(width=w, height=h, total_frames=n, **spec_overrides)
-    write_mraw(directory / f"{stem}.mraw", frames, bit_depth=spec.bit_depth)
+    elif spec_overrides:
+        raise ValueError(
+            f"spec_overrides {sorted(spec_overrides)} are ignored when an "
+            f"explicit spec is given — set them on the spec instead"
+        )
+    if (spec.total_frames, spec.height, spec.width) != (n, h, w):
+        raise ValueError(
+            f"spec geometry ({spec.total_frames}, {spec.height}, "
+            f"{spec.width}) does not match frames {frames.shape}"
+        )
+    storage_depth = spec.color_bit if spec.color_bit is not None else spec.bit_depth
+    write_mraw(directory / f"{stem}.mraw", frames, bit_depth=storage_depth)
     if metadata_format == "cihx":
         return write_cihx(directory / f"{stem}.cihx", spec)
     if metadata_format == "cih":
@@ -255,6 +285,9 @@ def synthesize_flame_video(
         profiles = flame.flame_level / (
             1.0 + np.exp((xs[None, :] - pos_lit) / max(flame.edge_width_px, 1e-3))
         )  # (L, W) float
-        frames[lit] += profiles.astype(np.uint16)[:, None, :]
+        # Saturating add in int32: background + flame_level above the uint16
+        # (or container) ceiling must clamp, not wrap around to darkness.
+        summed = frames[lit].astype(np.int32) + profiles.astype(np.int32)[:, None, :]
+        frames[lit] = np.minimum(summed, max_dn).astype(np.uint16)
     np.minimum(frames, max_dn, out=frames)
     return frames, positions

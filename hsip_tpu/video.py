@@ -112,7 +112,11 @@ class TimingInfo:
         )
 
     def time_to_frame(self, time_seconds: float) -> int:
-        """Inverse of :meth:`frame_to_time` (trigger-relative)."""
+        """Inverse of :meth:`frame_to_time` (trigger-relative).
+
+        Truncates toward zero like the reference (video.py:259-267) — NOT
+        nearest-frame rounding, and pre-trigger (negative) times truncate in
+        the opposite direction from post-trigger ones. Kept for parity."""
         if self.frame_rate <= 0:
             return 0
         return int(time_seconds * self.frame_rate) + self.trigger_frame
@@ -313,7 +317,16 @@ class PhotonVideo:
 
     @property
     def bit_depth(self) -> int:
-        return int(self._raw_info.get("EffectiveBit Depth", 16))
+        """EFFECTIVE sensor bit depth (full-scale), falling back to the
+        storage word size ('Color Bit') when the header omits it — the
+        normalization denominator for :meth:`to_float64`. Note the container
+        DECODER is keyed on 'Color Bit', not this."""
+        depth = int(
+            self._raw_info.get(
+                "EffectiveBit Depth", self._raw_info.get("Color Bit", 16)
+            )
+        )
+        return depth if depth > 0 else 16
 
     @property
     def shutter_speed(self) -> float:
@@ -393,12 +406,8 @@ class PhotonVideo:
         """
         reader = self._require_reader()
         if isinstance(key, (int, np.integer)):
-            key = int(key)
-            if key < 0:
-                key = self._len + key
-            if not 0 <= key < self._len:
-                raise IndexError(f"Frame index {key} out of range [0, {self._len})")
-            return reader.read_frame(key)
+            # Negative-index normalization + bounds check live in the reader.
+            return reader.read_frame(int(key))
         if isinstance(key, slice):
             return reader.read_frames(key)
         raise TypeError(f"Indices must be integers or slices, not {type(key).__name__}")

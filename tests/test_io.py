@@ -269,3 +269,114 @@ def test_band_bytes_and_count_above(tmp_path):
     path8 = write_mraw(tmp_path / "b8.mraw", np.clip(frames, 0, 255), bit_depth=8)
     r8 = MRAWReader(path8, width=64, height=32, bit_depth=8)
     assert r8.count_above(0, 2, 0.0, 0.0) is None
+
+
+def test_write_recording_packs_at_storage_depth(tmp_path):
+    """A 12-effective-bits-in-16-bit-words spec (color_bit=16) must
+    round-trip: the payload packs at the STORAGE depth the header
+    advertises (regression: it packed at the effective depth and the
+    reader saw a truncated file)."""
+    from hsip_tpu import open_video
+    from hsip_tpu.io import CihxSpec, write_recording
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 4096, size=(6, 16, 64), dtype=np.uint16)
+    meta = write_recording(
+        tmp_path, "cb-run-1-a", frames,
+        spec=CihxSpec(width=64, height=16, total_frames=6, bit_depth=12,
+                      color_bit=16),
+    )
+    with open_video(str(meta)) as v:
+        assert len(v) == 6
+        np.testing.assert_array_equal(v[3], frames[3])
+        assert v.bit_depth == 12  # effective depth for normalization
+        f64 = v.to_float64(normalize=True)
+        assert np.isfinite(f64[3]).all()
+        assert f64[3].max() <= 1.0 and f64[3].max() > 0.5  # /4095, not /65535
+
+
+def test_write_recording_rejects_mismatched_spec(tmp_path):
+    from hsip_tpu.io import CihxSpec, write_recording
+
+    frames = np.zeros((4, 8, 16), dtype=np.uint16)
+    with pytest.raises(ValueError, match="geometry"):
+        write_recording(tmp_path, "bad", frames,
+                        spec=CihxSpec(width=99, height=8, total_frames=4))
+    with pytest.raises(ValueError, match="spec_overrides"):
+        write_recording(tmp_path, "bad2", frames,
+                        spec=CihxSpec(width=16, height=8, total_frames=4),
+                        record_rate=500)
+
+
+def test_cihx_xml_escapes_metacharacters(tmp_path):
+    from hsip_tpu.io import CihxSpec, read_cihx_header, write_cihx
+
+    spec = CihxSpec(width=16, height=8, total_frames=2,
+                    comment="P&ID <test> \"quoted\"",
+                    device_name="Cam & Co <X>")
+    path = write_cihx(tmp_path / "esc.cihx", spec)
+    info = read_cihx_header(path)
+    assert info["Total Frame"] == 2  # parsed despite metacharacters
+
+
+def test_cih_malformed_numeric_values_omitted(tmp_path, capsys):
+    """Garbage numerics must be OMITTED (with a warning), not coerced to 0 —
+    an absent Total Frame falls back to inferring the count from the
+    payload size; a 0 silently produced an empty video."""
+    from hsip_tpu import open_video
+    from hsip_tpu.io import write_mraw
+
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 4096, size=(5, 8, 32), dtype=np.uint16)
+    write_mraw(tmp_path / "m.mraw", frames, bit_depth=12)
+    (tmp_path / "m.cih").write_text(
+        "#Camera Information Header\n"
+        "Record Rate(fps) : 1000\n"
+        "Total Frame : N/A\n"
+        "Image Width : 32\n"
+        "Image Height : 8\n"
+        "EffectiveBit Depth : twelve\n"
+        "Color Bit : 12\n"
+        "END\n"
+    )
+    with open_video(str(tmp_path / "m.cih")) as v:
+        assert len(v) == 5  # inferred from payload size
+        np.testing.assert_array_equal(v[2], frames[2])
+        assert v.bit_depth == 12  # Color Bit fallback, not 16 / not 0
+        assert np.isfinite(v.to_float64()[0]).all()
+    assert "malformed .cih value" in capsys.readouterr().out
+
+
+def test_flame_level_saturates_instead_of_wrapping():
+    from hsip_tpu.io import FlameSpec, synthesize_flame_video
+
+    frames, _ = synthesize_flame_video(
+        6, height=8, width=64,
+        flame=FlameSpec(flame_level=65500, ignition_frame=1),
+        bit_depth=16,
+    )
+    lit = frames[3]
+    # Plateau clamps at the container max; never darker than background.
+    assert lit.max() == 65535
+    assert lit[:, 0].min() > 30  # left edge is lit, not wrapped to ~5
+
+
+def test_band_bytes_backend_consistency(tmp_path):
+    """Native and numpy band gathers must agree on edge inputs: negative
+    rows raise on BOTH paths; stop past EOF truncates on BOTH."""
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 4096, size=(4, 16, 64), dtype=np.uint16)
+    path = write_mraw(tmp_path / "b.mraw", frames, bit_depth=12)
+    reader = MRAWReader(path, width=64, height=16, bit_depth=12)
+    rows = np.array([0, 7, 15])
+    for native in (reader._native, None):
+        saved, reader._native = reader._native, native
+        try:
+            with pytest.raises(ValueError, match="row indices"):
+                reader.band_bytes(0, 4, np.array([-1]))
+            with pytest.raises(ValueError, match="row indices"):
+                reader.band_bytes(0, 4, np.array([16]))
+            band = reader.band_bytes(2, 99, rows)  # stop past EOF truncates
+            assert band.shape == (2, 3, 96)
+        finally:
+            reader._native = saved
