@@ -49,7 +49,16 @@ def _load_config_file(path: Path) -> Dict[str, Any]:
     if path.suffix.lower() == ".json":
         return json.loads(path.read_text())
     if path.suffix.lower() == ".toml":
-        import tomllib
+        try:
+            import tomllib
+        except ImportError:  # Python 3.10 (requires-python >= 3.10)
+            try:
+                import tomli as tomllib
+            except ImportError:
+                raise RuntimeError(
+                    "TOML configs need Python >= 3.11 (stdlib tomllib) or "
+                    "the 'tomli' package; use a JSON config otherwise"
+                ) from None
 
         return tomllib.loads(path.read_text())
     raise ValueError(f"Unsupported config format: {path.suffix} (use .toml or .json)")
@@ -68,6 +77,13 @@ def _source_from_dict(d: Dict[str, Any], base_path: Optional[str]) -> VideoSourc
     if style not in ("full", "compact"):
         raise ValueError(
             f"Invalid figure_style {style!r} (expected 'full' or 'compact')"
+        )
+    method = d.get("detection_method", "combined")
+    if method not in ("combined", "threshold", "gradient", "half_maximum"):
+        # Fail at config-parse time, not after a full map phase per file.
+        raise ValueError(
+            f"Invalid detection_method {method!r} (expected 'combined', "
+            f"'threshold', 'gradient' or 'half_maximum')"
         )
     fcs = [
         FileCalibration(

@@ -30,14 +30,8 @@ def build_multichip_step(mesh, height: int, width: int, axis_frame: str = "frame
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from ..kernels.preprocess import (
-        band_margin,
-        diff_profiles_from_band,
-        gaussian_taps,
-        reflect_indices,
-        signal_count,
-        subtract_background,
-    )
+    from ..kernels.preprocess import band_margin, gaussian_taps, reflect_indices
+    from .sharding import shard_band_profiles
 
     margin = band_margin(3, 1.5)
     rows = reflect_indices(height // 2, margin, height)
@@ -45,29 +39,16 @@ def build_multichip_step(mesh, height: int, width: int, axis_frame: str = "frame
     n_frame_shards = mesh.shape[axis_frame]
 
     def per_shard(frames, background, diff_threshold, noise_threshold):
-        # frames: (v_local, n_local, H, W)
-        sub = subtract_background(frames, background)
-        counts = signal_count(sub, noise_threshold)          # (v_local, n_local)
-        band = sub[:, :, jnp.asarray(rows), :]               # (v, n, B, W)
-
-        # Frame-axis halo: previous shard's last band (per video row).
-        last = band[:, -1:]
-        halo = jax.lax.ppermute(
-            last, axis_frame,
-            perm=[(i, (i + 1) % n_frame_shards) for i in range(n_frame_shards)],
-        )
-        prior = jnp.concatenate([halo, band[:, :-1]], axis=1)
-        diff = jnp.where(band - prior < diff_threshold, 0.0, band - prior)
-
-        sob, grad, _intens = diff_profiles_from_band(diff, 3, jnp.asarray(taps))
-
-        # Zero the global first frame of each video (no prior).
-        fid = jax.lax.axis_index(axis_frame)
-        first = (fid == 0) & (
-            jax.lax.broadcasted_iota(jnp.int32, sob.shape, 1) == 0
-        )
-        sob = jnp.where(first, 0.0, sob)
-        grad = jnp.where(first, 0.0, grad)
+        # frames: (v_local, n_local, H, W). The band/halo/diff math is THE
+        # production shard body (sharding.shard_band_profiles), vmapped over
+        # the video axis — the dry-run validates exactly what ships.
+        sob, grad, _intens, _raw, counts = jax.vmap(
+            lambda fr: shard_band_profiles(
+                fr, background, diff_threshold, noise_threshold,
+                rows=rows, margin=margin, morphology_kernel_size=3,
+                taps=taps, axis_name=axis_frame, n_shards=n_frame_shards,
+            )
+        )(frames)
 
         # On-device candidate extraction (device half of the scan).
         pos_min_grad = jnp.argmin(grad, axis=-1)             # (v, n)

@@ -36,6 +36,10 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"make_mesh needs {n_devices} devices, found {len(devices)}"
+            )
         devices = devices[:n_devices]
     return Mesh(np.array(devices), (axis_name,))
 

@@ -39,10 +39,16 @@ def initialize_distributed(**kwargs) -> None:
     Re-raises real initialization failures — silently degrading to serial
     rank-0 would make every host process all videos and overwrite shared
     outputs."""
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():
+        return
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        if "already initialized" not in str(e).lower():
+        # Older/newer jax word the double-init error differently
+        # ("already initialized" vs "should only be called once").
+        msg = str(e).lower()
+        if "already initialized" not in msg and "only be called once" not in msg:
             raise
 
 

@@ -35,7 +35,65 @@ from ..kernels.preprocess import (
     subtract_background,
 )
 
-__all__ = ["sharded_centerline_profiles", "make_sharded_profile_fn"]
+__all__ = [
+    "sharded_centerline_profiles",
+    "make_sharded_profile_fn",
+    "shard_band_profiles",
+]
+
+
+def shard_band_profiles(
+    frames_local: jnp.ndarray,
+    background,
+    diff_threshold,
+    noise_threshold,
+    *,
+    rows: np.ndarray,
+    margin: int,
+    morphology_kernel_size: int,
+    taps: np.ndarray,
+    axis_name: str,
+    n_shards: int,
+):
+    """Per-device band→profiles body with frame-axis halo exchange.
+
+    ``frames_local`` is this device's (n_local, H, W) contiguous frames;
+    frame i's differencing prior is frame i-1 globally — the first local
+    frame's prior band arrives from the left neighbor via one ``ppermute``
+    message; global frame 0 gets zero profiles (no prior). The SINGLE body
+    shared by the production shard fn and the driver dry-run, so the
+    dry-run always validates exactly the math production ships.
+    Returns (sobel, gradient, intensity, raw_center, counts), all local.
+    """
+    sub = subtract_background(frames_local, background)
+    counts = signal_count(sub, noise_threshold)
+    band = sub[:, jnp.asarray(rows), :]  # (n_local, B, W)
+
+    # Halo: ppermute shifts shard s -> s+1 (rightward along the ring).
+    last_row = band[-1:]  # (1, B, W)
+    halo = jax.lax.ppermute(
+        last_row,
+        axis_name,
+        perm=[(i, (i + 1) % n_shards) for i in range(n_shards)],
+    )
+    prior_band = jnp.concatenate([halo, band[:-1]], axis=0)
+
+    diff = band - prior_band
+    diff = jnp.where(diff < diff_threshold, 0.0, diff)
+    sob, grad, intens = diff_profiles_from_band(
+        diff, morphology_kernel_size, jnp.asarray(taps)
+    )
+    raw_center = band[:, margin, :]
+
+    # Global frame 0 (shard 0, local row 0) has no prior: zero it.
+    shard_id = jax.lax.axis_index(axis_name)
+    is_first = (shard_id == 0) & (
+        jax.lax.broadcasted_iota(jnp.int32, sob.shape, 0) == 0
+    )
+    sob = jnp.where(is_first, 0.0, sob)
+    grad = jnp.where(is_first, 0.0, grad)
+    intens = jnp.where(is_first, 0.0, intens)
+    return sob, grad, intens, raw_center, counts
 
 
 def make_sharded_profile_fn(
@@ -73,36 +131,12 @@ def make_sharded_profile_fn(
 
     def per_shard(frames_local, background, diff_threshold, noise_threshold):
         # frames_local: (n_local, H, W) — this device's contiguous frames.
-        sub = subtract_background(frames_local, background)
-        counts = signal_count(sub, noise_threshold)
-        band = sub[:, jnp.asarray(rows), :]  # (n_local, B, W)
-
-        # Halo: first local frame's prior is the neighbor's last band row.
-        # ppermute shifts shard s -> s+1 (rightward along the ring).
-        last_row = band[-1:]  # (1, B, W)
-        halo = jax.lax.ppermute(
-            last_row,
-            axis_name,
-            perm=[(i, (i + 1) % n_shards) for i in range(n_shards)],
+        return shard_band_profiles(
+            frames_local, background, diff_threshold, noise_threshold,
+            rows=rows, margin=margin,
+            morphology_kernel_size=morphology_kernel_size,
+            taps=taps_np, axis_name=axis_name, n_shards=n_shards,
         )
-        prior_band = jnp.concatenate([halo, band[:-1]], axis=0)
-
-        diff = band - prior_band
-        diff = jnp.where(diff < diff_threshold, 0.0, diff)
-        sob, grad, intens = diff_profiles_from_band(
-            diff, morphology_kernel_size, jnp.asarray(taps_np)
-        )
-        raw_center = band[:, margin, :]
-
-        # Global frame 0 (shard 0, local row 0) has no prior: zero it.
-        shard_id = jax.lax.axis_index(axis_name)
-        is_first = (shard_id == 0) & (
-            jax.lax.broadcasted_iota(jnp.int32, sob.shape, 0) == 0
-        )
-        sob = jnp.where(is_first, 0.0, sob)
-        grad = jnp.where(is_first, 0.0, grad)
-        intens = jnp.where(is_first, 0.0, intens)
-        return sob, grad, intens, raw_center, counts
 
     sharded = shard_map(
         per_shard,

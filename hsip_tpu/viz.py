@@ -520,10 +520,26 @@ _WORKER_ENTRIES: list = []
 
 
 def _render_worker_init(entries=None):
+    """Initializer for SPAWNED render workers only (never the parent).
+
+    Workers must never grab the TPU: the env var alone does not stick in
+    this environment (an import hook rewrites jax_platforms — see
+    CLAUDE.md), so also force the platform through jax.config, which is
+    effective before the worker's first backend init.
+    """
     import os
 
-    # Workers must never grab the TPU (pure host rendering).
     os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # rendering is pure numpy+matplotlib; jax is belt-and-braces
+    _set_worker_entries(entries)
+
+
+def _set_worker_entries(entries):
     if entries is not None:
         # The full position history ships ONCE per worker; tasks carry only
         # a cutoff index (a per-task prefix copy would be O(F^2)).
@@ -634,6 +650,7 @@ def render_diagnostics_parallel(
     if workers is None:
         workers = min(8, os.cpu_count() or 1)
 
+    Path(output_dir).mkdir(parents=True, exist_ok=True)
     entries = list(entries)
     frame_of = {e[0]: i for i, e in enumerate(entries)}
     job_args = []
@@ -646,7 +663,10 @@ def render_diagnostics_parallel(
         )
 
     if workers <= 1 or len(job_args) <= 1:
-        _render_worker_init(entries)
+        # Serial fallback runs IN the caller's process: set only the entries
+        # global — never the platform env/config (that would silently pin a
+        # library user's whole process to CPU).
+        _set_worker_entries(entries)
         try:
             return [_render_one(a) for a in job_args]
         finally:

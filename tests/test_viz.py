@@ -1,5 +1,7 @@
 """Visualization smoke tests: figures render and write non-trivial PNGs."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 
@@ -117,3 +119,52 @@ def test_config_rejects_bad_figure_style(tmp_path):
     p.write_text(json.dumps({"source": [{"name": "X", "figure_style": "Compact"}]}))
     with _pytest.raises(ValueError, match="figure_style"):
         load_config(p)
+
+
+def test_render_diagnostics_parallel_end_to_end(tmp_path):
+    """The default-on production figure path (worker pool + prefix history
+    reconstruction) must actually write figures through process_video_file
+    — both the pooled and serial fallbacks — without mutating the parent
+    process's platform env."""
+    import os
+
+    from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
+    from hsip_tpu.pipeline import process_video_file
+    from hsip_tpu.track import VideoSourceConfig
+    from hsip_tpu import viz as vizmod
+
+    frames, _ = synthesize_flame_video(
+        10, height=32, width=192,
+        flame=FlameSpec(x0=20, v0_px=8, ignition_frame=2, seed=8),
+    )
+    meta = write_recording(tmp_path, "viz-run-1-a", frames,
+                           spec=CihxSpec(width=192, height=32, total_frames=10,
+                                         record_rate=50_000))
+    cfg = VideoSourceConfig(name="V", save_frame_images=True,
+                            save_stacked_sequences=False,
+                            figure_style="compact")
+    cfg.output_dir = str(tmp_path / "out")
+
+    env_before = os.environ.get("JAX_PLATFORMS")
+    out = process_video_file(meta, cfg, verbose=False)
+    assert len(out.rows) > 3
+    pngs = sorted((tmp_path / "out" / "viz-run-1-a-frames").glob("V-Frame-*.png"))
+    assert len(pngs) == len(out.rows)
+    assert pngs[0].stat().st_size > 5_000  # a real rendered figure
+
+    # Serial fallback (single task) renders in-process and must NOT pin the
+    # caller's platform env.
+    one = [t for t in [1]]  # noqa: F841 (clarity)
+    tasks = [{
+        "frame_idx": out.rows[0][0], "time_s": out.rows[0][1],
+        "pos_min_gradient": None, "pos_rightmost_sobel": None,
+        "pos_spline_predicted": None, "search_bounds": (0, 192),
+        "final_position": out.rows[0][2],
+    }]
+    paths = vizmod.render_diagnostics_parallel(
+        str(meta), tasks, out.tracker.position_history,
+        50_000.0, 0.001, 40.0, tmp_path / "serial", "S", workers=1,
+        style="compact",
+    )
+    assert len(paths) == 1 and Path(paths[0]).exists()
+    assert os.environ.get("JAX_PLATFORMS") == env_before
