@@ -97,19 +97,22 @@ class VideoSourceConfig:
 
     @property
     def video_path(self) -> Optional[str]:
-        return self._video_path
+        return self._resolve_path(self._video_path)
 
     @video_path.setter
     def video_path(self, path: Optional[str]):
-        self._video_path = self._resolve_path(path)
+        # Store raw; the getter resolves LAZILY so assignment order with
+        # base_path doesn't matter (eager resolution silently froze paths
+        # against the CWD when base_path was set afterwards).
+        self._video_path = path
 
     @property
     def output_dir(self) -> Optional[str]:
-        return self._output_dir
+        return self._resolve_path(self._output_dir)
 
     @output_dir.setter
     def output_dir(self, path: Optional[str]):
-        self._output_dir = self._resolve_path(path)
+        self._output_dir = path
 
     def _resolve_path(self, path: Optional[str]) -> Optional[str]:
         """Relative paths resolve against ``base_path`` (or the CWD)."""
@@ -170,6 +173,18 @@ class FlameDetectorConfig:
     # Standalone profile detectors (README-documented methods)
     threshold_fraction: float = 0.5          # 'threshold' method: fraction of peak
     half_maximum_fraction: float = 0.5       # 'half_maximum' method
+
+    def __post_init__(self):
+        # Fractions of the window peak: a value > 1 can never be crossed
+        # (a common percent-vs-fraction config mistake) and <= 0 matches
+        # everything. The reference's combined-tracker tunables keep its
+        # anything-goes behavior; these two fields are our additions.
+        for name in ("threshold_fraction", "half_maximum_fraction"):
+            v = getattr(self, name)
+            if not 0.0 < v <= 1.0:
+                raise ValueError(
+                    f"{name} must be in (0, 1], got {v} (use 0.5 for 50%)"
+                )
 
 
 @dataclass

@@ -111,6 +111,11 @@ def detect_half_maximum(
     if below.size == 0:
         # Never falls below: the edge is the window end.
         return offset + win.size - 1
+    if int(below[0]) == 0:
+        # The peak itself sits below the level (fraction > 1): there is no
+        # half-maximum crossing — returning peak_idx-1 would hand back a
+        # position LEFT of (possibly outside) the search window.
+        return None
     return offset + peak_idx + int(below[0]) - 1
 
 

@@ -79,7 +79,11 @@ def _detect_window_half_maximum(profile, in_window, cols, fraction, min_intensit
     ).astype(jnp.int32)
     window_end = jnp.max(jnp.where(in_window, cols, -1)).astype(jnp.int32)
     edge = jnp.where(first_below > window_end, window_end, first_below - 1)
-    ok = peak > min_intensity
+    # edge >= peak_idx rejects the no-crossing case (the peak itself below
+    # the level, fraction > 1) — the host returns None there; peak_idx-1
+    # would be a position LEFT of the window (and -1 at column 0 would
+    # collide with the no-detection sentinel).
+    ok = (peak > min_intensity) & (edge >= peak_idx)
     return jnp.where(ok, edge, -1)
 
 

@@ -502,17 +502,23 @@ class FlameDetector:
         gradient_line = None
         intensity_line = None
 
-        if self._prior_frame is not None:
+        # Named profile methods never read the Sobel/gradient images; skip
+        # those full-frame float64 passes unless they feed the combined
+        # tracker or the caller keeps intermediates for visualization.
+        need_edges = self.detection_method == "combined" or self._keep_results
+        need_diff = self.use_frame_diff or need_edges
+        if self._prior_frame is not None and need_diff:
             frame_diff = hostops.subtract_prior_frame(
                 frame_subtracted, self._prior_frame, self.config.frame_diff_threshold
             )
             k = self.config.morphology_kernel_size
             noise_removed = hostops.grey_opening(frame_diff, (k, k))
             blurred = hostops.gaussian_filter(noise_removed, self.config.gaussian_sigma)
-            sobel_output = hostops.sobel(blurred, axis=1)
-            gradient_output = hostops.gradient_x(blurred)
-            sobel_line = sobel_output[center_row, :]
-            gradient_line = gradient_output[center_row, :]
+            if need_edges:
+                sobel_output = hostops.sobel(blurred, axis=1)
+                gradient_output = hostops.gradient_x(blurred)
+                sobel_line = sobel_output[center_row, :]
+                gradient_line = gradient_output[center_row, :]
             intensity_line = blurred[center_row, :]
         if not self.use_frame_diff:
             # Named methods read the raw BG-subtracted centerline instead of

@@ -66,6 +66,15 @@ def velocities_from_positions(
     (v1, v2, vc)}, with the ``clear_vc_entry`` ordinal's central difference
     invalidated (the truncation-time ``clear_last_central_difference``)."""
     vel = velocity_entries_from_positions(entries, frame_rate, calibration)
-    if 0 <= clear_vc_entry < len(vel):
+    if clear_vc_entry >= len(vel):
+        # The ordinal comes from the device scan's entry counter; running
+        # past the host reconstruction means the two implementations
+        # disagree about which steps appended entries — surface it rather
+        # than silently keeping a v_central the reference would have nulled.
+        raise AssertionError(
+            f"clear_vc_entry {clear_vc_entry} out of range for "
+            f"{len(vel)} velocity entries (host/device entry-count drift)"
+        )
+    if clear_vc_entry >= 0:
         vel[clear_vc_entry][3] = None
     return {e[0]: (e[1], e[2], e[3]) for e in vel}

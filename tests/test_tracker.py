@@ -454,3 +454,62 @@ def test_detector_matches_scipy_oracle_random_configs(seed):
         assert r.search_bounds == o_bounds, f"bounds diverged at {i} cfg={cfg}"
         assert r.final_position == o_final, f"final diverged at {i} cfg={cfg}"
     assert det.ddt_frame == oracle.ddt
+
+
+def test_half_maximum_no_crossing_returns_none():
+    """fraction > 1 puts the level above the peak: no crossing exists, so
+    the detector must return None instead of peak_idx-1 (a position left
+    of — possibly outside — the search window)."""
+    from hsip_tpu.track.detectors import detect_half_maximum
+
+    profile = np.zeros(64)
+    profile[10] = 100.0
+    assert detect_half_maximum(profile, fraction=0.5, min_intensity=1.0) is not None
+    assert detect_half_maximum(profile, fraction=2.0, min_intensity=1.0) is None
+    # Peak at the window start: the buggy return would have been start-1.
+    assert detect_half_maximum(
+        profile, fraction=2.0, min_intensity=1.0, bounds=(10, 30)
+    ) is None
+
+
+def test_detector_config_rejects_percent_style_fractions():
+    from hsip_tpu.track import FlameDetectorConfig
+
+    with pytest.raises(ValueError, match="threshold_fraction"):
+        FlameDetectorConfig(threshold_fraction=50)
+    with pytest.raises(ValueError, match="half_maximum_fraction"):
+        FlameDetectorConfig(half_maximum_fraction=0.0)
+    FlameDetectorConfig(threshold_fraction=1.0)  # boundary OK
+
+
+def test_source_config_base_path_order_independent(tmp_path):
+    """Setting base_path AFTER video_path must still resolve against it
+    (paths resolve lazily; eager resolution froze them against the CWD)."""
+    from hsip_tpu.track import VideoSourceConfig
+
+    cfg = VideoSourceConfig(name="X")
+    cfg.video_path = "Nova-Video-Files"
+    cfg.base_path = str(tmp_path)
+    assert cfg.video_path == str(tmp_path / "Nova-Video-Files")
+    cfg.output_dir = "out"
+    assert cfg.output_dir == str(tmp_path / "out")
+
+
+def test_named_method_skips_edge_passes_but_keeps_viz_intermediates():
+    """FlameDetector with a named method must not pay the full-frame Sobel/
+    gradient passes when intermediates aren't kept — and must still produce
+    them when they are (viz)."""
+    from hsip_tpu.track import FlameDetector, FlameDetectorConfig
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 1000, size=(3, 24, 96)).astype(np.float64)
+    lean = FlameDetector(FlameDetectorConfig(), 1000.0, 0.001,
+                         keep_results=False, detection_method="threshold")
+    full = FlameDetector(FlameDetectorConfig(), 1000.0, 0.001,
+                         keep_results=True, detection_method="threshold")
+    for i, f in enumerate(frames):
+        r_lean = lean.detect(f, i, 10.0)
+        r_full = full.detect(f, i, 10.0)
+    assert r_lean.sobel_output is None  # skipped
+    assert r_full.sobel_output is not None  # kept for the 12-panel figure
+    assert r_lean.final_position == r_full.final_position
