@@ -5,7 +5,9 @@ widen with ``HSIP_FUZZ_CONFIGS=N``. Each case draws a random detector config,
 geometry, bit depth, and flame trajectory, then asserts the tpu, device, and
 exact backends emit identical position rows and truncation reasons — the
 whole-pipeline generalization of the fixed-seed parity tests in
-test_pipeline.py. Last full run: 10/10 exact (round 1 close-out).
+test_pipeline.py. Also fuzzes detection method, use_frame_diff, skip
+lists, metadata format (cihx/cih), odd/non-lane-multiple widths and
+Color Bit != effective depth containers. Last full run: 25/25 exact.
 """
 
 import os
@@ -47,8 +49,22 @@ def test_random_config_backend_parity(seed):
         exit_margin_px=int(rng.integers(8, 25)),
     )
     height = int(rng.choice([16, 32, 48, 96]))
-    width = int(rng.choice([256, 384, 512]))
+    # Include widths that are NOT lane-multiples and NOT byte-aligned for
+    # packed rows (odd width at 12-bit forces the host-decode fallback —
+    # regression class: the packed staging path used to crash on them).
+    width = int(rng.choice([255, 256, 330, 384, 500, 512]))
     depth = int(rng.choice([10, 12, 16]))
+    if depth == 10 and width % 4:
+        width += 4 - width % 4  # 10-bit packing needs width % 4 == 0
+    method = str(rng.choice(
+        ["combined", "combined", "threshold", "gradient", "half_maximum"]
+    ))
+    use_frame_diff = bool(rng.random() < 0.7)
+    metadata_format = str(rng.choice(["cihx", "cih"]))
+    # Occasionally store 12 effective bits in 16-bit words (Color Bit).
+    color_bit = 16 if (depth == 12 and rng.random() < 0.25) else None
+    skip = (sorted(rng.choice(np.arange(3, 20), size=3, replace=False).tolist())
+            if rng.random() < 0.3 else [])
     flame = FlameSpec(
         x0=float(rng.uniform(15, 60)),
         v0_px=float(rng.uniform(2, 14)),
@@ -71,12 +87,16 @@ def test_random_config_backend_parity(seed):
             Path(tmp), f"fuzz-run-{seed}-a", frames,
             spec=CihxSpec(width=width, height=height, total_frames=n_frames,
                           record_rate=int(rng.choice([50_000, 100_000])),
-                          bit_depth=depth),
+                          bit_depth=depth, color_bit=color_bit),
+            metadata_format=metadata_format,
         )
         cfg = VideoSourceConfig(
             name="FUZZ", save_frame_images=False,
             save_stacked_sequences=False,
             calibration=float(rng.uniform(4e-4, 1.5e-3)),
+            detection_method=method,
+            use_frame_diff=use_frame_diff,
+            skip_frames=skip,
         )
         outputs = {
             backend: process_video_file(meta, cfg, det, backend=backend,
