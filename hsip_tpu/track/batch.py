@@ -202,29 +202,37 @@ def _track_uniform_videos(
     use_frame_diff = source_config.use_frame_diff if source_config else True
 
     # --- map phase per video (chunked, packed on-device decode) ---
-    profiles: List[FrameProfiles] = []
-    for video in videos:
+    # A small thread pool overlaps one video's HOST work (C++ counts + band
+    # gather, both GIL-releasing) with another's device transfer/dispatch
+    # (jax dispatch is thread-safe). Order is preserved via executor.map.
+    def _map_one(video) -> FrameProfiles:
         bg = float(np.max(video[0]))
         read_packed, read_band, count_fn, storage_depth = video.staging_paths()
         cs = chunk_size or (4096 if read_band is not None else 256)
-        profiles.append(
-            compute_profiles_batched(
-                read_batch=video.read_batch,
-                n_frames=len(video),
-                frame_shape=video.frame_shape,
-                background_scalar=bg,
-                config=config,
-                skip_frames=(
-                    source_config.skip_frames if source_config is not None else ()
-                ),
-                chunk_size=cs,
-                read_packed=read_packed,
-                read_band=read_band,
-                count_fn=count_fn,
-                band_bit_depth=storage_depth,
-                keep_device=True,
-            )
+        return compute_profiles_batched(
+            read_batch=video.read_batch,
+            n_frames=len(video),
+            frame_shape=video.frame_shape,
+            background_scalar=bg,
+            config=config,
+            skip_frames=(
+                source_config.skip_frames if source_config is not None else ()
+            ),
+            chunk_size=cs,
+            read_packed=read_packed,
+            read_band=read_band,
+            count_fn=count_fn,
+            band_bit_depth=storage_depth,
+            keep_device=True,
         )
+
+    if len(videos) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(videos))) as pool:
+            profiles: List[FrameProfiles] = list(pool.map(_map_one, videos))
+    else:
+        profiles = [_map_one(v) for v in videos]
 
     # --- pad to a common step count; padding rows are 'empty' (no-ops) ---
     n_max = max(p.frame_indices.size for p in profiles)
