@@ -1,0 +1,221 @@
+"""Differential test: run the ACTUAL reference implementation side by side.
+
+Opt-in tier (``HSIP_REFERENCE=1``): loads the read-only reference checkout
+(``/root/reference``, overridable via ``HSIP_REFERENCE_ROOT``), satisfies its
+one missing dependency with a tiny in-memory ``pyMRAW`` shim backed by this
+framework's MRAW reader, runs the reference's own
+``process_video_source`` (``scripts/process_videos.py:1277``) on synthetic
+recordings, and byte-compares its ``*-flame-position*.txt`` tables against
+this framework's — for BOTH tracking backends ('tpu' host float64 scan and
+'device' on-device lax.scan).
+
+This is the strongest parity evidence in the suite: every other correctness
+test anchors on a re-implemented scipy oracle; this one anchors on the
+reference code itself. It exercises per-file calibration range matching,
+skip_frames, empty-frame skipping, DDT pre/post table splitting, the
+velocity merge, and domain-exit truncation end to end.
+
+Figure rendering is neutralized on both sides (tables only): the reference
+renders a 12-panel matplotlib figure per frame unconditionally
+(``process_videos.py:1474``), which is orthogonal to the tracked outputs.
+No reference code is copied — the module is loaded from its own checkout.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+import types
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
+
+REFERENCE_ROOT = Path(os.environ.get("HSIP_REFERENCE_ROOT", "/root/reference"))
+_REF_SCRIPT = REFERENCE_ROOT / "scripts" / "process_videos.py"
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("HSIP_REFERENCE") != "1" or not _REF_SCRIPT.exists(),
+    reason="opt-in differential tier: set HSIP_REFERENCE=1 (needs the "
+    "reference checkout and scipy/matplotlib)",
+)
+
+
+def _install_pymraw_shim() -> None:
+    """Provide ``pyMRAW.load_video`` from this framework's MRAW reader.
+
+    The reference's only hard dependency we don't ship is pyMRAW
+    (``src/photron/video.py:20-26``); its contract there is
+    ``load_video(path) -> (indexable frames, info dict)``.
+    """
+    if "pyMRAW" in sys.modules:
+        return
+    shim = types.ModuleType("pyMRAW")
+
+    def load_video(path):
+        from hsip_tpu.io.cihx import read_header
+        from hsip_tpu.io.mraw import MRAWReader, find_mraw_payload
+
+        info = read_header(path)
+        storage_bits = int(
+            info.get("Color Bit") or info.get("EffectiveBit Depth", 16)
+        )
+        reader = MRAWReader(
+            find_mraw_payload(path),
+            int(info["Image Width"]),
+            int(info["Image Height"]),
+            storage_bits,
+            total_frames=int(info["Total Frame"]) if "Total Frame" in info else None,
+        )
+        try:
+            images = reader.read_frames(slice(0, len(reader)))
+        finally:
+            reader.close()
+        return images, info
+
+    shim.load_video = load_video
+    sys.modules["pyMRAW"] = shim
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """The reference ``scripts/process_videos.py`` as an imported module."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    _install_pymraw_shim()
+    if str(REFERENCE_ROOT) not in sys.path:
+        sys.path.insert(0, str(REFERENCE_ROOT))
+    spec = importlib.util.spec_from_file_location("ref_process_videos", _REF_SCRIPT)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    # Tables-only comparison: per-frame figures dominate reference runtime
+    # and never feed back into positions/velocities/DDT.
+    mod.save_frame_image = lambda *a, **k: None
+    mod.generate_stacked_sequence = lambda *a, **k: None
+    mod.generate_stacked_sequence_single_column = lambda *a, **k: None
+    return mod
+
+
+# Three trajectories: plain propagation that exits the domain, a DDT jump
+# (pre/post split + velocity merge), and late ignition (empty-frame skips).
+_SCENARIOS = {
+    "nova-run-1-005": FlameSpec(
+        x0=25.0, v0_px=9.0, accel_px=0.05, ignition_frame=2, seed=7
+    ),
+    "nova-run-2-014": FlameSpec(
+        x0=20.0, v0_px=4.0, ddt_frame=22, v_jump_px=22.0, ignition_frame=3, seed=11
+    ),
+    "nova-run-3-021": FlameSpec(
+        x0=30.0, v0_px=6.0, ignition_frame=12, seed=13
+    ),
+}
+_N_FRAMES = 48
+_HEIGHT, _WIDTH = 64, 384
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("refdiff-videos")
+    spec = CihxSpec(
+        width=_WIDTH, height=_HEIGHT, total_frames=_N_FRAMES,
+        record_rate=100_000, bit_depth=12,
+    )
+    for stem, flame in _SCENARIOS.items():
+        frames, _ = synthesize_flame_video(
+            _N_FRAMES, height=_HEIGHT, width=_WIDTH, flame=flame
+        )
+        write_recording(d, stem, frames, spec=spec)
+    return d
+
+
+def _file_calibrations(mod):
+    """Same rules both sides; exercises exact + 'A:B' range matching."""
+    return [
+        mod.FileCalibration(
+            calibration=0.000833333, position_offset=1.0159,
+            files=["run-1"],
+        ),
+        mod.FileCalibration(
+            calibration=0.000869565, position_offset=1.197565,
+            files=["010:030"],  # matches the last integer in the name
+        ),
+    ]
+
+
+def _run_reference(ref, video_dir: Path, out_dir: Path) -> None:
+    config = ref.VideoSourceConfig(
+        name="diff",
+        enabled=True,
+        calibration=0.0005,
+        position_offset=0.25,
+        skip_frames=[5],
+        file_calibrations=_file_calibrations(ref),
+    )
+    config.video_path = str(video_dir)   # absolute: setter passes through
+    config.output_dir = str(out_dir)
+    ref.process_video_source(config, processor=None)
+
+
+def _run_ours(video_dir: Path, out_dir: Path, backend: str) -> None:
+    import hsip_tpu.track.config as cfg
+    from hsip_tpu.pipeline import process_video_source
+
+    config = cfg.VideoSourceConfig(
+        name="diff",
+        enabled=True,
+        calibration=0.0005,
+        position_offset=0.25,
+        skip_frames=[5],
+        file_calibrations=_file_calibrations(cfg),
+        save_frame_images=False,
+        save_stacked_sequences=False,
+    )
+    config.video_path = str(video_dir)
+    config.output_dir = str(out_dir)
+    process_video_source(config, backend=backend, verbose=False)
+
+
+def _tables(out_dir: Path) -> dict:
+    return {p.name: p.read_bytes() for p in sorted(out_dir.glob("*.txt"))}
+
+
+@pytest.fixture(scope="module")
+def reference_tables(ref, video_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("refdiff-ref-out")
+    _run_reference(ref, video_dir, out)
+    tables = _tables(out)
+    assert len(tables) >= len(_SCENARIOS), "reference produced no tables"
+    # The DDT scenario must actually split, or the test is vacuous.
+    assert any("post-DDT" in name for name in tables), (
+        "expected a post-DDT table from the DDT scenario"
+    )
+    # ... and the main tables must carry real tracked rows with velocities.
+    for stem in _SCENARIOS:
+        rows = [
+            line
+            for line in tables[f"{stem}-flame-position.txt"].decode().splitlines()
+            if line and not line.startswith("#")
+        ]
+        assert len(rows) > 10, f"{stem}: too few tracked rows ({len(rows)})"
+        assert any(len(r.split()) == 7 for r in rows), (
+            f"{stem}: no row carries all three velocity columns"
+        )
+    return tables
+
+
+@pytest.mark.parametrize("backend", ["tpu", "device"])
+def test_tables_byte_identical_to_reference(
+    reference_tables, video_dir, tmp_path, backend
+):
+    ours_dir = tmp_path / f"ours-{backend}"
+    _run_ours(video_dir, ours_dir, backend)
+    ours = _tables(ours_dir)
+    assert set(ours) == set(reference_tables)
+    for name in sorted(reference_tables):
+        assert ours[name] == reference_tables[name], (
+            f"{name} differs from the reference output (backend={backend})"
+        )
