@@ -1,0 +1,159 @@
+"""Randomized differential sweep against the ACTUAL reference implementation.
+
+Opt-in tier (``HSIP_REFERENCE=1``, same gate as
+``test_reference_differential.py``): every trial draws random video geometry,
+flame trajectory, detector tunables, and source options, runs the reference's
+own ``process_video_source`` (with its hard-coded detector construction at
+``scripts/process_videos.py:1417-1421`` redirected to the drawn config) and
+this framework's pipeline on the same recording, then byte-compares every
+output table.
+
+Covers branches the fixed-scenario differential can't: even morphology
+kernels (the band-fold host fallback), non-default sigma/thresholds, short
+frames where the centerline band folds over the image edge, trigger-relative
+time (``use_absolute_time=False``), explicit trigger frames, random
+skip_frames, and videos that never ignite (no tables on either side).
+
+``HSIP_REFERENCE_TRIALS`` overrides the trial count (default 6, ~2s each).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
+from tests.test_reference_differential import (
+    REFERENCE_ROOT,
+    _REF_SCRIPT,
+    _tables,
+    ref,  # noqa: F401  (module-scoped fixture, reused)
+)
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("HSIP_REFERENCE") != "1" or not _REF_SCRIPT.exists(),
+    reason="opt-in differential tier: set HSIP_REFERENCE=1 (needs the "
+    "reference checkout and scipy/matplotlib)",
+)
+
+_TRIALS = int(os.environ.get("HSIP_REFERENCE_TRIALS", "6"))
+
+
+def _draw(rng: np.random.Generator):
+    height = int(rng.choice([32, 48, 64, 96]))
+    width = int(rng.choice([256, 384, 512]))
+    n_frames = int(rng.integers(28, 56))
+    ignition = int(rng.integers(1, 6))
+    has_ddt = bool(rng.random() < 0.5)
+    flame = FlameSpec(
+        x0=float(rng.uniform(10, 40)),
+        v0_px=float(rng.uniform(2.5, 9.0)),
+        accel_px=float(rng.uniform(0.0, 0.12)),
+        ddt_frame=int(rng.integers(12, 24)) if has_ddt else None,
+        v_jump_px=float(rng.uniform(16, 28)) if has_ddt else 0.0,
+        ignition_frame=ignition,
+        background_level=int(rng.integers(20, 70)),
+        background_noise=int(rng.integers(2, 10)),
+        flame_level=int(rng.integers(1500, 3800)),
+        edge_width_px=float(rng.uniform(1.2, 3.5)),
+        seed=int(rng.integers(0, 2**31)),
+    )
+    detector = dict(
+        frame_diff_threshold=float(rng.choice([2.0, 5.0, 8.0])),
+        morphology_kernel_size=int(rng.choice([2, 3, 4, 5])),
+        gaussian_sigma=float(rng.choice([0.8, 1.5, 2.5])),
+        min_gradient_strength=float(rng.choice([5.0, 10.0, 20.0])),
+        sobel_threshold_fraction=float(rng.choice([0.05, 0.1, 0.2])),
+        max_velocity_change_m_s=float(rng.choice([120.0, 200.0, 400.0])),
+        ddt_velocity_jump_m_s=float(rng.choice([900.0, 1250.0])),
+        search_window_px=int(rng.choice([60, 100, 160])),
+        exit_margin_px=int(rng.choice([10, 15, 25])),
+    )
+    source = dict(
+        calibration=float(rng.choice([0.0005, 0.000833333, 0.000869565])),
+        position_offset=float(rng.uniform(0.0, 1.5)),
+        use_absolute_time=bool(rng.random() < 0.7),
+        trigger_frame=(
+            None if rng.random() < 0.6 else int(rng.integers(0, n_frames // 2))
+        ),
+        skip_frames=sorted(
+            int(i)
+            for i in rng.choice(n_frames, size=rng.integers(0, 3), replace=False)
+        ),
+    )
+    return height, width, n_frames, flame, detector, source
+
+
+def _run_reference(ref, video_dir, out_dir, detector_kwargs, source_kwargs):
+    config = ref.VideoSourceConfig(name="fuzz", enabled=True, **source_kwargs)
+    config.video_path = str(video_dir)
+    config.output_dir = str(out_dir)
+    real_cls = ref.FlameDetectorConfig
+
+    def _factory(**_hardcoded):
+        # process_videos.py:1417 constructs its detector config inline with
+        # fixed kwargs; redirect it to this trial's drawn tunables.
+        return real_cls(**detector_kwargs)
+
+    ref.FlameDetectorConfig = _factory
+    try:
+        ref.process_video_source(config, processor=None)
+    finally:
+        ref.FlameDetectorConfig = real_cls
+
+
+def _run_ours(video_dir, out_dir, detector_kwargs, source_kwargs, backend):
+    import hsip_tpu.track.config as cfg
+    from hsip_tpu.pipeline import process_video_source
+
+    config = cfg.VideoSourceConfig(
+        name="fuzz",
+        enabled=True,
+        save_frame_images=False,
+        save_stacked_sequences=False,
+        **source_kwargs,
+    )
+    config.video_path = str(video_dir)
+    config.output_dir = str(out_dir)
+    process_video_source(
+        config,
+        detector_config=cfg.FlameDetectorConfig(**detector_kwargs),
+        backend=backend,
+        verbose=False,
+    )
+
+
+def test_randomized_differential_sweep(ref, tmp_path):  # noqa: F811
+    rng = np.random.default_rng(20260816)
+    for trial in range(_TRIALS):
+        height, width, n_frames, flame, detector_kwargs, source_kwargs = _draw(rng)
+        vdir = tmp_path / f"t{trial}" / "videos"
+        frames, _ = synthesize_flame_video(
+            n_frames, height=height, width=width, flame=flame
+        )
+        write_recording(
+            vdir,
+            f"fuzz-run-{trial}-{trial + 1:03d}",
+            frames,
+            spec=CihxSpec(
+                width=width, height=height, total_frames=n_frames,
+                record_rate=100_000, bit_depth=12,
+            ),
+        )
+        ref_out = tmp_path / f"t{trial}" / "ref"
+        _run_reference(ref, vdir, ref_out, detector_kwargs, source_kwargs)
+        expected = _tables(ref_out)
+        for backend in ("tpu", "device"):
+            ours_out = tmp_path / f"t{trial}" / f"ours-{backend}"
+            _run_ours(vdir, ours_out, detector_kwargs, source_kwargs, backend)
+            ours = _tables(ours_out)
+            ctx = (
+                f"trial {trial} backend={backend} {height}x{width}x{n_frames} "
+                f"detector={detector_kwargs} source={source_kwargs}"
+            )
+            assert set(ours) == set(expected), ctx
+            for name in sorted(expected):
+                assert ours[name] == expected[name], f"{name} differs: {ctx}"
