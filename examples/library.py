@@ -72,13 +72,15 @@ def main() -> int:
             coll, FlameDetectorConfig(), source_config=src, mesh=mesh
         )
 
-    for video, out in zip(coll, outputs):
-        last = out.rows[-1] if out.rows else None
-        print(
-            f"{video.filepath.name}: {len(out.rows)} rows, "
-            f"break={out.break_reason}, ddt={out.tracker.ddt_frame}, "
-            f"last={last[:4] if last else None}"
-        )
+        # Report inside the with-block: the videos are still open here, so
+        # adding frame access (e.g. video[0] thumbnails) stays valid.
+        for video, out in zip(coll, outputs):
+            last = out.rows[-1] if out.rows else None
+            print(
+                f"{video.filepath.name}: {len(out.rows)} rows, "
+                f"break={out.break_reason}, ddt={out.tracker.ddt_frame}, "
+                f"last={last[:4] if last else None}"
+            )
 
     # Velocity history (exact float64 columns) of the first recording.
     print("\nfirst recording velocity history (frame, v1, v2, vc):")

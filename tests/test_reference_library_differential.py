@@ -26,6 +26,7 @@ from tests.test_reference_differential import (
     REFERENCE_ROOT,
     _REF_SCRIPT,
     _install_pymraw_shim,
+    ref,  # noqa: F401  (module-scoped fixture, reused for the script symbols)
 )
 
 pytestmark = pytest.mark.skipif(
@@ -50,13 +51,13 @@ def refpkg():
 def video_dir(tmp_path_factory):
     """Three recordings with distinct lengths/rates for collection tests."""
     d = tmp_path_factory.mktemp("refdiff-lib")
-    for stem, n, rate in (
+    for seed, (stem, n, rate) in enumerate((
         ("lib-run-1-001", 12, 100_000),
         ("lib-run-2-007", 20, 50_000),
         ("lib-run-3-019", 7, 100_000),
-    ):
+    )):
         frames, _ = synthesize_flame_video(
-            n, height=48, width=256, flame=FlameSpec(seed=hash(stem) % 1000)
+            n, height=48, width=256, flame=FlameSpec(seed=seed)
         )
         write_recording(
             d, stem, frames,
@@ -215,13 +216,8 @@ def test_collection_global_addressing_matches(refpkg, video_dir):
     ours.close_all()
 
 
-def test_file_calibration_matching_matches(refpkg, request):
-    import importlib.util
-
-    spec = importlib.util.spec_from_file_location("ref_pv_lib", _REF_SCRIPT)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-
+def test_file_calibration_matching_matches(ref):
+    mod = ref
     from hsip_tpu.track.config import FileCalibration
 
     patterns = [
