@@ -94,9 +94,52 @@ _CHIP_CHECK = textwrap.dedent(
 )
 
 
-def test_pallas_and_pipeline_parity_on_chip(tmp_path):
+_CHIP_PERF = textwrap.dedent(
+    """
+    import sys, time
+    import numpy as np
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("NO_TPU")
+        sys.exit(0)
+
+    from hsip_tpu.kernels.unpack import packed_band_profiles
+
+    n, b, w = 2048, 19, 1024
+    rng = np.random.default_rng(0)
+    packed = rng.integers(0, 255, (n, b, w * 3 // 2), dtype=np.uint8)
+    prior = np.arange(-1, n - 1, dtype=np.int32)
+    dev = jax.device_put(packed)
+    dev.block_until_ready()
+
+    def run_kernel():
+        outs = packed_band_profiles(
+            dev, np.float32(100.0), prior, np.float32(5.0),
+            morphology_kernel_size=3, gaussian_sigma=1.5,
+            use_pallas=True, bit_depth=12,
+        )
+        jax.block_until_ready(outs)
+
+    run_kernel()  # compile
+    best = float("inf")
+    for _ in range(8):
+        t0 = time.perf_counter()
+        run_kernel()
+        best = min(best, time.perf_counter() - t0)
+    # Measured 0.08 ms (HBM roofline is 0.075 ms for the 60 MB band).
+    # 1.0 ms leaves 12x headroom for chip contention while still catching
+    # order-of-magnitude regressions (lost fusion, silent interpret mode).
+    print(f"KERNEL_MS {best * 1e3:.3f}")
+    assert best < 1.0e-3, f"fused band kernel regressed: {best * 1e3:.2f} ms"
+    print("PERF_OK")
+    """
+)
+
+
+def _run_chip_subprocess(tmp_path, source: str, timeout: int = 600):
     script = tmp_path / "chip_check.py"
-    script.write_text(_CHIP_CHECK)
+    script.write_text(source)
     env = dict(os.environ)
     env["PYTHONPATH"] = os.pathsep.join(
         p for p in (_REPO_ROOT, env.get("PYTHONPATH")) if p
@@ -106,9 +149,19 @@ def test_pallas_and_pipeline_parity_on_chip(tmp_path):
     env.pop("XLA_FLAGS", None)
     proc = subprocess.run(
         [sys.executable, str(script)], capture_output=True, text=True,
-        timeout=600, env=env,
+        timeout=timeout, env=env,
     )
     assert proc.returncode == 0, f"{proc.stdout}\n{proc.stderr[-3000:]}"
     if "NO_TPU" in proc.stdout:
         pytest.skip("no TPU backend reachable from subprocess")
+    return proc
+
+
+def test_pallas_and_pipeline_parity_on_chip(tmp_path):
+    proc = _run_chip_subprocess(tmp_path, _CHIP_CHECK)
     assert "CHIP_OK" in proc.stdout
+
+
+def test_band_kernel_stays_near_roofline_on_chip(tmp_path):
+    proc = _run_chip_subprocess(tmp_path, _CHIP_PERF)
+    assert "PERF_OK" in proc.stdout, proc.stdout
