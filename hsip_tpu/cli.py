@@ -180,6 +180,13 @@ def build_parser() -> argparse.ArgumentParser:
              "(no per-frame figures); exact: serial float64 host",
     )
     parser.add_argument(
+        "--library",
+        action="store_true",
+        help="library mode: batch ALL recordings of each source into vmapped "
+             "on-device scans (fastest for many files; identical tables; no "
+             "figures)",
+    )
+    parser.add_argument(
         "--no-images", action="store_true", help="skip per-frame diagnostic figures"
     )
     parser.add_argument(
@@ -266,21 +273,30 @@ def main(argv: Optional[List[str]] = None) -> int:
         if processor.is_root:
             print(f"Running distributed: {processor.size} processes")
 
-    from .pipeline import process_video_source
+    from .pipeline import process_video_source, process_video_source_library
     from .utils.profiling import profile_trace
 
     with profile_trace(args.profile_dir):
         for cfg in sources:
             if not cfg.enabled:
                 continue
-            process_video_source(
-                cfg,
-                detector_config,
-                backend=args.backend,
-                processor=processor,
-                verbose=not args.quiet,
-                resume=args.resume,
-            )
+            if args.library:
+                process_video_source_library(
+                    cfg,
+                    detector_config,
+                    processor=processor,
+                    verbose=not args.quiet,
+                    resume=args.resume,
+                )
+            else:
+                process_video_source(
+                    cfg,
+                    detector_config,
+                    backend=args.backend,
+                    processor=processor,
+                    verbose=not args.quiet,
+                    resume=args.resume,
+                )
 
     if processor is not None:
         processor.barrier()

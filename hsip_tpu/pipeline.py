@@ -31,6 +31,7 @@ __all__ = [
     "write_position_results",
     "process_video_file",
     "process_video_source",
+    "process_video_source_library",
     "RESULT_COLUMNS",
 ]
 
@@ -524,6 +525,164 @@ def process_video_source(
         # Resume runs are seeded from the previous summary above, so the
         # write is cumulative; a run that recorded nothing (everything
         # checkpoint-skipped) leaves the previous summary untouched.
+        summary.write(config.output_dir, rank=rank)
+    if processor is not None:
+        processor.barrier()
+    return outputs
+
+
+def process_video_source_library(
+    config: VideoSourceConfig,
+    detector_config: Optional[FlameDetectorConfig] = None,
+    processor=None,
+    verbose: bool = True,
+    resume: bool = False,
+    chunk_size: Optional[int] = None,
+    mesh=None,
+) -> List[TrackingOutput]:
+    """Library mode: track EVERY recording of a source with vmapped scans.
+
+    The throughput path for many-file runs: all recordings sharing a frame
+    shape batch into one vmapped on-device scan (one dispatch per shape
+    group instead of per file, :func:`hsip_tpu.track.batch.
+    track_collection_device`), with identical rows and tables to running
+    ``backend='device'`` per file. Per-frame figures and stacked sequences
+    are unavailable here (profiles never leave the device); table writing,
+    per-file calibration lookup, checkpoint/resume, and run summaries match
+    :func:`process_video_source`. With ``processor``, whole recordings are
+    distributed across processes first, then each process batches its own
+    subset. In the run summary, library-mode ``wall_s`` is the batch wall
+    clock apportioned evenly over the batch's recordings.
+
+    With ``mesh`` (a Mesh carrying a ``'video'`` axis), each shape group's
+    video axis also shards across devices.
+    """
+    import hashlib
+    import time as _time
+
+    from .track.batch import track_collection_device
+    from .utils.checkpoint import BatchCheckpoint
+    from .utils.summary import RunSummary
+
+    detector_config = detector_config or FlameDetectorConfig()
+    is_root = processor is None or processor.is_root
+    if verbose and is_root:
+        print(f"\n{'=' * 60}")
+        print(f"Processing (library mode): {config.name}")
+        print(f"Video path: {config.video_path}")
+        print(f"Default calibration: {config.calibration} m/pixel")
+        print(f"{'=' * 60}")
+        if config.save_frame_images or config.save_stacked_sequences:
+            print("  Note: figures unavailable in library mode "
+                  "(fully on-device scans)")
+
+    if not config.video_path:
+        return []
+    cihx_files = sorted(Path(config.video_path).rglob("*.cihx"))
+    if not cihx_files:
+        if verbose and is_root:
+            print(f"No CIHX files found in {config.video_path}")
+        return []
+
+    if processor is not None:
+        my_indices = set(processor.distribute_indices(len(cihx_files)))
+        cihx_files = [f for i, f in enumerate(cihx_files) if i in my_indices]
+
+    rank = processor.rank if processor is not None else 0
+    checkpoint = None
+    summary = None
+    if config.output_dir:
+        cfg_hash = hashlib.sha256(
+            repr((config, detector_config, "library")).encode()
+        ).hexdigest()[:16]
+        checkpoint = BatchCheckpoint(
+            config.output_dir, run_config_hash=cfg_hash, rank=rank
+        )
+        if not resume:
+            checkpoint.clear()
+        if processor is not None:
+            processor.barrier()
+        summary = RunSummary(
+            config.name,
+            config_echo={"source": config, "detector": detector_config,
+                         "backend": "library"},
+        )
+        if resume:
+            summary.seed_from(config.output_dir, rank=rank)
+
+    if resume and checkpoint is not None:
+        kept = []
+        for f in cihx_files:
+            if checkpoint.is_done(f.name):
+                if verbose and is_root:
+                    print(f"  Skipping {f.name} (already complete)")
+            else:
+                kept.append(f)
+        cihx_files = kept
+
+    # Open with the collection layer's warn-and-skip batch semantics
+    # (reference collection.py:104-114): one corrupt recording must not
+    # abort the library run.
+    from .collection import VideoCollection
+    from .video import PhotonVideo
+
+    videos = []
+    for f in cihx_files:
+        try:
+            videos.append(
+                PhotonVideo(str(f), trigger_frame=config.trigger_frame)
+            )
+        except Exception as exc:
+            print(f"Warning: Could not load {f}: {exc}")
+            _log.warning("failed to open %s: %s", f.name, exc)
+            if summary is not None:
+                summary.add_failure(f.name, exc)
+
+    outputs: List[TrackingOutput] = []
+    if videos:
+        collection = VideoCollection(videos)
+        try:
+            t0 = _time.perf_counter()
+            outputs = track_collection_device(
+                collection,
+                detector_config,
+                source_config=config,
+                use_absolute_time=config.use_absolute_time,
+                chunk_size=chunk_size,
+                mesh=mesh,
+            )
+            wall_each = (_time.perf_counter() - t0) / max(1, len(videos))
+
+            output_dir = Path(config.output_dir) if config.output_dir else None
+            if output_dir is not None:
+                output_dir.mkdir(parents=True, exist_ok=True)
+            for video, output in zip(videos, outputs):
+                stem = video.filepath.stem
+                if verbose and is_root:
+                    print(f"\n{video.filepath.name}: {len(output.rows)} rows, "
+                          f"{output.empty_frame_count} empty frames skipped")
+                    if output.tracker.ddt_detected:
+                        print(f"  *** DDT DETECTED at frame "
+                              f"{output.tracker.ddt_frame} ***")
+                if output_dir is not None and output.rows:
+                    _write_ddt_split_tables(
+                        output, output_dir, stem, verbose and is_root
+                    )
+                if checkpoint is not None:
+                    checkpoint.mark_done(video.filepath.name,
+                                         rows=len(output.rows))
+                if summary is not None:
+                    cal, off = config.get_calibration_for_file(
+                        video.filepath.name
+                    )
+                    summary.add_file(
+                        video.filepath.name, output, cal, off, wall_each,
+                        output.total_frames,
+                    )
+        finally:
+            collection.close_all()
+
+    if summary is not None and summary.dirty and config.output_dir:
         summary.write(config.output_dir, rank=rank)
     if processor is not None:
         processor.barrier()

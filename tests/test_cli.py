@@ -159,3 +159,26 @@ def test_cli_flags_override_config_sources(videos, tmp_path, monkeypatch):
     assert cfg.calibration == 0.002
     assert cfg.position_offset == 0.5
     assert cfg.save_frame_images is False
+
+
+def test_cli_library_mode(videos, tmp_path, capsys):
+    from hsip_tpu.cli import main
+
+    out = tmp_path / "lib-out"
+    rc = main([
+        "--video-path", str(videos), "--output-dir", str(out),
+        "--calibration", "0.000833333", "--library", "--quiet",
+    ])
+    assert rc == 0
+    tables = sorted(out.glob("*-flame-position*.txt"))
+    assert tables, "library mode wrote no tables"
+    # Identical to the default per-file run.
+    out2 = tmp_path / "file-out"
+    assert main([
+        "--video-path", str(videos), "--output-dir", str(out2),
+        "--calibration", "0.000833333", "--backend", "device", "--quiet",
+        "--no-images", "--no-sequences",
+    ]) == 0
+    for t in tables:
+        assert t.read_bytes() == (out2 / t.name).read_bytes()
+    capsys.readouterr()

@@ -420,3 +420,98 @@ def test_pipeline_without_native_codec(recording, tmp_path, monkeypatch):
                            verbose=False, write_outputs=False)
     assert [r[:3] for r in t.rows] == [r[:3] for r in e.rows]
     assert t.break_reason == e.break_reason
+
+
+@pytest.fixture()
+def library_dir(tmp_path):
+    """Mixed-shape multi-recording library (two shape groups + one DDT)."""
+    d = tmp_path / "library"
+    for stem, (h, w), flame in (
+        ("nova-run-1-001", (48, 512),
+         FlameSpec(x0=30.0, v0_px=8.0, ignition_frame=2, seed=3)),
+        ("nova-run-1-002", (48, 512),
+         FlameSpec(x0=22.0, v0_px=5.0, ddt_frame=25, v_jump_px=24.0,
+                   ignition_frame=3, seed=5)),
+        ("mini-run-2-001", (64, 384),
+         FlameSpec(x0=28.0, v0_px=7.0, ignition_frame=4, seed=8)),
+    ):
+        frames, _ = synthesize_flame_video(48, height=h, width=w, flame=flame)
+        write_recording(
+            d, stem, frames,
+            spec=CihxSpec(width=w, height=h, total_frames=48,
+                          record_rate=100_000, bit_depth=12),
+        )
+    return d
+
+
+def _library_source(library_dir, out):
+    cfg = VideoSourceConfig(
+        name="Lib", enabled=True,
+        save_frame_images=False, save_stacked_sequences=False,
+    )
+    cfg.video_path = str(library_dir)
+    cfg.output_dir = str(out)
+    cfg.file_calibrations = [
+        FileCalibration(calibration=0.000833333, position_offset=1.0159,
+                        files=["nova-"]),
+        FileCalibration(calibration=0.000869565, position_offset=0.050237,
+                        files=["mini-"]),
+    ]
+    return cfg
+
+
+def test_library_mode_tables_match_per_file_device(library_dir, tmp_path):
+    """process_video_source_library == per-file backend='device', byte-wise."""
+    from hsip_tpu.pipeline import (
+        process_video_source,
+        process_video_source_library,
+    )
+
+    out_lib = tmp_path / "lib-out"
+    out_dev = tmp_path / "dev-out"
+    outs = process_video_source_library(
+        _library_source(library_dir, out_lib), verbose=False
+    )
+    process_video_source(
+        _library_source(library_dir, out_dev), backend="device", verbose=False
+    )
+    assert len(outs) == 3
+    lib_tables = {p.name: p.read_bytes() for p in sorted(out_lib.glob("*.txt"))}
+    dev_tables = {p.name: p.read_bytes() for p in sorted(out_dev.glob("*.txt"))}
+    assert set(lib_tables) == set(dev_tables) and lib_tables
+    for name in lib_tables:
+        assert lib_tables[name] == dev_tables[name], name
+    # The DDT recording must have split (guards against a vacuous pass).
+    assert any("post-DDT" in n for n in lib_tables)
+    # Run summary covers every recording.
+    import json
+
+    summary = json.loads((out_lib / "run-summary.json").read_text())
+    assert len(summary["files"]) == 3
+
+
+def test_library_mode_resume_skips_completed(library_dir, tmp_path, capsys):
+    from hsip_tpu.pipeline import process_video_source_library
+
+    out = tmp_path / "out"
+    cfg = _library_source(library_dir, out)
+    process_video_source_library(cfg, verbose=False)
+    outs = process_video_source_library(cfg, verbose=True, resume=True)
+    assert outs == []  # everything checkpoint-skipped
+    assert "already complete" in capsys.readouterr().out
+
+
+def test_library_mode_skips_corrupt_recording(library_dir, tmp_path, capsys):
+    from hsip_tpu.pipeline import process_video_source_library
+
+    (library_dir / "broken.cihx").write_bytes(b"\x00 not a header" * 32)
+    out = tmp_path / "out"
+    outs = process_video_source_library(
+        _library_source(library_dir, out), verbose=False
+    )
+    assert len(outs) == 3  # the three good recordings still tracked
+    assert "Could not load" in capsys.readouterr().out
+    import json
+
+    summary = json.loads((out / "run-summary.json").read_text())
+    assert [f["file"] for f in summary["failures"]] == ["broken.cihx"]
