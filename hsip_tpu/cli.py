@@ -187,6 +187,16 @@ def build_parser() -> argparse.ArgumentParser:
              "figures)",
     )
     parser.add_argument(
+        "--mesh",
+        nargs="?",
+        type=int,
+        const=0,
+        default=None,
+        metavar="N",
+        help="with --library: shard each shape group's video axis over a "
+             "device mesh (N devices; omit N for all local devices)",
+    )
+    parser.add_argument(
         "--no-images", action="store_true", help="skip per-frame diagnostic figures"
     )
     parser.add_argument(
@@ -264,6 +274,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         if args.detection_method:
             cfg.detection_method = args.detection_method
 
+    if args.mesh is not None and not args.library:
+        print("--mesh requires --library (it shards the batched video axis)",
+              file=sys.stderr)
+        return 2
+
+    mesh = None
+    if args.mesh is not None:
+        from .parallel import make_mesh
+
+        mesh = make_mesh("video", n_devices=args.mesh or None)
+        if not args.quiet:
+            print(f"Sharding video axis over {mesh.devices.size} devices")
+
     processor = None
     if args.distributed:
         from .parallel import TPUVideoProcessor, initialize_distributed
@@ -287,6 +310,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     processor=processor,
                     verbose=not args.quiet,
                     resume=args.resume,
+                    mesh=mesh,
                 )
             else:
                 process_video_source(

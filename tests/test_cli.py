@@ -182,3 +182,36 @@ def test_cli_library_mode(videos, tmp_path, capsys):
     for t in tables:
         assert t.read_bytes() == (out2 / t.name).read_bytes()
     capsys.readouterr()
+
+
+def test_cli_mesh_requires_library(videos, tmp_path, capsys):
+    from hsip_tpu.cli import main
+
+    rc = main([
+        "--video-path", str(videos), "--output-dir", str(tmp_path / "o"),
+        "--mesh", "--quiet",
+    ])
+    assert rc == 2
+    assert "--mesh requires --library" in capsys.readouterr().err
+
+
+def test_cli_library_mesh_matches_unsharded(videos, tmp_path, capsys):
+    """--library --mesh N on the 8-virtual-device CPU mesh == plain --library."""
+    from hsip_tpu.cli import main
+
+    out_m = tmp_path / "mesh-out"
+    rc = main([
+        "--video-path", str(videos), "--output-dir", str(out_m),
+        "--calibration", "0.000833333", "--library", "--mesh", "4",
+    ])
+    assert rc == 0
+    assert "Sharding video axis over 4 devices" in capsys.readouterr().out
+    out_p = tmp_path / "plain-out"
+    assert main([
+        "--video-path", str(videos), "--output-dir", str(out_p),
+        "--calibration", "0.000833333", "--library", "--quiet",
+    ]) == 0
+    tables = sorted(out_m.glob("*-flame-position*.txt"))
+    assert tables
+    for t in tables:
+        assert t.read_bytes() == (out_p / t.name).read_bytes()
