@@ -175,9 +175,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "--backend",
         choices=("tpu", "device", "exact"),
-        default="tpu",
-        help="tpu: device map + host scan; device: fully on-device tracking "
-             "(no per-frame figures); exact: serial float64 host",
+        default=None,
+        help="tpu: device map + host scan (default); device: fully on-device "
+             "tracking (no per-frame figures); exact: serial float64 host. "
+             "Incompatible with --library (which always runs the vmapped "
+             "device path)",
     )
     parser.add_argument(
         "--library",
@@ -194,7 +196,8 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         metavar="N",
         help="with --library: shard each shape group's video axis over a "
-             "device mesh (N devices; omit N for all local devices)",
+             "device mesh (N devices; omit N — or pass 0 — for all local "
+             "devices)",
     )
     parser.add_argument(
         "--no-images", action="store_true", help="skip per-frame diagnostic figures"
@@ -278,15 +281,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         print("--mesh requires --library (it shards the batched video axis)",
               file=sys.stderr)
         return 2
+    if args.mesh is not None and args.mesh < 0:
+        print(f"--mesh {args.mesh}: device count must be positive "
+              "(omit N or pass 0 for all local devices)", file=sys.stderr)
+        return 2
+    if args.library and args.backend is not None:
+        print(f"--backend {args.backend} is incompatible with --library "
+              "(library mode always runs the vmapped on-device path)",
+              file=sys.stderr)
+        return 2
 
-    mesh = None
-    if args.mesh is not None:
-        from .parallel import make_mesh
-
-        mesh = make_mesh("video", n_devices=args.mesh or None)
-        if not args.quiet:
-            print(f"Sharding video axis over {mesh.devices.size} devices")
-
+    # Distributed init MUST precede any JAX backend use (mesh construction
+    # calls jax.devices(), which initializes the backend and would make
+    # jax.distributed.initialize fail — or see a local-only device view).
     processor = None
     if args.distributed:
         from .parallel import TPUVideoProcessor, initialize_distributed
@@ -295,6 +302,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         processor = TPUVideoProcessor()
         if processor.is_root:
             print(f"Running distributed: {processor.size} processes")
+
+    mesh = None
+    if args.mesh is not None:
+        from .parallel import make_mesh
+
+        mesh = make_mesh("video", n_devices=args.mesh or None)
+        if not args.quiet and (processor is None or processor.is_root):
+            print(f"Sharding video axis over {mesh.devices.size} devices")
 
     from .pipeline import process_video_source, process_video_source_library
     from .utils.profiling import profile_trace
@@ -316,7 +331,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                 process_video_source(
                     cfg,
                     detector_config,
-                    backend=args.backend,
+                    backend=args.backend or "tpu",
                     processor=processor,
                     verbose=not args.quiet,
                     resume=args.resume,

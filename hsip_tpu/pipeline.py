@@ -157,17 +157,7 @@ def process_video_file(
     file_calibration, file_position_offset = config.get_calibration_for_file(
         cihx_file.name
     )
-    if config.file_calibrations and not config.has_calibration_for_file(
-        cihx_file.name
-    ):
-        # Almost always a config mistake (e.g. an "A:B" range pattern that
-        # compares the LAST filename integer and never matches): say so
-        # instead of silently producing tables in the wrong units.
-        print(
-            f"Warning: no file_calibration entry matches {cihx_file.name}; "
-            f"using source default ({file_calibration} m/px, "
-            f"offset {file_position_offset} m)"
-        )
+    _warn_unmatched_calibration(config, cihx_file.name)
 
     if verbose:
         print(f"\nLoading: {cihx_file.name}")
@@ -411,6 +401,110 @@ def _track_video_exact(
     )
 
 
+class _SourceLedger:
+    """Checkpoint + run-summary scaffolding shared by the batch drivers.
+
+    Both :func:`process_video_source` and
+    :func:`process_video_source_library` need identical crash-safe batch
+    semantics: a rank-scoped :class:`BatchCheckpoint` ledger (cleared on
+    fresh runs, consulted on ``resume``), a barrier so all ranks finish
+    ledger setup before anyone marks progress, and a cumulative
+    ``run-summary.json``. Keeping them in one helper means a fix to the
+    ledger semantics lands in both drivers at once.
+    """
+
+    def __init__(self, config, detector_config, backend_tag: str,
+                 processor, resume: bool):
+        import hashlib
+
+        from .utils.checkpoint import BatchCheckpoint
+        from .utils.summary import RunSummary
+
+        self._config = config
+        self._processor = processor
+        self._resume = resume
+        self._rank = processor.rank if processor is not None else 0
+        self.checkpoint = None
+        self.summary = None
+        if config.output_dir:
+            cfg_hash = hashlib.sha256(
+                repr((config, detector_config, backend_tag)).encode()
+            ).hexdigest()[:16]
+            self.checkpoint = BatchCheckpoint(
+                config.output_dir, run_config_hash=cfg_hash, rank=self._rank
+            )
+            if not resume:
+                self.checkpoint.clear()
+            if processor is not None:
+                # All ranks finish ledger setup before anyone marks progress.
+                processor.barrier()
+            self.summary = RunSummary(
+                config.name,
+                config_echo={"source": config, "detector": detector_config,
+                             "backend": backend_tag},
+            )
+            if resume:
+                # Accumulate onto the previous run's records: files skipped
+                # via the checkpoint keep their entries; retried files
+                # replace theirs.
+                self.summary.seed_from(config.output_dir, rank=self._rank)
+
+    def filter_pending(self, files, announce=None):
+        """Drop files already complete in the ledger (resume runs only)."""
+        if not (self._resume and self.checkpoint is not None):
+            return list(files)
+        kept = []
+        for f in files:
+            if self.checkpoint.is_done(f.name):
+                if announce is not None:
+                    announce(f)
+            else:
+                kept.append(f)
+        return kept
+
+    def add_failure(self, name, exc):
+        if self.summary is not None:
+            self.summary.add_failure(name, exc)
+
+    def record(self, name, output, wall_s: float):
+        """Mark a recording complete and add its summary entry."""
+        if self.checkpoint is not None:
+            self.checkpoint.mark_done(name, rows=len(output.rows))
+        if self.summary is not None:
+            cal, off = self._config.get_calibration_for_file(name)
+            self.summary.add_file(
+                name, output, cal, off, wall_s, output.total_frames
+            )
+
+    def finish(self):
+        """Write the cumulative summary (if dirty) and sync ranks."""
+        if (self.summary is not None and self.summary.dirty
+                and self._config.output_dir):
+            # Resume runs are seeded from the previous summary above, so the
+            # write is cumulative; a run that recorded nothing (everything
+            # checkpoint-skipped) leaves the previous summary untouched.
+            self.summary.write(self._config.output_dir, rank=self._rank)
+        if self._processor is not None:
+            self._processor.barrier()
+
+
+def _warn_unmatched_calibration(config, filename: str) -> None:
+    """Warn when file_calibrations exist but none matches this recording.
+
+    Almost always a config mistake (e.g. an "A:B" range pattern that
+    compares the LAST filename integer and never matches): say so instead
+    of silently producing tables in the wrong units.
+    """
+    if config.file_calibrations and not config.has_calibration_for_file(
+        filename
+    ):
+        cal, off = config.get_calibration_for_file(filename)
+        print(
+            f"Warning: no file_calibration entry matches {filename}; "
+            f"using source default ({cal} m/px, offset {off} m)"
+        )
+
+
 def process_video_source(
     config: VideoSourceConfig,
     detector_config: Optional[FlameDetectorConfig] = None,
@@ -429,11 +523,7 @@ def process_video_source(
     directory's checkpoint ledger (crash-safe batch restarts); a
     ``run-summary.json`` is written either way.
     """
-    import hashlib
     import time as _time
-
-    from .utils.checkpoint import BatchCheckpoint
-    from .utils.summary import RunSummary
 
     is_root = processor is None or processor.is_root
     if verbose and is_root:
@@ -456,37 +546,14 @@ def process_video_source(
         my_indices = set(processor.distribute_indices(len(cihx_files)))
         cihx_files = [f for i, f in enumerate(cihx_files) if i in my_indices]
 
-    rank = processor.rank if processor is not None else 0
-    checkpoint = None
-    summary = None
-    if config.output_dir:
-        cfg_hash = hashlib.sha256(
-            repr((config, detector_config, backend)).encode()
-        ).hexdigest()[:16]
-        checkpoint = BatchCheckpoint(
-            config.output_dir, run_config_hash=cfg_hash, rank=rank
-        )
-        if not resume:
-            checkpoint.clear()
-        if processor is not None:
-            # All ranks finish ledger setup before anyone marks progress.
-            processor.barrier()
-        summary = RunSummary(
-            config.name,
-            config_echo={"source": config, "detector": detector_config,
-                         "backend": backend},
-        )
-        if resume:
-            # Accumulate onto the previous run's records: files skipped via
-            # the checkpoint keep their entries; retried files replace theirs.
-            summary.seed_from(config.output_dir, rank=rank)
+    ledger = _SourceLedger(config, detector_config, backend, processor, resume)
+
+    def _announce_skip(f):
+        if verbose and is_root:
+            print(f"  Skipping {f.name} (already complete)")
 
     outputs = []
-    for cihx_file in cihx_files:
-        if resume and checkpoint is not None and checkpoint.is_done(cihx_file.name):
-            if verbose and is_root:
-                print(f"  Skipping {cihx_file.name} (already complete)")
-            continue
+    for cihx_file in ledger.filter_pending(cihx_files, _announce_skip):
         t0 = _time.perf_counter()
         try:
             output = process_video_file(
@@ -504,8 +571,7 @@ def process_video_source(
             # checkpoint so --resume retries it.
             print(f"Warning: Could not process {cihx_file}: {exc}")
             _log.warning("failed %s: %s", cihx_file.name, exc)
-            if summary is not None:
-                summary.add_failure(cihx_file.name, exc)
+            ledger.add_failure(cihx_file.name, exc)
             continue
         wall = _time.perf_counter() - t0
         _log.debug(
@@ -514,20 +580,8 @@ def process_video_source(
             output.break_reason, wall,
         )
         outputs.append(output)
-        if checkpoint is not None:
-            checkpoint.mark_done(cihx_file.name, rows=len(output.rows))
-        if summary is not None:
-            cal, off = config.get_calibration_for_file(cihx_file.name)
-            summary.add_file(
-                cihx_file.name, output, cal, off, wall, output.total_frames
-            )
-    if summary is not None and summary.dirty and config.output_dir:
-        # Resume runs are seeded from the previous summary above, so the
-        # write is cumulative; a run that recorded nothing (everything
-        # checkpoint-skipped) leaves the previous summary untouched.
-        summary.write(config.output_dir, rank=rank)
-    if processor is not None:
-        processor.barrier()
+        ledger.record(cihx_file.name, output, wall)
+    ledger.finish()
     return outputs
 
 
@@ -557,12 +611,9 @@ def process_video_source_library(
     With ``mesh`` (a Mesh carrying a ``'video'`` axis), each shape group's
     video axis also shards across devices.
     """
-    import hashlib
     import time as _time
 
     from .track.batch import track_collection_device
-    from .utils.checkpoint import BatchCheckpoint
-    from .utils.summary import RunSummary
 
     detector_config = detector_config or FlameDetectorConfig()
     is_root = processor is None or processor.is_root
@@ -588,37 +639,14 @@ def process_video_source_library(
         my_indices = set(processor.distribute_indices(len(cihx_files)))
         cihx_files = [f for i, f in enumerate(cihx_files) if i in my_indices]
 
-    rank = processor.rank if processor is not None else 0
-    checkpoint = None
-    summary = None
-    if config.output_dir:
-        cfg_hash = hashlib.sha256(
-            repr((config, detector_config, "library")).encode()
-        ).hexdigest()[:16]
-        checkpoint = BatchCheckpoint(
-            config.output_dir, run_config_hash=cfg_hash, rank=rank
-        )
-        if not resume:
-            checkpoint.clear()
-        if processor is not None:
-            processor.barrier()
-        summary = RunSummary(
-            config.name,
-            config_echo={"source": config, "detector": detector_config,
-                         "backend": "library"},
-        )
-        if resume:
-            summary.seed_from(config.output_dir, rank=rank)
+    ledger = _SourceLedger(config, detector_config, "library", processor,
+                           resume)
 
-    if resume and checkpoint is not None:
-        kept = []
-        for f in cihx_files:
-            if checkpoint.is_done(f.name):
-                if verbose and is_root:
-                    print(f"  Skipping {f.name} (already complete)")
-            else:
-                kept.append(f)
-        cihx_files = kept
+    def _announce_skip(f):
+        if verbose and is_root:
+            print(f"  Skipping {f.name} (already complete)")
+
+    cihx_files = ledger.filter_pending(cihx_files, _announce_skip)
 
     # Open with the collection layer's warn-and-skip batch semantics
     # (reference collection.py:104-114): one corrupt recording must not
@@ -628,6 +656,7 @@ def process_video_source_library(
 
     videos = []
     for f in cihx_files:
+        _warn_unmatched_calibration(config, f.name)
         try:
             videos.append(
                 PhotonVideo(str(f), trigger_frame=config.trigger_frame)
@@ -635,8 +664,7 @@ def process_video_source_library(
         except Exception as exc:
             print(f"Warning: Could not load {f}: {exc}")
             _log.warning("failed to open %s: %s", f.name, exc)
-            if summary is not None:
-                summary.add_failure(f.name, exc)
+            ledger.add_failure(f.name, exc)
 
     outputs: List[TrackingOutput] = []
     if videos:
@@ -668,22 +696,9 @@ def process_video_source_library(
                     _write_ddt_split_tables(
                         output, output_dir, stem, verbose and is_root
                     )
-                if checkpoint is not None:
-                    checkpoint.mark_done(video.filepath.name,
-                                         rows=len(output.rows))
-                if summary is not None:
-                    cal, off = config.get_calibration_for_file(
-                        video.filepath.name
-                    )
-                    summary.add_file(
-                        video.filepath.name, output, cal, off, wall_each,
-                        output.total_frames,
-                    )
+                ledger.record(video.filepath.name, output, wall_each)
         finally:
             collection.close_all()
 
-    if summary is not None and summary.dirty and config.output_dir:
-        summary.write(config.output_dir, rank=rank)
-    if processor is not None:
-        processor.barrier()
+    ledger.finish()
     return outputs

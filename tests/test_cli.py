@@ -98,7 +98,9 @@ def test_cli_no_sources_errors(capsys):
 
 def test_cli_parser_defaults():
     args = build_parser().parse_args(["--video-path", "x"])
-    assert args.backend == "tpu"
+    # None = "not explicitly given": resolves to 'tpu' for per-file runs and
+    # lets --library reject an explicit conflicting backend.
+    assert args.backend is None
     assert not args.no_images
     assert args.detection_method is None
 
@@ -215,3 +217,25 @@ def test_cli_library_mesh_matches_unsharded(videos, tmp_path, capsys):
     assert tables
     for t in tables:
         assert t.read_bytes() == (out_p / t.name).read_bytes()
+
+
+def test_cli_mesh_rejects_negative(videos, tmp_path, capsys):
+    from hsip_tpu.cli import main
+
+    rc = main([
+        "--video-path", str(videos), "--output-dir", str(tmp_path / "o"),
+        "--library", "--mesh", "-1", "--quiet",
+    ])
+    assert rc == 2
+    assert "must be positive" in capsys.readouterr().err
+
+
+def test_cli_library_rejects_backend(videos, tmp_path, capsys):
+    from hsip_tpu.cli import main
+
+    rc = main([
+        "--video-path", str(videos), "--output-dir", str(tmp_path / "o"),
+        "--library", "--backend", "exact", "--quiet",
+    ])
+    assert rc == 2
+    assert "incompatible with --library" in capsys.readouterr().err

@@ -515,3 +515,19 @@ def test_library_mode_skips_corrupt_recording(library_dir, tmp_path, capsys):
 
     summary = json.loads((out / "run-summary.json").read_text())
     assert [f["file"] for f in summary["failures"]] == ["broken.cihx"]
+
+
+def test_library_mode_warns_on_unmatched_calibration(library_dir, tmp_path,
+                                                     capsys):
+    """A file_calibrations list that matches nothing must warn, not stay
+    silent (wrong-units guard, same contract as the per-file driver)."""
+    from hsip_tpu.pipeline import process_video_source_library
+
+    cfg = _library_source(library_dir, tmp_path / "out")
+    cfg.file_calibrations = [
+        FileCalibration(calibration=0.5, position_offset=0.0,
+                        files=["9000:9999"]),
+    ]
+    process_video_source_library(cfg, verbose=False)
+    out = capsys.readouterr().out
+    assert out.count("no file_calibration entry matches") == 3
