@@ -225,6 +225,19 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="multi-process run (videos distributed across JAX processes)",
     )
+    parser.add_argument(
+        "--coordinator", default=None, metavar="HOST:PORT",
+        help="with --distributed: coordinator address for manual launches "
+             "(otherwise auto-detected from the cluster environment)",
+    )
+    parser.add_argument(
+        "--num-processes", type=int, default=None,
+        help="with --distributed: total process count for manual launches",
+    )
+    parser.add_argument(
+        "--process-id", type=int, default=None,
+        help="with --distributed: this process's rank for manual launches",
+    )
     return parser
 
 
@@ -298,18 +311,33 @@ def main(argv: Optional[List[str]] = None) -> int:
     if args.distributed:
         from .parallel import TPUVideoProcessor, initialize_distributed
 
-        initialize_distributed()
+        init_kwargs = {}
+        if args.coordinator is not None:
+            init_kwargs["coordinator_address"] = args.coordinator
+        if args.num_processes is not None:
+            init_kwargs["num_processes"] = args.num_processes
+        if args.process_id is not None:
+            init_kwargs["process_id"] = args.process_id
+        initialize_distributed(**init_kwargs)
         processor = TPUVideoProcessor()
         if processor.is_root:
             print(f"Running distributed: {processor.size} processes")
 
     mesh = None
     if args.mesh is not None:
+        import jax
+
         from .parallel import make_mesh
 
-        mesh = make_mesh("video", n_devices=args.mesh or None)
+        # LOCAL devices: under --distributed each process tracks its own
+        # video subset, so its mesh must span only its own chips (the
+        # hierarchical video-per-process x video-axis-per-device layout).
+        # A global mesh would require identical data on every process.
+        mesh = make_mesh("video", devices=jax.local_devices(),
+                         n_devices=args.mesh or None)
         if not args.quiet and (processor is None or processor.is_root):
-            print(f"Sharding video axis over {mesh.devices.size} devices")
+            print(f"Sharding video axis over {mesh.devices.size} devices"
+                  + (" per process" if processor is not None else ""))
 
     from .pipeline import process_video_source, process_video_source_library
     from .utils.profiling import profile_trace

@@ -239,3 +239,96 @@ def test_video_per_process_frames_per_device(tmp_path):
     for i, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"rank {i} failed:\n{out}\n{err[-2000:]}"
         assert f"RANK{i}_OK" in out
+
+
+_CLI_LIB_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=4"
+    ).strip()
+    import jax
+
+    coord, pid = sys.argv[1], int(sys.argv[2])
+    jax.config.update("jax_platforms", "cpu")
+
+    from pathlib import Path
+    from hsip_tpu.io import FlameSpec, synthesize_flame_video, write_recording
+
+    work = Path(sys.argv[3])
+    if pid == 0:
+        # Rank 0 writes the recordings BEFORE distributed init (no barrier
+        # available yet); rank 1 spins on the marker file.
+        for i in range(2):
+            fr, _ = synthesize_flame_video(
+                20, height=32, width=256,
+                flame=FlameSpec(x0=28, v0_px=7, ignition_frame=2, seed=60 + i),
+            )
+            write_recording(work / "v", f"cli-dist-run-{i + 1}-a", fr)
+        (work / "v" / ".ready").touch()
+    else:
+        import time
+        while not (work / "v" / ".ready").exists():
+            time.sleep(0.05)
+
+    # The production combo through the REAL CLI: multi-process distribution
+    # of recordings + per-process video-axis mesh over 4 local devices.
+    # Distributed init happens inside main() (this ordering — distributed
+    # BEFORE mesh construction — is what the test locks in).
+    from hsip_tpu.cli import main
+
+    rc = main([
+        "--video-path", str(work / "v"), "--output-dir", str(work / "out"),
+        "--calibration", "0.001", "--library", "--mesh",
+        "--distributed", "--coordinator", coord,
+        "--num-processes", "2", "--process-id", str(pid),
+        "--quiet",
+    ])
+    assert rc == 0, rc
+    if pid == 0:
+        tables = sorted((work / "out").glob("*-flame-position.txt"))
+        assert len(tables) == 2, tables
+    print(f"RANK{pid}_OK")
+    """
+)
+
+
+def test_cli_distributed_library_mesh(tmp_path):
+    """hsip --distributed --library --mesh across 2 processes x 4 devices:
+    the combo must initialize jax.distributed before building the mesh."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    script = tmp_path / "cli_lib_worker.py"
+    script.write_text(_CLI_LIB_WORKER)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (_REPO_ROOT, env.get("PYTHONPATH")) if p
+    )
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(i), str(tmp_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for proc in procs:
+            out, err = proc.communicate(timeout=150)
+            outs.append((proc.returncode, out, err))
+    finally:
+        for proc in procs:
+            if proc.poll() is None:
+                proc.kill()
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"rank {i} failed:\n{out}\n{err[-2000:]}"
+        assert f"RANK{i}_OK" in out
