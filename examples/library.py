@@ -62,9 +62,12 @@ def main() -> int:
 
         from hsip_tpu.parallel import make_mesh
 
-        n = len(jax.devices())
-        mesh = make_mesh("video", n_devices=n)
-        print(f"Sharding the video axis over {n} devices")
+        # Local devices: in a multi-process run each process tracks its own
+        # videos, so the mesh must span only its own chips (same rule the
+        # CLI's --mesh follows).
+        devices = jax.local_devices()
+        mesh = make_mesh("video", devices=devices)
+        print(f"Sharding the video axis over {len(devices)} devices")
 
     with open_collection(src.video_path) as coll:
         print(coll.summary())

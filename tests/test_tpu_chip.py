@@ -165,3 +165,81 @@ def test_pallas_and_pipeline_parity_on_chip(tmp_path):
 def test_band_kernel_stays_near_roofline_on_chip(tmp_path):
     proc = _run_chip_subprocess(tmp_path, _CHIP_PERF)
     assert "PERF_OK" in proc.stdout, proc.stdout
+
+
+_CHIP_LIBRARY = textwrap.dedent(
+    """
+    import sys
+    import numpy as np
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("NO_TPU")
+        sys.exit(0)
+
+    from hsip_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()  # vmapped-scan compiles are slow
+
+    # Library mode on the REAL chip: the vmapped on-device scan over a
+    # mixed-shape multi-recording source must write tables byte-identical
+    # to per-file device runs (the same invariant the CPU suite proves on
+    # virtual devices, now with the compiled Mosaic kernel + real f32 MXU
+    # arithmetic in the scan).
+    import tempfile
+    from pathlib import Path
+    from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
+    from hsip_tpu.pipeline import (
+        process_video_source,
+        process_video_source_library,
+    )
+    from hsip_tpu.track import FileCalibration, VideoSourceConfig
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d = Path(tmp) / "library"
+        for stem, (h, w), flame in (
+            ("nova-run-1-001", (48, 512),
+             FlameSpec(x0=30.0, v0_px=8.0, ignition_frame=2, seed=3)),
+            ("nova-run-1-002", (48, 512),
+             FlameSpec(x0=22.0, v0_px=5.0, ddt_frame=25, v_jump_px=24.0,
+                       ignition_frame=3, seed=5)),
+            ("mini-run-2-001", (64, 384),
+             FlameSpec(x0=28.0, v0_px=7.0, ignition_frame=4, seed=8)),
+        ):
+            fr, _ = synthesize_flame_video(48, height=h, width=w, flame=flame)
+            write_recording(d, stem, fr,
+                            spec=CihxSpec(width=w, height=h, total_frames=48,
+                                          record_rate=100_000, bit_depth=12))
+
+        def cfg(out):
+            c = VideoSourceConfig(name="Lib", save_frame_images=False,
+                                  save_stacked_sequences=False)
+            c.video_path = str(d)
+            c.output_dir = str(out)
+            c.file_calibrations = [
+                FileCalibration(calibration=0.000833333,
+                                position_offset=1.0159, files=["nova-"]),
+                FileCalibration(calibration=0.000869565,
+                                position_offset=0.050237, files=["mini-"]),
+            ]
+            return c
+
+        out_lib, out_dev = Path(tmp) / "lib", Path(tmp) / "dev"
+        outs = process_video_source_library(cfg(out_lib), verbose=False)
+        process_video_source(cfg(out_dev), backend="device", verbose=False)
+        assert len(outs) == 3, len(outs)
+        lib = {p.name: p.read_bytes() for p in sorted(out_lib.glob("*.txt"))}
+        dev = {p.name: p.read_bytes() for p in sorted(out_dev.glob("*.txt"))}
+        assert set(lib) == set(dev) and lib, (sorted(lib), sorted(dev))
+        for name in lib:
+            assert lib[name] == dev[name], name
+        assert any("post-DDT" in n for n in lib)  # the DDT recording split
+
+    print("LIBRARY_OK")
+    """
+)
+
+
+def test_library_mode_parity_on_chip(tmp_path):
+    proc = _run_chip_subprocess(tmp_path, _CHIP_LIBRARY)
+    assert "LIBRARY_OK" in proc.stdout, proc.stdout
