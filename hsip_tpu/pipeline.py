@@ -250,6 +250,14 @@ def process_video_file(
                 # recomputes full-frame intermediates itself).
                 viz_tasks.append({k: getattr(result, k) for k in _task_fields})
 
+        progress = None
+        if verbose and len(video) > 4096:
+            # Long recordings: per-chunk staging progress (the map-then-scan
+            # analogue of the reference's per-50-frame prints,
+            # process_videos.py:1524-1527).
+            def progress(staged, total):  # noqa: ANN001
+                print(f"  Staged {staged}/{total} frames...")
+
         if backend in ("tpu", "device"):
             output = track_video(
                 video,
@@ -263,6 +271,7 @@ def process_video_file(
                 detection_method=config.detection_method,
                 use_frame_diff=config.use_frame_diff,
                 scan="device" if backend == "device" else "host",
+                progress=progress,
             )
         elif backend == "exact":
             output = _track_video_exact(
@@ -273,6 +282,11 @@ def process_video_file(
                 config,
                 background_scalar,
                 on_result=on_result,
+                progress=(
+                    (lambda done, total:
+                     print(f"  Processed {done}/{total} frames..."))
+                    if verbose else None
+                ),
             )
         else:
             raise ValueError(
@@ -330,10 +344,12 @@ def _track_video_exact(
     config: VideoSourceConfig,
     background_scalar: float,
     on_result=None,
+    progress=None,
 ) -> TrackingOutput:
     """Bit-exact anchor: the reference's serial frame loop, float64 host ops.
 
-    Loop semantics parity: ``scripts/process_videos.py:1441-1527``.
+    Loop semantics parity: ``scripts/process_videos.py:1441-1527``
+    (including its per-50-frame ``progress`` cadence, ``:1524-1527``).
     """
     from .kernels.reference import is_empty_frame, subtract_scalar_background
     from .track.scan import MIN_SIGNAL_FRACTION, NOISE_THRESHOLD_FLOOR
@@ -355,6 +371,8 @@ def _track_video_exact(
     for frame_idx in range(len(video)):
         if frame_idx in skip:
             continue
+        if progress is not None and frame_idx and frame_idx % 50 == 0:
+            progress(frame_idx, len(video))
         frame = video[frame_idx]
         time_s = time_fn(frame_idx)
         frame_subtracted = subtract_scalar_background(frame, background_scalar)

@@ -111,6 +111,7 @@ def compute_profiles_batched(
     keep_device: bool = False,
     need_intensity: bool = True,
     need_raw: bool = True,
+    progress: Optional[Callable[[int, int], None]] = None,
 ) -> FrameProfiles:
     """Map phase: batched device computation of per-frame centerline profiles.
 
@@ -141,6 +142,11 @@ def compute_profiles_batched(
             arrays stay zero). Ignored when keep_device=True.
         count_fn: callable (start, stop, background, threshold) -> (n,) int
             above-noise pixel counts computed host-side (C++ fused pass).
+        progress: callable (staged, total) invoked after each chunk
+            dispatch — the map-then-scan analogue of the reference's
+            per-50-frame progress prints (process_videos.py:1524-1527).
+            "Staged" counts processed frames whose device work has been
+            DISPATCHED (the map phase free-runs; results arrive later).
 
     The differencing prior of each processed frame is the previous processed
     frame (empty frames included — they advance the motion baseline).
@@ -279,6 +285,8 @@ def compute_profiles_batched(
                 # counts is a Future: resolved in the drain loop so chunk i's
                 # host count pass overlaps chunk i+1's gather/transfer.
                 pending.append((pos, stop, local, sob, grad, intens, rawc, counts))
+                if progress is not None:
+                    progress(stop, m)
                 continue
             host = (
                 np.ascontiguousarray(read_packed(lo, hi))
@@ -313,6 +321,8 @@ def compute_profiles_batched(
                 )
             del dev, host
             pending.append((pos, stop, local, sob, grad, intens, rawc, counts))
+            if progress is not None:
+                progress(stop, m)
 
     finally:
         if count_pool is not None:
@@ -667,6 +677,7 @@ def track_video(
     use_frame_diff: bool = True,
     scan: str = "host",
     mesh=None,
+    progress: Optional[Callable[[int, int], None]] = None,
 ) -> TrackingOutput:
     """End-to-end tracking of one :class:`~hsip_tpu.video.PhotonVideo`.
 
@@ -699,6 +710,7 @@ def track_video(
             sharded_kwargs["frames_per_shard"] = max(1, chunk_size // n_shards)
         profiles = _compute_profiles_sharded(
             video, background_scalar, config, skip_frames, mesh,
+            progress=progress,
             **sharded_kwargs,
         )
         time_fn = (
@@ -742,6 +754,7 @@ def track_video(
         keep_device=scan == "device",
         need_intensity=detection_method != "combined" and use_frame_diff,
         need_raw=detection_method != "combined" and not use_frame_diff,
+        progress=progress,
     )
     time_fn = video.get_absolute_time if use_absolute_time else video.get_time
     if scan == "device":
@@ -775,6 +788,7 @@ def track_video(
 def _compute_profiles_sharded(
     video, background_scalar, config, skip_frames, mesh,
     frames_per_shard: int = 512,
+    progress: Optional[Callable[[int, int], None]] = None,
 ) -> FrameProfiles:
     """Map phase over a device mesh: frames shard along the 'frame' axis with
     halo exchange for the differencing priors (parallel/sharding.py).
@@ -824,6 +838,8 @@ def _compute_profiles_sharded(
         rawc[start:stop] = c_raw[off:]
         counts[start:stop] = c_cnt[off:]
         start = stop
+        if progress is not None:
+            progress(stop, m)
 
     has_prior = np.ones(m, dtype=bool)
     if m:

@@ -531,3 +531,38 @@ def test_library_mode_warns_on_unmatched_calibration(library_dir, tmp_path,
     process_video_source_library(cfg, verbose=False)
     out = capsys.readouterr().out
     assert out.count("no file_calibration entry matches") == 3
+
+
+def test_exact_backend_prints_progress_every_50_frames(tmp_path, capsys):
+    """Reference parity: per-50-frame progress prints (:1524-1527)."""
+    frames, _ = synthesize_flame_video(
+        120, height=32, width=640,
+        flame=FlameSpec(x0=20.0, v0_px=3.0, ignition_frame=2, seed=21),
+    )
+    meta = write_recording(tmp_path, "prog-run-1-001", frames)
+    cfg = VideoSourceConfig(name="P", save_frame_images=False,
+                            save_stacked_sequences=False)
+    cfg.output_dir = str(tmp_path / "out")
+    process_video_file(meta, cfg, backend="exact", verbose=True,
+                       write_outputs=False)
+    out = capsys.readouterr().out
+    assert "Processed 50/120 frames" in out
+    assert "Processed 100/120 frames" in out
+
+
+def test_map_phase_progress_callback(recording):
+    """compute_profiles_batched reports staged/total after each chunk."""
+    from hsip_tpu import open_video
+    from hsip_tpu.track import FlameDetectorConfig
+    from hsip_tpu.track.scan import track_video
+
+    seen = []
+    with open_video(str(recording["path"])) as video:
+        track_video(
+            video, FlameDetectorConfig(), calibration_m_per_px=0.001,
+            chunk_size=16, progress=lambda a, b: seen.append((a, b)),
+        )
+        n = len(video)
+    assert seen, "progress callback never fired"
+    assert seen[-1][0] == seen[-1][1] == n
+    assert [a for a, _ in seen] == sorted(a for a, _ in seen)
