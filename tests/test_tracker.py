@@ -513,3 +513,29 @@ def test_named_method_skips_edge_passes_but_keeps_viz_intermediates():
     assert r_lean.sobel_output is None  # skipped
     assert r_full.sobel_output is not None  # kept for the 12-panel figure
     assert r_lean.final_position == r_full.final_position
+
+
+def test_spline_close_to_scipy_univariate_spline():
+    """SURVEY hard-part 6: our Reinsch spline approximates FITPACK. On the
+    smooth trajectories the tracker actually fits (monotone flame positions
+    with pixel-quantization noise), predictions must stay within ~2 px of
+    scipy's UnivariateSpline at the same smoothing factor. Plot-only
+    contract — final_position never consumes the spline."""
+    scipy_interp = pytest.importorskip("scipy.interpolate")
+    rng = np.random.default_rng(11)
+    frames = np.arange(40, dtype=np.float64)
+    true = 25.0 + 6.0 * frames + 0.15 * frames**2
+    positions = np.round(true + rng.normal(0, 0.6, frames.size))
+
+    s = 0.5 * frames.size  # the reference's s = spline_smoothing * len
+    ours = fit_smoothing_spline(frames, positions, s=s)
+    theirs = scipy_interp.UnivariateSpline(frames, positions, s=s, k=3)
+    assert ours is not None
+
+    query = np.linspace(0.0, 39.0, 200)
+    diff = np.abs(ours(query) - theirs(query))
+    assert diff.max() < 2.0, f"max deviation from FITPACK: {diff.max():.3f} px"
+    # The tracker's prediction point is one frame past the last fit
+    # (predict_with_spline(frame_idx)); extrapolations use different end
+    # polynomials, so allow a slightly wider band there.
+    assert abs(ours(40.0) - theirs(40.0)) < 3.0
