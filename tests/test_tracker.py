@@ -541,3 +541,54 @@ def test_spline_close_to_scipy_univariate_spline():
     # is wider there. Measured ~3.2 px on this trajectory; the spline is
     # plot-only, so this documents rather than constrains tightly.
     assert abs(ours(40.0) - theirs(40.0)) < 5.0
+
+
+def _synthetic_profiles(n, width=1024):
+    """Minimal FrameProfiles with a clean rightward-moving front."""
+    from hsip_tpu.track.scan import FrameProfiles
+
+    pos = (10 + 0.045 * np.arange(n)).astype(int)
+    sob = np.zeros((n, width), np.float32)
+    grad = np.zeros((n, width), np.float32)
+    rows = np.arange(n)
+    sob[rows, pos] = 120.0
+    grad[rows, pos] = -60.0
+    has_prior = np.ones(n, bool)
+    has_prior[0] = False
+    return FrameProfiles(
+        frame_indices=np.arange(n, dtype=np.int64),
+        sobel_lines=sob, gradient_lines=grad,
+        intensity_lines=np.zeros((n, width), np.float32),
+        raw_center_lines=np.zeros((n, width), np.float32),
+        signal_counts=np.full(n, 5000, np.int64), has_prior=has_prior,
+        width=width, total_pixels=width * 64,
+    )
+
+
+def test_host_scan_scales_linearly():
+    """Guard the O(N^2) scan trap class (eager spline refits, per-step
+    history copies): 4x the frames must cost well under quadratic 16x.
+    Historic regressions here ran at 8 fps; the bound (10x, vs ~3x
+    measured) only trips on complexity bugs, not machine noise."""
+    import time
+
+    from hsip_tpu.track import FlameDetectorConfig
+    from hsip_tpu.track.scan import run_tracking_scan
+
+    cfg = FlameDetectorConfig()
+
+    def run(n):
+        p = _synthetic_profiles(n)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            out = run_tracking_scan(
+                p, cfg, frame_rate=100000.0, calibration_m_per_px=1e-6,
+                time_fn=lambda i: i / 100000.0,
+            )
+            best = min(best, time.perf_counter() - t0)
+        assert len(out.rows) == n - 1 and out.break_reason is None
+        return best
+
+    t4, t16 = run(4000), run(16000)
+    assert t16 / t4 < 10.0, f"scan scaling regressed: {t16 / t4:.1f}x for 4x frames"
