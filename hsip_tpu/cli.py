@@ -200,6 +200,12 @@ def build_parser() -> argparse.ArgumentParser:
              "devices)",
     )
     parser.add_argument(
+        "--info",
+        action="store_true",
+        help="print each recording's parsed metadata (frames, geometry, "
+             "timing, matched calibration) and exit without processing",
+    )
+    parser.add_argument(
         "--no-images", action="store_true", help="skip per-frame diagnostic figures"
     )
     parser.add_argument(
@@ -239,6 +245,46 @@ def build_parser() -> argparse.ArgumentParser:
         help="with --distributed: this process's rank for manual launches",
     )
     return parser
+
+
+def _print_info(sources: List[VideoSourceConfig]) -> int:
+    """``--info``: parsed metadata per recording, no processing.
+
+    The reference prints this block only mid-run (per-file dumps at
+    ``process_videos.py:1326-1354``); here it's available standalone.
+    """
+    from . import open_video
+
+    found_any = False
+    for cfg in sources:
+        if not cfg.enabled or not cfg.video_path:
+            continue
+        files = sorted(Path(cfg.video_path).rglob("*.cihx"))
+        if files:
+            print(f"\n{cfg.name}: {len(files)} recording(s) under "
+                  f"{cfg.video_path}")
+        for f in files:
+            found_any = True
+            cal, off = cfg.get_calibration_for_file(f.name)
+            try:
+                with open_video(str(f), trigger_frame=cfg.trigger_frame) as v:
+                    print(f"  {f.name}: {len(v)} frames "
+                          f"{v.height}x{v.width} {v.bit_depth}-bit @ "
+                          f"{v.frame_rate:g} fps, duration {v.duration:.6f} s, "
+                          f"trigger {v.trigger_frame}, calibration {cal} m/px, "
+                          f"offset {off} m")
+                    if v.has_absolute_timing:
+                        c = v.cihx_metadata
+                        print(f"    start_frame={c.get('start_frame')} "
+                              f"skip_frame={c.get('skip_frame')} "
+                              f"recorded={c.get('recording_datetime')} "
+                              f"irig={c.get('irig')}")
+            except Exception as exc:
+                print(f"  {f.name}: UNREADABLE ({exc})")
+    if not found_any:
+        print("No recordings found", file=sys.stderr)
+        return 1
+    return 0
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -289,6 +335,9 @@ def main(argv: Optional[List[str]] = None) -> int:
             cfg.use_absolute_time = False
         if args.detection_method:
             cfg.detection_method = args.detection_method
+
+    if args.info:
+        return _print_info(sources)
 
     if args.mesh is not None and not args.library:
         print("--mesh requires --library (it shards the batched video axis)",

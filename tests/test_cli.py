@@ -239,3 +239,30 @@ def test_cli_library_rejects_backend(videos, tmp_path, capsys):
     ])
     assert rc == 2
     assert "incompatible with --library" in capsys.readouterr().err
+
+
+def test_cli_info_dumps_metadata(videos, tmp_path, capsys):
+    import shutil
+
+    from hsip_tpu.cli import main
+
+    # Isolated copy: the corrupt file must not leak into the shared fixture.
+    vdir = tmp_path / "videos"
+    shutil.copytree(videos, vdir)
+    (vdir / "garbage.cihx").write_bytes(b"\x01nope" * 40)
+    rc = main(["--video-path", str(vdir), "--info"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "cli-run-1-a.cihx: 25 frames 48x256" in out
+    assert "100000 fps" in out
+    assert "UNREADABLE" in out  # the corrupt file is reported, not fatal
+    # No processing side effects: --info never writes outputs.
+    assert not (tmp_path / "hsip-output").exists()
+
+
+def test_cli_info_empty_dir(tmp_path, capsys):
+    from hsip_tpu.cli import main
+
+    rc = main(["--video-path", str(tmp_path), "--info"])
+    assert rc == 1
+    assert "No recordings found" in capsys.readouterr().err
