@@ -105,7 +105,7 @@ def main() -> int:
     parser.add_argument("--height", type=int, default=128)
     parser.add_argument("--width", type=int, default=1024)
     parser.add_argument(
-        "--repeat", type=int, default=4,
+        "--repeat", type=int, default=6,
         help="best-of repeats (the dev-tunnel transfer path has ~3x "
         "run-to-run variance; best-of damps it)",
     )
