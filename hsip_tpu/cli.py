@@ -267,20 +267,26 @@ def _print_info(sources: List[VideoSourceConfig]) -> int:
             found_any = True
             cal, off = cfg.get_calibration_for_file(f.name)
             try:
+                # Only the open/parse is guarded — a print failure (e.g.
+                # SIGPIPE from `hsip --info | head`) must not masquerade
+                # as an unreadable recording.
                 with open_video(str(f), trigger_frame=cfg.trigger_frame) as v:
-                    print(f"  {f.name}: {len(v)} frames "
-                          f"{v.height}x{v.width} {v.bit_depth}-bit @ "
-                          f"{v.frame_rate:g} fps, duration {v.duration:.6f} s, "
-                          f"trigger {v.trigger_frame}, calibration {cal} m/px, "
-                          f"offset {off} m")
-                    if v.has_absolute_timing:
-                        c = v.cihx_metadata
-                        print(f"    start_frame={c.get('start_frame')} "
-                              f"skip_frame={c.get('skip_frame')} "
-                              f"recorded={c.get('recording_datetime')} "
-                              f"irig={c.get('irig')}")
+                    d = v.describe()
             except Exception as exc:
                 print(f"  {f.name}: UNREADABLE ({exc})")
+                continue
+            print(f"  {f.name}: {d['frames']} frames "
+                  f"{d['height']}x{d['width']} {d['bit_depth']}-bit @ "
+                  f"{d['frame_rate']:g} fps, "
+                  f"duration {d['duration_s']:.6f} s, "
+                  f"trigger {d['trigger_frame']}, "
+                  f"calibration {cal} m/px, offset {off} m")
+            if "cihx" in d:
+                c = d["cihx"]
+                print(f"    start_frame={c['start_frame']} "
+                      f"skip_frame={c['skip_frame']} "
+                      f"recorded={c['recording_datetime']} "
+                      f"irig={c['irig']}")
     if not found_any:
         print("No recordings found", file=sys.stderr)
         return 1
@@ -338,6 +344,16 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     if args.info:
         return _print_info(sources)
+
+    if not args.distributed and any(
+        v is not None
+        for v in (args.coordinator, args.num_processes, args.process_id)
+    ):
+        # Without this, two manually-launched ranks would silently run as
+        # independent serial processes, each writing ALL output tables.
+        print("--coordinator/--num-processes/--process-id require "
+              "--distributed", file=sys.stderr)
+        return 2
 
     if args.mesh is not None and not args.library:
         print("--mesh requires --library (it shards the batched video axis)",
@@ -422,4 +438,12 @@ def main(argv: Optional[List[str]] = None) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    try:
+        sys.exit(main())
+    except BrokenPipeError:
+        # `hsip --info | head` closes stdout early; exit quietly (the devnull
+        # dup stops Python's shutdown from re-raising on stdout flush).
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        sys.exit(0)

@@ -173,17 +173,18 @@ def process_video_file(
     )
     try:
         if verbose:
-            print(f"  Frames: {len(video)}")
-            print(f"  Frame rate: {video.frame_rate} fps")
-            print(f"  Frame shape: {video.frame_shape}")
-            print(f"  Duration: {video.duration:.6f} s")
-            if video.has_absolute_timing:
-                cihx = video.cihx_metadata
+            d = video.describe()  # same field source as `hsip --info`
+            print(f"  Frames: {d['frames']}")
+            print(f"  Frame rate: {d['frame_rate']} fps")
+            print(f"  Frame shape: ({d['height']}, {d['width']})")
+            print(f"  Duration: {d['duration_s']:.6f} s")
+            if "cihx" in d:
+                cihx = d["cihx"]
                 print("  CIHX Timing (parsed from XML):")
-                print(f"    Recording datetime: {cihx.get('recording_datetime')}")
-                print(f"    Record rate: {cihx.get('record_rate')} fps")
-                print(f"    Start frame: {cihx.get('start_frame')}")
-                print(f"    Skip frame: {cihx.get('skip_frame')}")
+                print(f"    Recording datetime: {cihx['recording_datetime']}")
+                print(f"    Record rate: {cihx['record_rate']} fps")
+                print(f"    Start frame: {cihx['start_frame']}")
+                print(f"    Skip frame: {cihx['skip_frame']}")
 
         background_scalar = float(np.max(video[0]))
         if verbose:

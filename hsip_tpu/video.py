@@ -353,6 +353,30 @@ class PhotonVideo:
     def trigger_frame(self) -> int:
         return self._timing.trigger_frame
 
+    def describe(self) -> Dict[str, Any]:
+        """One dict of the metadata both human dumps print (the CLI's
+        ``--info`` and the pipeline's verbose load block) — a single source
+        for the field names so the two dumps cannot drift."""
+        d: Dict[str, Any] = {
+            "frames": len(self),
+            "height": self.height,
+            "width": self.width,
+            "bit_depth": self.bit_depth,
+            "frame_rate": self.frame_rate,
+            "duration_s": self.duration,
+            "trigger_frame": self.trigger_frame,
+        }
+        if self.has_absolute_timing:
+            c = self.cihx_metadata
+            d["cihx"] = {
+                "recording_datetime": c.get("recording_datetime"),
+                "record_rate": c.get("record_rate"),
+                "start_frame": c.get("start_frame"),
+                "skip_frame": c.get("skip_frame"),
+                "irig": c.get("irig_enabled"),
+            }
+        return d
+
     # -- calibration -----------------------------------------------------------
 
     @property

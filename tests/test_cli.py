@@ -250,14 +250,27 @@ def test_cli_info_dumps_metadata(videos, tmp_path, capsys):
     vdir = tmp_path / "videos"
     shutil.copytree(videos, vdir)
     (vdir / "garbage.cihx").write_bytes(b"\x01nope" * 40)
-    rc = main(["--video-path", str(vdir), "--info"])
+    out_dir = tmp_path / "explicit-out"
+    rc = main(["--video-path", str(vdir), "--output-dir", str(out_dir),
+               "--info"])
     out = capsys.readouterr().out
     assert rc == 0
     assert "cli-run-1-a.cihx: 25 frames 48x256" in out
     assert "100000 fps" in out
+    assert "irig=" in out and "irig=None" not in out  # real CIHX irig state
     assert "UNREADABLE" in out  # the corrupt file is reported, not fatal
     # No processing side effects: --info never writes outputs.
-    assert not (tmp_path / "hsip-output").exists()
+    assert not out_dir.exists()
+
+
+def test_cli_manual_launch_flags_require_distributed(videos, tmp_path, capsys):
+    from hsip_tpu.cli import main
+
+    rc = main(["--video-path", str(videos), "--output-dir",
+               str(tmp_path / "o"), "--coordinator", "localhost:1",
+               "--quiet"])
+    assert rc == 2
+    assert "require --distributed" in capsys.readouterr().err
 
 
 def test_cli_info_empty_dir(tmp_path, capsys):
