@@ -114,3 +114,59 @@ def test_random_config_backend_parity(seed):
         )
         if backend == "tpu":
             assert got.break_reason == exact.break_reason
+
+
+@pytest.mark.parametrize("seed", range(max(3, N_CONFIGS // 3)))
+def test_random_library_matches_per_file(seed, tmp_path):
+    """Library mode (vmapped, mixed shapes/lengths/depths in one source)
+    must write byte-identical tables to per-file device runs under random
+    geometry — the whole-source generalization of
+    test_library_mode_tables_match_per_file_device."""
+    from hsip_tpu.pipeline import (
+        process_video_source,
+        process_video_source_library,
+    )
+
+    rng = np.random.default_rng(7000 + seed)
+    lib = tmp_path / "lib"
+    n_videos = int(rng.integers(2, 5))
+    shapes = [(int(rng.choice([32, 48, 64])), int(rng.choice([256, 384, 512])))
+              for _ in range(int(rng.integers(1, 3)))]
+    for v in range(n_videos):
+        h, w = shapes[v % len(shapes)]
+        depth = int(rng.choice([12, 16]))
+        n = int(rng.integers(20, 60))
+        flame = FlameSpec(
+            x0=float(rng.uniform(15, 50)),
+            v0_px=float(rng.uniform(3, 10)),
+            ignition_frame=int(rng.integers(0, 5)),
+            ddt_frame=int(rng.integers(12, 25)) if rng.random() < 0.4 else None,
+            v_jump_px=25.0,
+            seed=900 + 10 * seed + v,
+        )
+        frames, _ = synthesize_flame_video(n, height=h, width=w, flame=flame)
+        write_recording(
+            lib, f"fuzzlib-run-{v + 1}-001", frames,
+            spec=CihxSpec(width=w, height=h, total_frames=n,
+                          record_rate=100_000, bit_depth=depth),
+        )
+
+    def cfg(out):
+        c = VideoSourceConfig(name="FL", save_frame_images=False,
+                              save_stacked_sequences=False,
+                              calibration=0.000833333, position_offset=1.0)
+        c.video_path = str(lib)
+        c.output_dir = str(out)
+        return c
+
+    outs = process_video_source_library(cfg(tmp_path / "lo"), verbose=False)
+    process_video_source(cfg(tmp_path / "do"), backend="device",
+                         verbose=False)
+    assert len(outs) == n_videos
+    lib_tables = {p.name: p.read_bytes()
+                  for p in (tmp_path / "lo").glob("*.txt")}
+    dev_tables = {p.name: p.read_bytes()
+                  for p in (tmp_path / "do").glob("*.txt")}
+    assert set(lib_tables) == set(dev_tables)
+    for name in lib_tables:
+        assert lib_tables[name] == dev_tables[name], f"seed {seed}: {name}"
