@@ -63,7 +63,7 @@ def build_multichip_step(mesh, height: int, width: int, axis_frame: str = "frame
         total_signal = jax.lax.psum(
             jax.lax.psum(jnp.sum(counts), axis_frame), axis_video
         )
-        return pos_min_grad, pos_rightmost, total_signal
+        return pos_min_grad, pos_rightmost, total_signal, sob, grad
 
     sharded = shard_map(
         per_shard,
@@ -73,6 +73,8 @@ def build_multichip_step(mesh, height: int, width: int, axis_frame: str = "frame
             P(axis_video, axis_frame),
             P(axis_video, axis_frame),
             P(),
+            P(axis_video, axis_frame, None),
+            P(axis_video, axis_frame, None),
         ),
         check_vma=False,
     )
@@ -105,10 +107,47 @@ def run_multichip_dryrun(n_devices: int, height: int = 24, width: int = 128,
     step = build_multichip_step(mesh, height, width)
     sharding = NamedSharding(mesh, P("video", "frame", None, None))
     frames_dev = jax.device_put(frames, sharding)
-    pos_g, pos_s, total = step(
+    pos_g, pos_s, total, sob, grad = step(
         frames_dev, jnp.float32(100.0), jnp.float32(5.0), jnp.float32(50.0)
     )
     jax.block_until_ready((pos_g, pos_s, total))
     assert pos_g.shape == (v, n_frames)
     assert pos_s.shape == (v, n_frames)
+
+    # Second half of the FULL production step: the tracking state machine
+    # as a vmapped lax.scan over the video axis (what library mode ships,
+    # track/batch.py), video-sharded on the same mesh.
+    from ..track.device_scan import device_tracking_scan
+
+    def vshard(x, *rest_axes):
+        return jax.device_put(
+            np.asarray(x), NamedSharding(mesh, P("video", *rest_axes))
+        )
+
+    fi = np.broadcast_to(np.arange(n_frames, dtype=np.int32), (v, n_frames))
+    empty = np.zeros((v, n_frames), dtype=bool)
+    has_prior = np.ones((v, n_frames), dtype=bool)
+    has_prior[:, 0] = False
+    scan_v = jax.vmap(
+        lambda f, s, g, e, hp: device_tracking_scan(
+            f, s, g, e, hp,
+            width=width,
+            min_gradient_strength=jnp.float32(10.0),
+            sobel_threshold_fraction=jnp.float32(0.1),
+            ddt_velocity_jump=jnp.float32(1250.0),
+            calibration=jnp.float32(8.3e-4),
+            frame_rate=jnp.float32(100_000.0),
+            max_displacement_px=jnp.int32(3),
+        )
+    )
+    res = jax.jit(scan_v)(
+        vshard(fi, None),
+        vshard(sob, None, None),
+        vshard(grad, None, None),
+        vshard(empty, None),
+        vshard(has_prior, None),
+    )
+    jax.block_until_ready(res)
+    assert res.final_position.shape == (v, n_frames)
+
     return np.asarray(pos_g), np.asarray(pos_s), float(np.asarray(total))
