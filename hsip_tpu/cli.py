@@ -437,13 +437,18 @@ def main(argv: Optional[List[str]] = None) -> int:
     return 0
 
 
-if __name__ == "__main__":
+def entry() -> int:
+    """Console-script entry: ``main()`` with graceful SIGPIPE handling."""
     try:
-        sys.exit(main())
+        return main()
     except BrokenPipeError:
         # `hsip --info | head` closes stdout early; exit quietly (the devnull
         # dup stops Python's shutdown from re-raising on stdout flush).
         import os
 
         os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
-        sys.exit(0)
+        return 0
+
+
+if __name__ == "__main__":
+    sys.exit(entry())
