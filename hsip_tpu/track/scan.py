@@ -797,15 +797,19 @@ def _compute_profiles_sharded(
     one-frame overlap (each chunk's first frame is the previous chunk's last,
     carrying the differencing prior; its output row is dropped), so host/HBM
     footprint stays bounded on long recordings.
+
+    ``skip_frames`` are excluded entirely (not processed, not priors —
+    batched-path semantics): each processed frame diffs against the previous
+    PROCESSED frame, so compacting the processed frames before sharding
+    preserves prior adjacency and the same halo machinery applies unchanged.
     """
     from ..parallel.sharding import sharded_centerline_profiles
 
-    if skip_frames:
-        raise NotImplementedError(
-            "skip_frames is not supported on the sharded map phase yet; "
-            "use the single-device path"
-        )
-    m = len(video)
+    skip = set(int(s) for s in skip_frames)
+    processed = np.array(
+        [i for i in range(len(video)) if i not in skip], dtype=np.int64
+    )
+    m = processed.size
     h, w = video.frame_shape
     noise_threshold = max(NOISE_THRESHOLD_FLOOR, background_scalar * 0.5)
     n_shards = mesh.shape["frame"]
@@ -820,8 +824,11 @@ def _compute_profiles_sharded(
     start = 0
     while start < m:
         stop = min(m, start + chunk)
-        lo = max(0, start - 1)  # one-frame overlap carries the prior
-        frames = video.read_batch(lo, stop)
+        lo_pos = max(0, start - 1)  # one-frame overlap carries the prior
+        idxs = processed[lo_pos:stop]
+        lo, hi = int(idxs[0]), int(idxs[-1]) + 1
+        block = video.read_batch(lo, hi)
+        frames = block if hi - lo == idxs.size else block[idxs - lo]
         c_sob, c_grad, c_int, c_raw, c_cnt = sharded_centerline_profiles(
             frames,
             background_scalar,
@@ -831,7 +838,7 @@ def _compute_profiles_sharded(
             morphology_kernel_size=config.morphology_kernel_size,
             gaussian_sigma=config.gaussian_sigma,
         )
-        off = start - lo  # 0 for the first chunk, 1 afterwards
+        off = start - lo_pos  # 0 for the first chunk, 1 afterwards
         sob[start:stop] = c_sob[off:]
         grad[start:stop] = c_grad[off:]
         intens[start:stop] = c_int[off:]
@@ -845,7 +852,7 @@ def _compute_profiles_sharded(
     if m:
         has_prior[0] = False
     return FrameProfiles(
-        frame_indices=np.arange(m, dtype=np.int64),
+        frame_indices=processed,
         sobel_lines=sob,
         gradient_lines=grad,
         intensity_lines=intens,

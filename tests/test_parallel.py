@@ -195,3 +195,30 @@ def test_track_video_over_mesh_streams_chunks(tmp_path):
     assert [r[:3] for r in streamed.rows] == [r[:3] for r in single.rows]
     assert [r[:4] for r in dev.rows] == [r[:4] for r in single.rows]
     assert dev.total_frames == 37
+
+
+def test_track_video_over_mesh_with_skip_frames(tmp_path):
+    """skip_frames on the sharded map phase: compacting processed frames
+    preserves prior adjacency, so rows must match the single-device path
+    with the same skip list (including across chunk boundaries)."""
+    from hsip_tpu import open_video
+    from hsip_tpu.track import FlameDetectorConfig
+    from hsip_tpu.track.scan import track_video
+
+    frames, _ = synthesize_flame_video(
+        41, height=32, width=256,
+        flame=FlameSpec(x0=25, v0_px=6, accel_px=0.1, ignition_frame=2,
+                        seed=17),
+    )
+    meta = write_recording(tmp_path, "skip-mesh-run-1", frames)
+    mesh = make_mesh("frame", n_devices=4)
+    skip = [0, 7, 8, 20, 33]
+    with open_video(str(meta)) as video:
+        single = track_video(video, FlameDetectorConfig(), 0.0008, 0.0,
+                             skip_frames=skip)
+        sharded = track_video(video, FlameDetectorConfig(), 0.0008, 0.0,
+                              skip_frames=skip, mesh=mesh, chunk_size=32)
+    assert single.rows and len(single.rows) > 20
+    assert [r[:4] for r in sharded.rows] == [r[:4] for r in single.rows]
+    assert not {r[0] for r in sharded.rows} & set(skip)
+    assert sharded.break_reason == single.break_reason
