@@ -105,7 +105,19 @@ class NativeDecoder:
             i64p, ctypes.c_int64, ctypes.c_int64, u8p,
         ]
         lib.native_num_threads.restype = ctypes.c_int
+        lib.native_set_num_threads.argtypes = [ctypes.c_int]
         self._lib = lib
+
+        # The payload scans (count_above*, gather_rows) are page-fault-bound
+        # on cold file caches: threads spend their time blocked in fault I/O,
+        # so the useful thread count is an I/O-concurrency knob, not a core
+        # count. Low-core hosts (1-core dev VMs) otherwise run them at 1
+        # thread and read a 3 GB recording ~5x slower than the disk allows.
+        # An explicit OMP_NUM_THREADS always wins.
+        if "OMP_NUM_THREADS" not in os.environ:
+            current = int(lib.native_num_threads())
+            if current < 16:
+                lib.native_set_num_threads(16)
 
     @property
     def num_threads(self) -> int:

@@ -196,4 +196,17 @@ int native_num_threads() {
 #endif
 }
 
+void native_set_num_threads(int n) {
+    // The payload scans (count_above*, gather_rows) are page-fault-bound on
+    // cold file caches: threads block in fault I/O, so the useful thread
+    // count is an I/O-concurrency knob, not a core count. Callers raise it
+    // above the core count on low-core hosts (measured 5x cold-cache
+    // speedup at 16-32 threads on a 1-core VM; warm-cache time unchanged).
+#ifdef _OPENMP
+    if (n > 0) omp_set_num_threads(n);
+#else
+    (void)n;
+#endif
+}
+
 }  // extern "C"
