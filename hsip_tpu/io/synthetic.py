@@ -285,9 +285,23 @@ def synthesize_flame_video(
         profiles = flame.flame_level / (
             1.0 + np.exp((xs[None, :] - pos_lit) / max(flame.edge_width_px, 1e-3))
         )  # (L, W) float
-        # Saturating add in int32: background + flame_level above the uint16
-        # (or container) ceiling must clamp, not wrap around to darkness.
-        summed = frames[lit].astype(np.int32) + profiles.astype(np.int32)[:, None, :]
-        frames[lit] = np.minimum(summed, max_dn).astype(np.uint16)
+        # Saturating add: background + flame_level above the uint16 (or
+        # container) ceiling must clamp, not wrap around to darkness.
+        peak = flame.flame_level + flame.background_level + flame.background_noise
+        first = int(np.argmax(lit))  # lit == (i >= ignition_frame): contiguous
+        if peak <= 0xFFFF and bool(lit[first:].all()):
+            # Fast path: in-place uint16 broadcast add over the contiguous lit
+            # tail — no int32 temporaries, no fancy-index copies (~3x less
+            # memory traffic; synthesis is bandwidth-bound on big videos).
+            prof_u16 = np.minimum(profiles, max_dn).astype(np.uint16)
+            tail = frames[first:]
+            np.add(tail, prof_u16[:, None, :], out=tail)
+            np.minimum(tail, max_dn, out=tail)
+        else:
+            summed = (
+                frames[lit].astype(np.int32)
+                + profiles.astype(np.int32)[:, None, :]
+            )
+            frames[lit] = np.minimum(summed, max_dn).astype(np.uint16)
     np.minimum(frames, max_dn, out=frames)
     return frames, positions
