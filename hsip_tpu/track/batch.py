@@ -152,6 +152,7 @@ def track_collection_device(
     chunk_size: Optional[int] = None,
     mesh=None,
     video_axis: str = "video",
+    max_group_bytes: int = 2 << 30,
 ) -> List[TrackingOutput]:
     """Track every video of a collection with vmapped device scans.
 
@@ -162,11 +163,19 @@ def track_collection_device(
     (defaults 1.0 / 0.0). Returns one :class:`TrackingOutput` per video,
     identical to running the serial host scan on each.
 
+    Each shape group's device-resident profile footprint (videos are padded
+    to the group's longest frame count) is bounded by ``max_group_bytes``
+    (default 2 GiB): oversized groups split into sub-batches, ordered by
+    frame count so padding stays minimal — a 500-video library cannot
+    overflow HBM, and one 100k-frame recording doesn't pad fifty 2k-frame
+    ones to 100k steps. Per-video results are independent, so sub-batching
+    never changes output tables.
+
     With ``mesh`` (a :class:`jax.sharding.Mesh` carrying ``video_axis``),
-    each group's video axis shards across devices: each device scans its
-    videos concurrently — the pod-scale layout where a whole library tracks
-    in one dispatch across a slice. The video count is padded to the axis
-    size with inert (all-empty) videos.
+    each sub-batch's video axis shards across devices: each device scans
+    its videos concurrently — the pod-scale layout where a whole library
+    tracks in one dispatch across a slice. The video count is padded to the
+    axis size with inert (all-empty) videos.
     """
     config = config or FlameDetectorConfig()
     videos = list(collection)
@@ -177,13 +186,43 @@ def track_collection_device(
         groups.setdefault(video.frame_shape, []).append(idx)
     outputs: List[Optional[TrackingOutput]] = [None] * len(videos)
     for (_h, w), idxs in groups.items():
-        group_outputs = _track_uniform_videos(
-            [videos[i] for i in idxs], w, config, source_config,
-            use_absolute_time, chunk_size, mesh, video_axis,
-        )
-        for i, out in zip(idxs, group_outputs):
-            outputs[i] = out
+        for sub in _split_by_footprint(idxs, videos, w, max_group_bytes):
+            group_outputs = _track_uniform_videos(
+                [videos[i] for i in sub], w, config, source_config,
+                use_absolute_time, chunk_size, mesh, video_axis,
+            )
+            for i, out in zip(sub, group_outputs):
+                outputs[i] = out
     return outputs  # type: ignore[return-value]
+
+
+# The device scan holds 4 float32 (V, n_max, W) line sets per sub-batch
+# (sobel, gradient, intensity, raw).
+_PROFILE_ARRAYS = 4
+
+
+def _split_by_footprint(idxs, videos, w: int, max_group_bytes: int):
+    """Split a shape group into sub-batches whose padded profile footprint
+    (V * n_max * W * 4 B * 4 arrays) stays under ``max_group_bytes``.
+
+    Ordered by frame count, so each sub-batch's ``n_max`` is its last
+    member's length and short recordings never pad to a long one's count.
+    A single video over the budget still runs (sub-batch of one).
+    """
+    by_len = sorted(idxs, key=lambda i: len(videos[i]))
+    batches, current = [], []
+    for i in by_len:
+        n_max = len(videos[i])  # ascending order: the max of current + [i]
+        if current and (
+            (len(current) + 1) * n_max * w * 4 * _PROFILE_ARRAYS
+            > max_group_bytes
+        ):
+            batches.append(current)
+            current = []
+        current.append(i)
+    if current:
+        batches.append(current)
+    return batches
 
 
 def _track_uniform_videos(

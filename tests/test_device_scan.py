@@ -427,3 +427,52 @@ def test_even_kernel_folding_band_falls_back_to_exact(tmp_path):
                            write_outputs=False)
     assert [r[:3] for r in t.rows] == [r[:3] for r in e.rows]
     assert t.break_reason == e.break_reason
+
+
+def test_track_collection_footprint_subbatching(tmp_path):
+    """A tiny max_group_bytes splits a shape group into multiple vmapped
+    dispatches (ordered by length); tables must stay identical and in
+    collection order."""
+    from hsip_tpu import open_collection
+    from hsip_tpu.track.batch import _split_by_footprint, track_collection_device
+
+    lengths = [52, 20, 36]
+    for i, n in enumerate(lengths):
+        frames, _ = synthesize_flame_video(
+            n, height=32, width=256,
+            flame=FlameSpec(x0=24, v0_px=5, ignition_frame=2, seed=70 + i),
+        )
+        write_recording(tmp_path, f"foot-run-{i + 1}-001", frames)
+
+    with open_collection(str(tmp_path)) as coll:
+        videos = list(coll)
+        # Budget fits ONE longest video: every video becomes its own batch.
+        tiny = 52 * 256 * 4 * 4 + 1
+        subs = _split_by_footprint(list(range(3)), videos, 256, tiny)
+        assert len(subs) == 3
+        assert [len(videos[s[0]]) for s in subs] == sorted(lengths)
+
+        unsplit = track_collection_device(coll, FlameDetectorConfig())
+        split = track_collection_device(
+            coll, FlameDetectorConfig(), max_group_bytes=tiny
+        )
+    assert len(split) == 3
+    for a, b in zip(split, unsplit):
+        assert a.rows == b.rows
+        assert a.break_reason == b.break_reason
+        assert a.tracker.get_velocity_history() == b.tracker.get_velocity_history()
+
+
+def test_split_by_footprint_single_video_over_budget(tmp_path):
+    from hsip_tpu.track.batch import _split_by_footprint
+
+    class _FakeVideo:
+        def __init__(self, n):
+            self._n = n
+
+        def __len__(self):
+            return self._n
+
+    videos = [_FakeVideo(100_000), _FakeVideo(10)]
+    subs = _split_by_footprint([0, 1], videos, 1024, max_group_bytes=1024)
+    assert sorted(map(sorted, subs)) == [[0], [1]]
