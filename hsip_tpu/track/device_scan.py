@@ -384,11 +384,17 @@ def device_tracking_scan(
         return new_state, outputs
 
     steps = jnp.arange(m, dtype=jnp.int32)
+    # Unrolling amortizes the TPU scan-loop dispatch overhead (~23% faster,
+    # 27 -> 21 us/step measured on v5e; saturates by 8). On CPU backends the
+    # 8x body only bloats compile time (the test suite runs there), so gate
+    # on the backend at trace time.
+    unroll = 8 if jax.default_backend() in ("tpu", "axon") else 1
     final_state, (finals, recs, posts, s0s, s1s) = jax.lax.scan(
         step,
         init,
         (steps, frame_indices.astype(jnp.int32), sobel_lines, gradient_lines,
          intensity_lines, empty, has_prior),
+        unroll=unroll,
     )
     return DeviceScanResult(
         final_position=finals,
