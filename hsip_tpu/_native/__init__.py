@@ -113,6 +113,9 @@ class NativeDecoder:
         # so the useful thread count is an I/O-concurrency knob, not a core
         # count. Low-core hosts (1-core dev VMs) otherwise run them at 1
         # thread and read a 3 GB recording ~5x slower than the disk allows.
+        # The floor is a library global consulted by the scan pragmas, so it
+        # reaches Python thread-pool workers too (omp_set_num_threads would
+        # not: the OpenMP nthreads ICV is per-thread for foreign pthreads).
         # An explicit OMP_NUM_THREADS always wins.
         if "OMP_NUM_THREADS" not in os.environ:
             current = int(lib.native_num_threads())

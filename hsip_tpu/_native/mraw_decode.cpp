@@ -96,6 +96,21 @@ void unpack12_bgsub_f32(const uint8_t* __restrict src, float* __restrict dst,
     }
 }
 
+// Payload-scan thread override. The cold-cache scans are page-fault-bound:
+// threads block in fault I/O, so the useful count is an I/O-concurrency
+// knob, not a core count. Foreign threads (Python thread pools) each carry
+// their own OpenMP nthreads ICV, so omp_set_num_threads from the loader
+// thread would NOT reach them — the scan pragmas read this global instead.
+static int g_scan_threads = 0;  // 0 = OpenMP default
+
+static inline int scan_threads() {
+#ifdef _OPENMP
+    return g_scan_threads > 0 ? g_scan_threads : omp_get_max_threads();
+#else
+    return 1;
+#endif
+}
+
 // Fused decode + background-subtract + above-threshold COUNT per frame,
 // without materializing pixels: one pass over the packed payload. Serves
 // the empty-frame test so only centerline-band bytes ever cross PCIe.
@@ -104,7 +119,7 @@ void count_above12(const uint8_t* __restrict src, int64_t n_frames,
                    int64_t frame_nbytes, float background, float threshold,
                    int32_t* __restrict counts) {
     const int64_t pairs_per_frame = frame_nbytes / 3;
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(scan_threads())
     for (int64_t f = 0; f < n_frames; ++f) {
         const uint8_t* s = src + f * frame_nbytes;
         int32_t c = 0;
@@ -125,7 +140,7 @@ void count_above10(const uint8_t* __restrict src, int64_t n_frames,
                    int64_t frame_nbytes, float background, float threshold,
                    int32_t* __restrict counts) {
     const int64_t quads_per_frame = frame_nbytes / 5;
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(scan_threads())
     for (int64_t f = 0; f < n_frames; ++f) {
         const uint8_t* s = src + f * frame_nbytes;
         int32_t c = 0;
@@ -152,7 +167,7 @@ void count_above16(const uint8_t* __restrict src, int64_t n_frames,
                    int64_t frame_nbytes, float background, float threshold,
                    int32_t* __restrict counts) {
     const int64_t px_per_frame = frame_nbytes / 2;
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(scan_threads())
     for (int64_t f = 0; f < n_frames; ++f) {
         const uint8_t* s = src + f * frame_nbytes;
         int32_t c = 0;
@@ -176,7 +191,7 @@ void gather_rows(const uint8_t* __restrict src, int64_t n_frames,
                  int64_t frame_nbytes, const int64_t* __restrict row_offsets,
                  int64_t n_rows, int64_t row_nbytes,
                  uint8_t* __restrict dst) {
-#pragma omp parallel for schedule(static)
+#pragma omp parallel for schedule(static) num_threads(scan_threads())
     for (int64_t f = 0; f < n_frames; ++f) {
         const uint8_t* s = src + f * frame_nbytes;
         uint8_t* d = dst + f * n_rows * row_nbytes;
@@ -189,24 +204,17 @@ void gather_rows(const uint8_t* __restrict src, int64_t n_frames,
 }
 
 int native_num_threads() {
-#ifdef _OPENMP
-    return omp_get_max_threads();
-#else
-    return 1;
-#endif
+    // Effective thread count of the payload scans (the override, else the
+    // OpenMP default of the calling thread).
+    return scan_threads();
 }
 
 void native_set_num_threads(int n) {
-    // The payload scans (count_above*, gather_rows) are page-fault-bound on
-    // cold file caches: threads block in fault I/O, so the useful thread
-    // count is an I/O-concurrency knob, not a core count. Callers raise it
-    // above the core count on low-core hosts (measured 5x cold-cache
-    // speedup at 16-32 threads on a 1-core VM; warm-cache time unchanged).
-#ifdef _OPENMP
-    if (n > 0) omp_set_num_threads(n);
-#else
-    (void)n;
-#endif
+    // Sets the payload-scan thread override (see g_scan_threads above;
+    // measured 5x cold-cache speedup at 16 threads on a 1-core VM,
+    // warm-cache time unchanged). Reaches ALL calling threads, unlike
+    // omp_set_num_threads whose ICV is per-thread for foreign pthreads.
+    if (n > 0) g_scan_threads = n;
 }
 
 }  // extern "C"

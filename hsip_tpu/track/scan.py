@@ -827,8 +827,17 @@ def _compute_profiles_sharded(
         lo_pos = max(0, start - 1)  # one-frame overlap carries the prior
         idxs = processed[lo_pos:stop]
         lo, hi = int(idxs[0]), int(idxs[-1]) + 1
-        block = video.read_batch(lo, hi)
-        frames = block if hi - lo == idxs.size else block[idxs - lo]
+        if hi - lo == idxs.size:
+            frames = video.read_batch(lo, hi)
+        else:
+            # Read each contiguous run of processed indices separately: one
+            # spanning read would decode every skipped frame in the gaps
+            # (a long skip run could pull GBs of unwanted frames into host
+            # memory, breaking the bounded-footprint contract).
+            runs = np.split(idxs, np.where(np.diff(idxs) != 1)[0] + 1)
+            frames = np.concatenate(
+                [video.read_batch(int(r[0]), int(r[-1]) + 1) for r in runs]
+            )
         c_sob, c_grad, c_int, c_raw, c_cnt = sharded_centerline_profiles(
             frames,
             background_scalar,
