@@ -305,7 +305,11 @@ def device_tracking_scan(
         # a previous history entry with a valid position, positive dt.
         have_prev_entry = active & (state.p1_pos >= 0) & detected
         dt = (frame - state.p1_frame).astype(jnp.float32) / frame_rate
-        vel_ok = have_prev_entry & (dt > 0)
+        # frame_rate > 0 mirrors the host reconstruction, which records no
+        # velocity entries at all for frame_rate <= 0 (a missing 'Record
+        # Rate(fps)' header defaults it to 0); without the gate dt = gap/0
+        # = +inf passes dt > 0 and the entry counts drift between backends.
+        vel_ok = have_prev_entry & (dt > 0) & (frame_rate > 0)
         v1 = jnp.where(
             vel_ok,
             (final - state.p1_pos).astype(jnp.float32) * calibration / dt,

@@ -186,7 +186,7 @@ def compute_profiles_batched(
     if config.morphology_kernel_size % 2 == 0 and band_folds(h // 2, margin, h):
         return _compute_profiles_host_exact(
             read_batch, n_frames, frame_shape, background_scalar, config,
-            skip_frames,
+            skip_frames, progress=progress,
         )
 
     sobel_lines = np.zeros((m, w), dtype=np.float32)
@@ -197,8 +197,12 @@ def compute_profiles_batched(
 
     # Chunk plan over the PROCESSED index list; each chunk includes the
     # previous processed frame at its head (prior overlap), chunk j covers
-    # processed positions [start, stop).
-    chunks = []  # (pos, stop, lo, hi, local, prior_index_full)
+    # processed positions [start, stop). Batches are COMPACTED to the frames
+    # actually needed (head prior + processed): skipped frames never enter a
+    # batch, so a long skip run can neither blow up host/transfer footprint
+    # nor mint a novel bucket shape (a fresh shape costs a remote compile).
+    # Row j's differencing prior is row j-1 by construction.
+    chunks = []  # (pos, stop, needed, local, prior_index_full)
     pos = 0
     while pos < m:
         # Interior chunks take chunk_size-1 NEW frames: with the one-frame
@@ -206,25 +210,27 @@ def compute_profiles_batched(
         # on the power-of-two bucket. chunk_size frames would span
         # chunk_size+1 rows and bucket-pad to DOUBLE the transfer.
         stop = min(m, pos + (chunk_size if pos == 0 else chunk_size - 1))
-        head = processed[max(pos - 1, 0)]
-        lo = int(head) if pos > 0 else int(processed[pos])
-        hi = int(processed[stop - 1]) + 1
-
-        # Positions of this chunk's processed frames within the batch.
-        local = processed[pos:stop] - lo
-        prior_local = np.empty(stop - pos, dtype=np.int32)
         if pos > 0:
-            prior_local[0] = int(head) - lo
+            needed = np.concatenate(
+                [processed[pos - 1 : pos], processed[pos:stop]]
+            )
+            offset = 1
         else:
-            prior_local[0] = -1
-        prior_local[1:] = local[:-1].astype(np.int32)
-
-        # The kernel takes one prior index per BATCH row; rows that are not
-        # processed frames (skip_frames) get -1 and produce zeros.
-        prior_index_full = np.full(hi - lo, -1, dtype=np.int32)
-        prior_index_full[local] = prior_local
-        chunks.append((pos, stop, lo, hi, local, prior_index_full))
+            needed = processed[pos:stop].copy()
+            offset = 0
+        n_rows = needed.size
+        # Positions of this chunk's processed frames within the batch.
+        local = np.arange(offset, n_rows, dtype=np.int64)
+        prior_index_full = np.arange(-1, n_rows - 1, dtype=np.int32)
+        chunks.append((pos, stop, needed, local, prior_index_full))
         pos = stop
+
+    def _multi_read(read, needed):
+        """Read the needed raw frames as one batch, splitting the read at
+        skip gaps so skipped frames are never decoded or staged."""
+        runs = np.split(needed, np.where(np.diff(needed) != 1)[0] + 1)
+        parts = [read(int(r[0]), int(r[-1]) + 1) for r in runs]
+        return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
     # Streaming dispatch: read host chunk → device_put → dispatch kernel →
     # DROP the input device reference immediately; block only once at the
@@ -260,15 +266,20 @@ def compute_profiles_batched(
 
     count_pool = ThreadPoolExecutor(max_workers=1) if use_band else None
     try:
-        for ci, (pos, stop, lo, hi, local, prior_index_full) in enumerate(chunks):
+        for ci, (pos, stop, needed, local, prior_index_full) in enumerate(chunks):
             if use_band:
                 # Minimal-transfer path: counts on host (C++ fused pass over the
                 # memmap, releases the GIL) run CONCURRENTLY with band gathering
                 # and the host->device transfer; only band rows ship.
                 counts = count_pool.submit(
-                    count_fn, lo, hi, background_scalar, noise_threshold
+                    _multi_read,
+                    lambda a, b: count_fn(a, b, background_scalar,
+                                          noise_threshold),
+                    needed,
                 )
-                host = np.ascontiguousarray(read_band(lo, hi, band_rows))
+                host = np.ascontiguousarray(_multi_read(
+                    lambda a, b: read_band(a, b, band_rows), needed
+                ))
                 host, prior_index_full = _pad_batch(host, prior_index_full)
                 dev = jax.device_put(host)
                 sob, grad, intens, rawc = packed_band_profiles(
@@ -289,9 +300,9 @@ def compute_profiles_batched(
                     progress(stop, m)
                 continue
             host = (
-                np.ascontiguousarray(read_packed(lo, hi))
+                np.ascontiguousarray(_multi_read(read_packed, needed))
                 if read_packed is not None
-                else read_batch(lo, hi)
+                else _multi_read(read_batch, needed)
             )
             host, prior_index_full = _pad_batch(host, prior_index_full)
             dev = jax.device_put(host)
@@ -403,6 +414,7 @@ def _compute_profiles_host_exact(
     background_scalar: float,
     config: FlameDetectorConfig,
     skip_frames: Sequence[int] = (),
+    progress: Optional[Callable[[int, int], None]] = None,
 ) -> FrameProfiles:
     """Float64 host map phase (kernels.reference): the exactness fallback
     for geometries the band kernels cannot reproduce (even morphology
@@ -427,6 +439,8 @@ def _compute_profiles_host_exact(
 
     prior_sub = None
     for j, frame_idx in enumerate(processed):
+        if progress is not None and j and j % 50 == 0:
+            progress(j, m)
         frame = read_batch(int(frame_idx), int(frame_idx) + 1)[0]
         sub = hostops.subtract_scalar_background(frame, background_scalar)
         signal_counts[j] = int(np.sum(sub > noise_threshold))
@@ -587,11 +601,9 @@ def run_tracking_scan_device(
     float64 velocity columns are reconstructed from the integer positions.
     Proven row-identical to :func:`run_tracking_scan` (tests/test_device_scan).
     """
-    import numpy as _np
 
     from .batch import ScanHistory, build_device_scan_output
     from .device_scan import device_tracking_scan
-    from .tracker import FlameTracker
 
     if time_fn is None:
         time_fn = lambda i: i / frame_rate if frame_rate > 0 else 0.0  # noqa: E731
@@ -615,37 +627,38 @@ def run_tracking_scan_device(
     ).max_displacement_px
 
     res = device_tracking_scan(
-        _np.asarray(profiles.frame_indices, dtype=_np.int32),
+        np.asarray(profiles.frame_indices, dtype=np.int32),
         profiles.sobel_lines,
         profiles.gradient_lines,
         empty,
         has_prior,
         width=profiles.width,
-        min_gradient_strength=_np.float32(config.min_gradient_strength),
-        sobel_threshold_fraction=_np.float32(config.sobel_threshold_fraction),
-        ddt_velocity_jump=_np.float32(config.ddt_velocity_jump_m_s),
-        calibration=_np.float32(calibration_m_per_px),
-        frame_rate=_np.float32(frame_rate),
-        max_displacement_px=_np.int32(max_disp),
+        min_gradient_strength=np.float32(config.min_gradient_strength),
+        sobel_threshold_fraction=np.float32(config.sobel_threshold_fraction),
+        ddt_velocity_jump=np.float32(config.ddt_velocity_jump_m_s),
+        calibration=np.float32(calibration_m_per_px),
+        frame_rate=np.float32(frame_rate),
+        max_displacement_px=np.int32(max_disp),
         edge_margin_px=config.edge_margin_px,
         search_window_px=config.search_window_px,
         exit_margin_px=config.exit_margin_px,
         method=detection_method,
         intensity_lines=intensity,
-        method_fraction=_np.float32(fraction),
+        method_fraction=np.float32(fraction),
     )
 
     # ONE device->host round-trip for all scan outputs: per-field fetches
     # each block on a separate transfer (4 of them scalars), which costs
     # ~0.2s through a high-latency link.
-    import jax as _jax
 
-    finals, recs, posts, stop_step, stop_reason, clear_vc, ddt = _jax.device_get(
+    import jax
+
+    finals, recs, posts, stop_step, stop_reason, clear_vc, ddt = jax.device_get(
         (res.final_position, res.recorded, res.is_post_ddt,
          res.stop_step, res.stop_reason, res.clear_vc_entry, res.ddt_frame)
     )
     out = build_device_scan_output(
-        _np.asarray(profiles.frame_indices),
+        np.asarray(profiles.frame_indices),
         empty,
         finals,
         recs,
@@ -803,7 +816,20 @@ def _compute_profiles_sharded(
     PROCESSED frame, so compacting the processed frames before sharding
     preserves prior adjacency and the same halo machinery applies unchanged.
     """
+    from ..kernels.preprocess import band_folds, band_margin
     from ..parallel.sharding import sharded_centerline_profiles
+
+    # Same exactness fallback as the batched path (see
+    # compute_profiles_batched): even morphology kernels with a folding
+    # centerline band cannot be reproduced by the sharded band kernel.
+    h_full = video.frame_shape[0]
+    margin = band_margin(config.morphology_kernel_size, config.gaussian_sigma)
+    if (config.morphology_kernel_size % 2 == 0
+            and band_folds(h_full // 2, margin, h_full)):
+        return _compute_profiles_host_exact(
+            video.read_batch, len(video), video.frame_shape,
+            background_scalar, config, skip_frames, progress=progress,
+        )
 
     skip = set(int(s) for s in skip_frames)
     processed = np.array(

@@ -476,3 +476,29 @@ def test_split_by_footprint_single_video_over_budget(tmp_path):
     videos = [_FakeVideo(100_000), _FakeVideo(10)]
     subs = _split_by_footprint([0, 1], videos, 1024, max_group_bytes=1024)
     assert sorted(map(sorted, subs)) == [[0], [1]]
+
+
+def test_device_scan_matches_host_when_frame_rate_zero(tmp_path):
+    """A missing 'Record Rate(fps)' header defaults frame_rate to 0; the
+    host reconstruction then records no velocity entries, and the device
+    scan must agree (dt = gap/0 = +inf used to pass the dt > 0 gate and
+    drift the entry counts)."""
+    from hsip_tpu import open_video
+    from hsip_tpu.track import FlameDetectorConfig
+    from hsip_tpu.track.scan import track_video
+
+    frames, _ = synthesize_flame_video(
+        30, height=32, width=256,
+        flame=FlameSpec(x0=30, v0_px=8, ignition_frame=2, seed=41),
+    )
+    meta = write_recording(
+        tmp_path, "zerofps-run-1-001", frames,
+        spec=CihxSpec(width=256, height=32, total_frames=30, record_rate=0),
+    )
+    with open_video(str(meta)) as video:
+        assert video.frame_rate == 0
+        host = track_video(video, FlameDetectorConfig(), 0.001, scan="host")
+        dev = track_video(video, FlameDetectorConfig(), 0.001, scan="device")
+    assert [r[:3] for r in dev.rows] == [r[:3] for r in host.rows]
+    assert dev.tracker.get_velocity_history() == host.tracker.get_velocity_history() == []
+    assert dev.break_reason == host.break_reason

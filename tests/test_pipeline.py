@@ -566,3 +566,46 @@ def test_map_phase_progress_callback(recording):
     assert seen, "progress callback never fired"
     assert seen[-1][0] == seen[-1][1] == n
     assert [a for a, _ in seen] == sorted(a for a, _ in seen)
+
+
+def test_long_skip_gap_reads_stay_bounded(tmp_path):
+    """A skip list covering a long interior range must not decode or stage
+    the skipped frames (bounded batch contract): every read spans only
+    contiguous PROCESSED frames, and rows match the exact backend."""
+    from hsip_tpu import open_video
+    from hsip_tpu.track import FlameDetectorConfig
+    from hsip_tpu.track.scan import track_video
+
+    n = 400
+    frames, _ = synthesize_flame_video(
+        n, height=32, width=256,
+        flame=FlameSpec(x0=20.0, v0_px=0.4, ignition_frame=2, seed=31),
+    )
+    meta = write_recording(tmp_path, "gap-run-1-001", frames)
+    skip = list(range(40, 360))  # 320-frame interior gap
+
+    spans = []
+    with open_video(str(meta)) as video:
+        orig_band = video.band_bytes
+        orig_batch = video.read_batch
+
+        def spy_band(a, b, rows):
+            spans.append(b - a)
+            return orig_band(a, b, rows)
+
+        def spy_batch(a, b):
+            spans.append(b - a)
+            return orig_batch(a, b)
+
+        video.band_bytes = spy_band
+        video.read_batch = spy_batch
+        out = track_video(video, FlameDetectorConfig(), 0.001,
+                          skip_frames=skip, chunk_size=32)
+        video.band_bytes = orig_band
+        video.read_batch = orig_batch
+        exact = track_video(video, FlameDetectorConfig(), 0.001,
+                            skip_frames=skip, chunk_size=32)
+    assert out.rows == exact.rows
+    assert spans and max(spans) <= 40, (
+        f"a read spanned {max(spans)} frames across the skip gap"
+    )
