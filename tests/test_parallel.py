@@ -222,3 +222,23 @@ def test_track_video_over_mesh_with_skip_frames(tmp_path):
     assert [r[:4] for r in sharded.rows] == [r[:4] for r in single.rows]
     assert not {r[0] for r in sharded.rows} & set(skip)
     assert sharded.break_reason == single.break_reason
+
+
+def test_track_video_over_mesh_even_kernel_folding_fallback(tmp_path):
+    """Even morphology kernel + folding band: the mesh path must route to
+    the float64 host fallback (like the batched path) instead of raising."""
+    from hsip_tpu import open_video
+    from hsip_tpu.track import FlameDetectorConfig
+    from hsip_tpu.track.scan import track_video
+
+    frames, _ = synthesize_flame_video(
+        24, height=12, width=256,  # short frame: the 19-row band folds
+        flame=FlameSpec(x0=25, v0_px=6, ignition_frame=2, seed=19),
+    )
+    meta = write_recording(tmp_path, "fold-mesh-run-1", frames)
+    cfg = FlameDetectorConfig(morphology_kernel_size=4)
+    mesh = make_mesh("frame", n_devices=4)
+    with open_video(str(meta)) as video:
+        single = track_video(video, cfg, 0.001)
+        sharded = track_video(video, cfg, 0.001, mesh=mesh)
+    assert [r[:4] for r in sharded.rows] == [r[:4] for r in single.rows]
