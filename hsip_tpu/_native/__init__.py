@@ -139,6 +139,10 @@ class NativeDecoder:
         pixels = np.ascontiguousarray(pixels, dtype=np.uint16).reshape(-1)
         if pixels.size % 2:
             raise ValueError("12-bit packing requires an even pixel count")
+        if pixels.size and int(pixels.max()) > 0xFFF:
+            # Same contract as the numpy twin (io.mraw.pack_12bit): the C++
+            # packer would silently bleed high bits into neighboring pixels.
+            raise ValueError("12-bit packing requires pixel values < 4096")
         n_pairs = pixels.size // 2
         out = np.empty(n_pairs * 3, dtype=np.uint8)
         self._lib.pack12(pixels, out, n_pairs)
@@ -157,6 +161,8 @@ class NativeDecoder:
         pixels = np.ascontiguousarray(pixels, dtype=np.uint16).reshape(-1)
         if pixels.size % 4:
             raise ValueError("10-bit packing requires a multiple-of-4 pixel count")
+        if pixels.size and int(pixels.max()) > 0x3FF:
+            raise ValueError("10-bit packing requires pixel values < 1024")
         n_quads = pixels.size // 4
         out = np.empty(n_quads * 5, dtype=np.uint8)
         self._lib.pack10(pixels, out, n_quads)
@@ -244,16 +250,6 @@ class NativeDecoder:
             packed, n_frames, frame_nbytes, offsets, offsets.size,
             row_nbytes, out,
         )
-        return out
-
-    def unpack_12bit_bgsub(self, packed: np.ndarray, background: float) -> np.ndarray:
-        """Fused unpack + background-subtract-clamp to float32."""
-        packed = np.ascontiguousarray(packed, dtype=np.uint8).reshape(-1)
-        if packed.size % 3:
-            raise ValueError("12-bit packed length must be a multiple of 3")
-        n_pairs = packed.size // 3
-        out = np.empty(n_pairs * 2, dtype=np.float32)
-        self._lib.unpack12_bgsub_f32(packed, out, n_pairs, float(background))
         return out
 
 

@@ -73,6 +73,26 @@ def extract_cihx_xml_bytes(filepath: PathLike) -> Optional[bytes]:
     return content[xml_start : xml_end + len(b"</cih>")]
 
 
+def _parse_cihx_root(filepath: PathLike) -> Optional[ET.Element]:
+    """Extract and parse the embedded <cih> XML document (shared by the
+    timing view and the acquisition-header view, so the two parsers of the
+    same document cannot drift in how they locate/decode it)."""
+    xml_bytes = extract_cihx_xml_bytes(filepath)
+    if xml_bytes is None:
+        return None
+    return ET.fromstring(xml_bytes.decode("utf-8", errors="ignore"))
+
+
+def _record_rate(root: ET.Element) -> Optional[int]:
+    """recordInfo/recordRate with the deviceInfo fallback some cameras use."""
+    val = _find_int(root, "recordInfo/recordRate")
+    if val is None or val == 0:
+        fallback = _find_int(root, "deviceInfo/recordRate")
+        if fallback is not None:
+            return fallback
+    return val
+
+
 def _find_int(root: ET.Element, path: str) -> Optional[int]:
     elem = root.find(path)
     if elem is not None and elem.text:
@@ -103,10 +123,9 @@ def parse_cihx_xml(filepath: PathLike) -> Dict[str, Any]:
     result = dict(_DEFAULT_TIMING)
 
     try:
-        xml_bytes = extract_cihx_xml_bytes(filepath)
-        if xml_bytes is None:
+        root = _parse_cihx_root(filepath)
+        if root is None:
             return result
-        root = ET.fromstring(xml_bytes.decode("utf-8", errors="ignore"))
 
         # fileInfo: recording date + wall-clock time.
         date_str = _find_text(root, "fileInfo/date")
@@ -130,22 +149,18 @@ def parse_cihx_xml(filepath: PathLike) -> Dict[str, Any]:
             if val is not None:
                 result[key] = val
 
-        # recordInfo: acquisition rate + shutter.
-        val = _find_int(root, "recordInfo/recordRate")
+        # recordInfo: acquisition rate (with deviceInfo fallback) + shutter.
+        val = _record_rate(root)
         if val is not None:
             result["record_rate"] = val
         val = _find_int(root, "recordInfo/shutterSpeedNsec")
         if val is not None:
             result["shutter_speed_ns"] = val
 
-        # deviceInfo: IRIG flag, plus recordRate fallback.
+        # deviceInfo: IRIG flag.
         val = _find_int(root, "deviceInfo/irig")
         if val is not None:
             result["irig_enabled"] = val != 0
-        if result["record_rate"] == 0:
-            val = _find_int(root, "deviceInfo/recordRate")
-            if val is not None:
-                result["record_rate"] = val
 
     except Exception as e:  # noqa: BLE001 — graceful degradation by contract
         print(f"Warning: Failed to parse CIHX XML: {e}")
@@ -235,10 +250,9 @@ def read_cihx_header(filepath: PathLike) -> Dict[str, Any]:
     framework.
     """
     info: Dict[str, Any] = {}
-    xml_bytes = extract_cihx_xml_bytes(filepath)
-    if xml_bytes is None:
+    root = _parse_cihx_root(filepath)
+    if root is None:
         raise ValueError(f"No <cih> XML block found in {filepath}")
-    root = ET.fromstring(xml_bytes.decode("utf-8", errors="ignore"))
 
     mapping_int = {
         "Image Width": "imageDataInfo/resolution/width",
@@ -247,7 +261,6 @@ def read_cihx_header(filepath: PathLike) -> Dict[str, Any]:
         "Color Bit": "imageDataInfo/colorInfo/bit",
         "Total Frame": "frameInfo/totalFrame",
         "Original Total Frame": "frameInfo/recordedFrame",
-        "Record Rate(fps)": "recordInfo/recordRate",
         "Trigger Frame": "frameInfo/triggerFrame",
         "Start Frame": "frameInfo/startFrame",
     }
@@ -255,6 +268,9 @@ def read_cihx_header(filepath: PathLike) -> Dict[str, Any]:
         val = _find_int(root, path)
         if val is not None:
             info[key] = val
+    rate = _record_rate(root)  # same fallback as the timing view
+    if rate is not None:
+        info["Record Rate(fps)"] = rate
 
     side = _find_text(root, "imageDataInfo/effectiveBit/side")
     if side is not None:

@@ -5,6 +5,7 @@ concatenated back-to-back, row-major, with no per-frame headers. The pixel
 encoding is given by the companion CIH/CIHX header:
 
 * 8-bit  — one byte per pixel.
+* 10-bit — MSB-first packed, 4 pixels per 5 bytes.
 * 12-bit — MSB-first packed, 2 pixels per 3 bytes:
            ``p0 = (b0 << 4) | (b1 >> 4)``, ``p1 = ((b1 & 0xF) << 8) | b2``.
 * 16-bit — little-endian uint16.
@@ -127,10 +128,20 @@ def find_mraw_payload(metadata_path: PathLike) -> Path:
     Convention: same stem, ``.mraw`` (any case) suffix, same directory.
     """
     meta = Path(metadata_path)
+    # Fast path for the overwhelmingly common spellings, then a directory
+    # scan so ANY casing (.mRAW, .MRaw, ...) honors the documented contract
+    # on case-sensitive filesystems.
     for suffix in (".mraw", ".MRAW", ".Mraw"):
         candidate = meta.with_suffix(suffix)
         if candidate.exists():
             return candidate
+    try:
+        for candidate in meta.parent.iterdir():
+            if (candidate.stem == meta.stem
+                    and candidate.suffix.lower() == ".mraw"):
+                return candidate
+    except OSError:
+        pass
     raise FileNotFoundError(
         f"No .mraw payload found next to {metadata_path} "
         f"(expected {meta.with_suffix('.mraw')})"
@@ -144,7 +155,7 @@ class MRAWReader:
     ----------
     path : path to the ``.mraw`` file.
     width, height : frame geometry in pixels.
-    bit_depth : 8, 12 or 16.
+    bit_depth : 8, 10, 12 or 16.
     total_frames : frame count; inferred from file size when omitted.
     use_native : prefer the C++ decoder for 12-bit unpack when available.
     """

@@ -141,7 +141,10 @@ def write_cih(path: PathLike, spec: CihxSpec) -> Path:
         f"Record Rate(fps) : {spec.record_rate}",
         f"Shutter Speed(s) : {spec.shutter_speed_ns * 1e-9:.9f}",
         f"Total Frame : {spec.total_frames}",
-        f"Original Total Frame : {spec.total_frames}",
+        # Same semantics as the cihx dialect (read_cihx_header maps
+        # 'Original Total Frame' from frameInfo/recordedFrame): the camera's
+        # recorded count, not the saved count.
+        f"Original Total Frame : {spec.recorded_frame}",
         f"Start Frame : {spec.start_frame}",
         f"Trigger Frame : {spec.trigger_frame}",
         f"Image Width : {spec.width}",
@@ -157,6 +160,23 @@ def write_cih(path: PathLike, spec: CihxSpec) -> Path:
     return path
 
 
+def _packer(bit_depth: int):
+    """Native (OpenMP) packer when the codec builds, else the numpy twin.
+
+    Both enforce the same range/shape contract; proven byte-identical in
+    tests. Packing a multi-GB synthetic payload is bandwidth-bound, so the
+    parallel path matters for large golden recordings.
+    """
+    numpy_pack = pack_12bit if bit_depth == 12 else pack_10bit
+    try:
+        from hsip_tpu._native import native_decoder
+
+        d = native_decoder()
+        return d.pack_12bit if bit_depth == 12 else d.pack_10bit
+    except Exception:
+        return numpy_pack
+
+
 def write_mraw(path: PathLike, frames: np.ndarray, bit_depth: int = 12) -> Path:
     """Write frames (n, H, W) uint16 as a packed .mraw payload."""
     path = Path(path)
@@ -168,10 +188,8 @@ def write_mraw(path: PathLike, frames: np.ndarray, bit_depth: int = 12) -> Path:
             f.write(frames.astype(np.uint8).tobytes())
         elif bit_depth == 16:
             f.write(frames.astype("<u2").tobytes())
-        elif bit_depth == 12:
-            f.write(pack_12bit(frames.astype(np.uint16)).tobytes())
-        elif bit_depth == 10:
-            f.write(pack_10bit(frames.astype(np.uint16)).tobytes())
+        elif bit_depth in (10, 12):
+            f.write(_packer(bit_depth)(frames.astype(np.uint16)).tobytes())
         else:
             raise ValueError(f"Unsupported bit depth: {bit_depth}")
     return path

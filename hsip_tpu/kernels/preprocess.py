@@ -68,6 +68,25 @@ def band_folds(center: int, margin: int, n: int) -> bool:
     return center - margin < 0 or center + margin > n - 1
 
 
+def _check_band_exactness(k: int, center: int, margin: int, n: int) -> None:
+    """Refuse the one configuration the band kernels cannot reproduce.
+
+    Even morphology kernels have asymmetric vertical windows that do not
+    commute with the reflect row-gathering when the band folds over the
+    image edge; the kernel would silently return non-scipy-parity profiles.
+    All in-tree callers route this case to the float64 host fallback first
+    (track/scan.py); this guard protects direct users of the kernel API.
+    All arguments are static, so the check costs nothing under jit.
+    """
+    if k % 2 == 0 and band_folds(center, margin, n):
+        raise ValueError(
+            f"even morphology kernel (k={k}) with a folding centerline band "
+            f"(margin {margin} at row {center} of {n}) is not exactly "
+            f"representable by the band kernels; use the float64 host ops "
+            f"(hsip_tpu.kernels.reference) for this geometry"
+        )
+
+
 def reflect_indices(center: int, margin: int, n: int) -> np.ndarray:
     """Row indices [center-margin, center+margin] with scipy 'reflect'
     (symmetric) folding into [0, n): triangle wave of period 2n."""
@@ -78,11 +97,16 @@ def reflect_indices(center: int, margin: int, n: int) -> np.ndarray:
 
 
 def gaussian_taps(sigma: float, truncate: float = 4.0) -> np.ndarray:
-    """Normalized Gaussian taps (same construction as the host reference)."""
-    radius = int(truncate * float(sigma) + 0.5)
-    x = np.arange(-radius, radius + 1, dtype=np.float64)
-    phi = np.exp(-0.5 * (x / sigma) ** 2)
-    return (phi / phi.sum()).astype(np.float32)
+    """Normalized Gaussian taps: the host reference's kernel in float32.
+
+    Delegates to :func:`hsip_tpu.kernels.reference.gaussian_kernel1d` so the
+    tap radius can never drift from ``band_margin``'s ``r_gauss`` formula or
+    the scipy-parity oracle — a drifted copy would mis-size the band while
+    both copies still looked individually correct.
+    """
+    from .reference import gaussian_kernel1d
+
+    return gaussian_kernel1d(sigma, truncate).astype(np.float32)
 
 
 def _pad_w(x: jnp.ndarray, left: int, right: int) -> jnp.ndarray:
@@ -304,6 +328,7 @@ def batch_centerline_profiles(
     if center_row is None:
         center_row = h // 2
     margin = band_margin(morphology_kernel_size, gaussian_sigma)
+    _check_band_exactness(morphology_kernel_size, center_row, margin, h)
     rows = jnp.asarray(reflect_indices(center_row, margin, h))
 
     sub = subtract_background(frames, background_scalar)

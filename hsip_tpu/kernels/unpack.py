@@ -19,7 +19,12 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .preprocess import band_margin, band_to_profiles, reflect_indices
+from .preprocess import (
+    _check_band_exactness,
+    band_margin,
+    band_to_profiles,
+    reflect_indices,
+)
 
 __all__ = [
     "unpack_12bit_device",
@@ -142,6 +147,7 @@ def packed_centerline_profiles(
     if center_row is None:
         center_row = height // 2
     margin = band_margin(morphology_kernel_size, gaussian_sigma)
+    _check_band_exactness(morphology_kernel_size, center_row, margin, height)
     rows = jnp.asarray(reflect_indices(center_row, margin, height))
 
     # Empty-frame counts need the whole frame: decode once, count, discard.

@@ -380,3 +380,60 @@ def test_band_bytes_backend_consistency(tmp_path):
             assert band.shape == (2, 3, 96)
         finally:
             reader._native = saved
+
+
+def test_cih_and_cihx_agree_on_original_total_frame(tmp_path):
+    """Both metadata dialects must map 'Original Total Frame' from the
+    camera's RECORDED count (frameInfo/recordedFrame), not the saved count."""
+    from hsip_tpu.io import CihxSpec, read_header, write_cih, write_cihx
+
+    spec = CihxSpec(width=64, height=32, total_frames=100, recorded_frame=5000)
+    a = read_header(write_cihx(tmp_path / "x.cihx", spec))
+    b = read_header(write_cih(tmp_path / "x.cih", spec))
+    assert a["Original Total Frame"] == b["Original Total Frame"] == 5000
+    assert a["Total Frame"] == b["Total Frame"] == 100
+
+
+def test_native_pack_matches_numpy_and_validates():
+    """The native pack twins must be byte-identical to the numpy packers and
+    enforce the same out-of-range ValueError (the C++ packer would silently
+    bleed high bits)."""
+    from hsip_tpu.io.mraw import pack_10bit, pack_12bit
+
+    try:
+        from hsip_tpu._native import native_decoder
+
+        d = native_decoder()
+    except Exception:
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(5)
+    px12 = rng.integers(0, 4096, 6000, dtype=np.uint16)
+    assert np.array_equal(d.pack_12bit(px12), pack_12bit(px12))
+    px10 = rng.integers(0, 1024, 6000, dtype=np.uint16)
+    assert np.array_equal(d.pack_10bit(px10), pack_10bit(px10))
+    with pytest.raises(ValueError, match="4096"):
+        d.pack_12bit(np.array([5000, 0], dtype=np.uint16))
+    with pytest.raises(ValueError, match="1024"):
+        d.pack_10bit(np.array([1500, 0, 0, 0], dtype=np.uint16))
+
+
+def test_find_mraw_payload_any_case(tmp_path):
+    from hsip_tpu.io.mraw import find_mraw_payload
+
+    (tmp_path / "rec.cihx").write_bytes(b"x")
+    (tmp_path / "rec.mRAW").write_bytes(b"y")
+    assert find_mraw_payload(tmp_path / "rec.cihx").name == "rec.mRAW"
+
+
+def test_record_rate_device_info_fallback_in_header(tmp_path):
+    """read_cihx_header gets the deviceInfo/recordRate fallback the timing
+    view already had (the two parsers of one document must not drift)."""
+    from hsip_tpu.io import read_header
+
+    xml = (b"<?xml version='1.0'?><cih><frameInfo><totalFrame>5</totalFrame>"
+           b"</frameInfo><imageDataInfo><resolution><width>8</width>"
+           b"<height>8</height></resolution></imageDataInfo>"
+           b"<deviceInfo><recordRate>7000</recordRate></deviceInfo></cih>")
+    (tmp_path / "fb.cihx").write_bytes(b"CIHX\x00\x00" + xml)
+    info = read_header(tmp_path / "fb.cihx")
+    assert info["Record Rate(fps)"] == 7000

@@ -231,3 +231,27 @@ def test_multi_chunk_profiles_match_single_chunk():
         np.testing.assert_array_equal(big.gradient_lines, small.gradient_lines)
         np.testing.assert_array_equal(big.intensity_lines, small.intensity_lines)
         np.testing.assert_array_equal(big.signal_counts, small.signal_counts)
+
+
+def test_band_kernels_refuse_even_kernel_folding_band():
+    """Direct kernel API calls must raise on the one geometry the band
+    cannot reproduce (even morphology kernel + folding band) instead of
+    silently returning non-scipy-parity profiles."""
+    import jax.numpy as jnp
+
+    from hsip_tpu.kernels.preprocess import batch_centerline_profiles
+    from hsip_tpu.kernels.unpack import packed_centerline_profiles
+
+    frames = jnp.zeros((2, 12, 256), jnp.uint16)  # 19-row band folds at H=12
+    prior = jnp.array([-1, 0], jnp.int32)
+    with pytest.raises(ValueError, match="folding"):
+        batch_centerline_profiles(
+            frames, jnp.float32(10.0), prior, jnp.float32(5.0),
+            jnp.float32(50.0), morphology_kernel_size=4,
+        )
+    packed = jnp.zeros((2, 12 * 384), jnp.uint8)
+    with pytest.raises(ValueError, match="folding"):
+        packed_centerline_profiles(
+            packed, 12, 256, jnp.float32(10.0), prior, jnp.float32(5.0),
+            jnp.float32(50.0), morphology_kernel_size=4,
+        )
