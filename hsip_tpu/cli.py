@@ -64,9 +64,14 @@ def _load_config_file(path: Path) -> Dict[str, Any]:
     raise ValueError(f"Unsupported config format: {path.suffix} (use .toml or .json)")
 
 
-_SOURCE_KEYS = {
+_SOURCE_KEYS = ({
     f.name for f in dataclasses.fields(VideoSourceConfig) if not f.name.startswith("_")
-} | {"video_path", "output_dir", "file_calibration", "file_calibrations"}
+} | {"video_path", "output_dir", "file_calibration", "file_calibrations"}) - {
+    # Always set to the config file's directory (relative video_path/
+    # output_dir resolve against it); a user-supplied value would be
+    # silently ignored, so reject it via the unknown-key error instead.
+    "base_path",
+}
 
 
 def _source_from_dict(d: Dict[str, Any], base_path: Optional[str]) -> VideoSourceConfig:

@@ -195,7 +195,9 @@ def process_video_file(
         do_images = config.save_frame_images if save_images is None else save_images
         if backend == "device" and do_images:
             # The fully on-device scan exposes no per-frame hook.
-            print("  Note: per-frame figures unavailable with backend='device'")
+            if verbose:
+                print("  Note: per-frame figures unavailable with "
+                      "backend='device'")
             do_images = False
         if write_outputs and output_dir is not None:
             output_dir.mkdir(parents=True, exist_ok=True)
@@ -524,6 +526,30 @@ def _warn_unmatched_calibration(config, filename: str) -> None:
         )
 
 
+def _discover_source_files(config, processor, verbose, is_root,
+                           mode_banner=""):
+    """Shared batch-driver prologue: banner, rglob discovery, and
+    per-process distribution. Returns this process's file list (possibly
+    empty). A discovery/distribution fix here lands in BOTH drivers."""
+    if verbose and is_root:
+        print(f"\n{'=' * 60}")
+        print(f"Processing{mode_banner}: {config.name}")
+        print(f"Video path: {config.video_path}")
+        print(f"Default calibration: {config.calibration} m/pixel")
+        print(f"{'=' * 60}")
+    if not config.video_path:
+        return []
+    cihx_files = sorted(Path(config.video_path).rglob("*.cihx"))
+    if not cihx_files:
+        if verbose and is_root:
+            print(f"No CIHX files found in {config.video_path}")
+        return []
+    if processor is not None:
+        my_indices = set(processor.distribute_indices(len(cihx_files)))
+        cihx_files = [f for i, f in enumerate(cihx_files) if i in my_indices]
+    return cihx_files
+
+
 def process_video_source(
     config: VideoSourceConfig,
     detector_config: Optional[FlameDetectorConfig] = None,
@@ -545,25 +571,9 @@ def process_video_source(
     import time as _time
 
     is_root = processor is None or processor.is_root
-    if verbose and is_root:
-        print(f"\n{'=' * 60}")
-        print(f"Processing: {config.name}")
-        print(f"Video path: {config.video_path}")
-        print(f"Default calibration: {config.calibration} m/pixel")
-        print(f"{'=' * 60}")
-
-    if not config.video_path:
-        return []
-    video_path = Path(config.video_path)
-    cihx_files = sorted(video_path.rglob("*.cihx"))
+    cihx_files = _discover_source_files(config, processor, verbose, is_root)
     if not cihx_files:
-        if verbose and is_root:
-            print(f"No CIHX files found in {config.video_path}")
         return []
-
-    if processor is not None:
-        my_indices = set(processor.distribute_indices(len(cihx_files)))
-        cihx_files = [f for i, f in enumerate(cihx_files) if i in my_indices]
 
     ledger = _SourceLedger(config, detector_config, backend, processor, resume)
 
@@ -572,35 +582,39 @@ def process_video_source(
             print(f"  Skipping {f.name} (already complete)")
 
     outputs = []
-    for cihx_file in ledger.filter_pending(cihx_files, _announce_skip):
-        t0 = _time.perf_counter()
-        try:
-            output = process_video_file(
-                cihx_file,
-                config,
-                detector_config,
-                backend=backend,
-                verbose=verbose and is_root,
+    try:
+        for cihx_file in ledger.filter_pending(cihx_files, _announce_skip):
+            t0 = _time.perf_counter()
+            try:
+                output = process_video_file(
+                    cihx_file,
+                    config,
+                    detector_config,
+                    backend=backend,
+                    verbose=verbose and is_root,
+                )
+            except Exception as exc:
+                # Batch semantics match VideoCollection.from_directory (and
+                # the reference collection layer, collection.py:104-114):
+                # one unreadable or corrupt recording must not abort the
+                # batch run. Warn, record in the summary, leave it unmarked
+                # in the checkpoint so --resume retries it.
+                print(f"Warning: Could not process {cihx_file}: {exc}")
+                _log.warning("failed %s: %s", cihx_file.name, exc)
+                ledger.add_failure(cihx_file.name, exc)
+                continue
+            wall = _time.perf_counter() - t0
+            _log.debug(
+                "processed %s: rows=%d empty=%d break=%s wall=%.3fs",
+                cihx_file.name, len(output.rows), output.empty_frame_count,
+                output.break_reason, wall,
             )
-        except Exception as exc:
-            # Batch semantics match VideoCollection.from_directory (and the
-            # reference collection layer, collection.py:104-114): one
-            # unreadable or corrupt recording must not abort the library
-            # run. Warn, record in the summary, leave it unmarked in the
-            # checkpoint so --resume retries it.
-            print(f"Warning: Could not process {cihx_file}: {exc}")
-            _log.warning("failed %s: %s", cihx_file.name, exc)
-            ledger.add_failure(cihx_file.name, exc)
-            continue
-        wall = _time.perf_counter() - t0
-        _log.debug(
-            "processed %s: rows=%d empty=%d break=%s wall=%.3fs",
-            cihx_file.name, len(output.rows), output.empty_frame_count,
-            output.break_reason, wall,
-        )
-        outputs.append(output)
-        ledger.record(cihx_file.name, output, wall)
-    ledger.finish()
+            outputs.append(output)
+            ledger.record(cihx_file.name, output, wall)
+    finally:
+        # Always write the summary and reach the rank barrier (a raise here
+        # would otherwise hang the other ranks in finish()'s barrier).
+        ledger.finish()
     return outputs
 
 
@@ -636,27 +650,16 @@ def process_video_source_library(
 
     detector_config = detector_config or FlameDetectorConfig()
     is_root = processor is None or processor.is_root
-    if verbose and is_root:
-        print(f"\n{'=' * 60}")
-        print(f"Processing (library mode): {config.name}")
-        print(f"Video path: {config.video_path}")
-        print(f"Default calibration: {config.calibration} m/pixel")
-        print(f"{'=' * 60}")
-        if config.save_frame_images or config.save_stacked_sequences:
-            print("  Note: figures unavailable in library mode "
-                  "(fully on-device scans)")
-
-    if not config.video_path:
-        return []
-    cihx_files = sorted(Path(config.video_path).rglob("*.cihx"))
+    cihx_files = _discover_source_files(
+        config, processor, verbose, is_root, mode_banner=" (library mode)"
+    )
+    if verbose and is_root and cihx_files and (
+        config.save_frame_images or config.save_stacked_sequences
+    ):
+        print("  Note: figures unavailable in library mode "
+              "(fully on-device scans)")
     if not cihx_files:
-        if verbose and is_root:
-            print(f"No CIHX files found in {config.video_path}")
         return []
-
-    if processor is not None:
-        my_indices = set(processor.distribute_indices(len(cihx_files)))
-        cihx_files = [f for i, f in enumerate(cihx_files) if i in my_indices]
 
     ledger = _SourceLedger(config, detector_config, "library", processor,
                            resume)
@@ -673,51 +676,68 @@ def process_video_source_library(
     from .collection import VideoCollection
     from .video import PhotonVideo
 
-    videos = []
-    for f in cihx_files:
-        _warn_unmatched_calibration(config, f.name)
-        try:
-            videos.append(
-                PhotonVideo(str(f), trigger_frame=config.trigger_frame)
-            )
-        except Exception as exc:
-            print(f"Warning: Could not load {f}: {exc}")
-            _log.warning("failed to open %s: %s", f.name, exc)
-            ledger.add_failure(f.name, exc)
-
     outputs: List[TrackingOutput] = []
-    if videos:
-        collection = VideoCollection(videos)
-        try:
-            t0 = _time.perf_counter()
-            outputs = track_collection_device(
-                collection,
-                detector_config,
-                source_config=config,
-                use_absolute_time=config.use_absolute_time,
-                chunk_size=chunk_size,
-                mesh=mesh,
-            )
-            wall_each = (_time.perf_counter() - t0) / max(1, len(videos))
+    try:
+        videos = []
+        for f in cihx_files:
+            _warn_unmatched_calibration(config, f.name)
+            try:
+                videos.append(
+                    PhotonVideo(str(f), trigger_frame=config.trigger_frame)
+                )
+            except Exception as exc:
+                print(f"Warning: Could not load {f}: {exc}")
+                _log.warning("failed to open %s: %s", f.name, exc)
+                ledger.add_failure(f.name, exc)
 
-            output_dir = Path(config.output_dir) if config.output_dir else None
-            if output_dir is not None:
-                output_dir.mkdir(parents=True, exist_ok=True)
-            for video, output in zip(videos, outputs):
-                stem = video.filepath.stem
-                if verbose and is_root:
-                    print(f"\n{video.filepath.name}: {len(output.rows)} rows, "
-                          f"{output.empty_frame_count} empty frames skipped")
-                    if output.tracker.ddt_detected:
-                        print(f"  *** DDT DETECTED at frame "
-                              f"{output.tracker.ddt_frame} ***")
-                if output_dir is not None and output.rows:
-                    _write_ddt_split_tables(
-                        output, output_dir, stem, verbose and is_root
-                    )
-                ledger.record(video.filepath.name, output, wall_each)
-        finally:
-            collection.close_all()
+        if videos:
+            collection = VideoCollection(videos)
+            try:
+                t0 = _time.perf_counter()
+                outputs = track_collection_device(
+                    collection,
+                    detector_config,
+                    source_config=config,
+                    use_absolute_time=config.use_absolute_time,
+                    chunk_size=chunk_size,
+                    mesh=mesh,
+                )
+                wall_each = (_time.perf_counter() - t0) / max(1, len(videos))
 
-    ledger.finish()
+                output_dir = (
+                    Path(config.output_dir) if config.output_dir else None
+                )
+                if output_dir is not None:
+                    output_dir.mkdir(parents=True, exist_ok=True)
+                for video, output in zip(videos, outputs):
+                    # Per-video guard, same contract as the per-file driver:
+                    # one recording's write failure (disk quota, permission)
+                    # must not lose the already-computed tables of the rest.
+                    try:
+                        stem = video.filepath.stem
+                        if verbose and is_root:
+                            print(f"\n{video.filepath.name}: "
+                                  f"{len(output.rows)} rows, "
+                                  f"{output.empty_frame_count} empty frames "
+                                  f"skipped")
+                            if output.tracker.ddt_detected:
+                                print(f"  *** DDT DETECTED at frame "
+                                      f"{output.tracker.ddt_frame} ***")
+                        if output_dir is not None and output.rows:
+                            _write_ddt_split_tables(
+                                output, output_dir, stem, verbose and is_root
+                            )
+                        ledger.record(video.filepath.name, output, wall_each)
+                    except Exception as exc:
+                        print(f"Warning: Could not write results for "
+                              f"{video.filepath.name}: {exc}")
+                        _log.warning("failed to write %s: %s",
+                                     video.filepath.name, exc)
+                        ledger.add_failure(video.filepath.name, exc)
+            finally:
+                collection.close_all()
+    finally:
+        # Always write the summary and reach the rank barrier — otherwise a
+        # failure on one rank leaves the others hung in finish()'s barrier.
+        ledger.finish()
     return outputs

@@ -49,6 +49,7 @@ class BatchCheckpoint:
         )
         self.path = self.directory / name
         self.run_config_hash = run_config_hash
+        self._others = None  # other-rank done-set cache (_other_ranks_done)
         self._state: Dict[str, Any] = {"config_hash": run_config_hash, "done": {}}
         if self.path.exists():
             try:
@@ -66,20 +67,33 @@ class BatchCheckpoint:
     def is_done(self, name: str) -> bool:
         if name in self._state["done"]:
             return True
-        # Other ranks' ledgers (same config hash) also count as done.
-        for other in self.directory.glob("hsip-checkpoint*.json"):
-            if other == self.path:
-                continue
-            try:
-                loaded = json.loads(other.read_text())
-            except (json.JSONDecodeError, OSError):
-                continue
-            if (
-                self.run_config_hash is None
-                or loaded.get("config_hash") == self.run_config_hash
-            ) and name in loaded.get("done", {}):
-                return True
-        return False
+        return name in self._other_ranks_done()
+
+    def _other_ranks_done(self) -> frozenset:
+        """Names completed by OTHER ranks' ledgers (same config hash).
+
+        Loaded once and cached: resume filtering calls is_done per file, and
+        the other ledgers cannot gain entries between construction and the
+        post-setup barrier (each rank only marks files it owns, after the
+        barrier) — re-parsing every ledger per file was O(files x ranks)
+        reads on what can be a network filesystem.
+        """
+        if getattr(self, "_others", None) is None:
+            done = set()
+            for other in self.directory.glob("hsip-checkpoint*.json"):
+                if other == self.path:
+                    continue
+                try:
+                    loaded = json.loads(other.read_text())
+                except (json.JSONDecodeError, OSError):
+                    continue
+                if (
+                    self.run_config_hash is None
+                    or loaded.get("config_hash") == self.run_config_hash
+                ):
+                    done.update(loaded.get("done", {}))
+            self._others = frozenset(done)
+        return self._others
 
     def mark_done(self, name: str, **info) -> None:
         self._state["done"][name] = {"ts": time.time(), **info}
@@ -90,6 +104,7 @@ class BatchCheckpoint:
         (is_done would otherwise trust stale completions from prior runs
         with a different rank count)."""
         self._state = {"config_hash": self.run_config_hash, "done": {}}
+        self._others = None  # the deleted ledgers must stop counting as done
         for ledger in self.directory.glob("hsip-checkpoint*.json"):
             try:
                 ledger.unlink()

@@ -40,7 +40,13 @@ def _configure() -> None:
     root = logging.getLogger("hsip_tpu")
     root.addHandler(handler)
     root.propagate = False
-    root.setLevel(os.environ.get("HSIP_LOG_LEVEL", "INFO").upper())
+    level = os.environ.get("HSIP_LOG_LEVEL", "INFO").upper()
+    try:
+        root.setLevel(level)
+    except ValueError:
+        # A diagnostic knob must never take down processing: clamp and say so.
+        root.setLevel(logging.INFO)
+        root.warning("ignoring invalid HSIP_LOG_LEVEL=%r (using INFO)", level)
     _CONFIGURED = True
 
 

@@ -279,3 +279,12 @@ def test_cli_info_empty_dir(tmp_path, capsys):
     rc = main(["--video-path", str(tmp_path), "--info"])
     assert rc == 1
     assert "No recordings found" in capsys.readouterr().err
+
+
+def test_config_rejects_base_path_key(tmp_path):
+    """base_path is derived from the config file's location; a user-supplied
+    value would be silently ignored, so it must be rejected."""
+    p = tmp_path / "bad.json"
+    p.write_text(json.dumps({"source": [{"name": "X", "base_path": "/data"}]}))
+    with pytest.raises(ValueError, match="base_path"):
+        load_config(p)

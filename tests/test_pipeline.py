@@ -609,3 +609,37 @@ def test_long_skip_gap_reads_stay_bounded(tmp_path):
     assert spans and max(spans) <= 40, (
         f"a read spanned {max(spans)} frames across the skip gap"
     )
+
+
+def test_library_mode_survives_per_video_write_failure(library_dir, tmp_path,
+                                                       capsys, monkeypatch):
+    """One recording's table-write failure must not lose the others' tables,
+    and the run summary must still be written (rank-barrier safety)."""
+    import hsip_tpu.pipeline as pipeline_mod
+    from hsip_tpu.pipeline import process_video_source_library
+
+    real_writer = pipeline_mod._write_ddt_split_tables
+    calls = []
+
+    def flaky(output, output_dir, stem, verbose=True):
+        calls.append(stem)
+        if stem == "nova-run-1-001":
+            raise OSError("disk quota exceeded")
+        return real_writer(output, output_dir, stem, verbose)
+
+    monkeypatch.setattr(pipeline_mod, "_write_ddt_split_tables", flaky)
+    out = tmp_path / "out"
+    outs = process_video_source_library(
+        _library_source(library_dir, out), verbose=False
+    )
+    assert len(outs) == 3  # all scans completed
+    assert "Could not write results for nova-run-1-001" in capsys.readouterr().out
+    # The other two recordings' tables landed.
+    assert (out / "mini-run-2-001-flame-position.txt").exists()
+    assert (out / "nova-run-1-002-flame-position.txt").exists()
+    assert not (out / "nova-run-1-001-flame-position.txt").exists()
+    import json as _json
+
+    summary = _json.loads((out / "run-summary.json").read_text())
+    assert [f["file"] for f in summary["failures"]] == ["nova-run-1-001.cihx"]
+    assert len(summary["files"]) == 2

@@ -183,3 +183,22 @@ def test_enable_persistent_compilation_cache(tmp_path, monkeypatch):
         assert got2 == str(tmp_path / "env-cache")
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
+
+
+def test_invalid_log_level_env_does_not_crash():
+    """HSIP_LOG_LEVEL is a diagnostic knob; a bad value must clamp to INFO,
+    not take down every import of the pipeline."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "import hsip_tpu.pipeline; print('IMPORT_OK')"],
+        capture_output=True, text=True, timeout=120,
+        env={**__import__('os').environ, "HSIP_LOG_LEVEL": "verbose",
+             "PYTHONPATH": str(Path(__file__).resolve().parent.parent)},
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "IMPORT_OK" in proc.stdout
+    assert "ignoring invalid HSIP_LOG_LEVEL" in proc.stderr
