@@ -243,3 +243,57 @@ _CHIP_LIBRARY = textwrap.dedent(
 def test_library_mode_parity_on_chip(tmp_path):
     proc = _run_chip_subprocess(tmp_path, _CHIP_LIBRARY)
     assert "LIBRARY_OK" in proc.stdout, proc.stdout
+
+
+_CHIP_SCAN_PERF = textwrap.dedent(
+    """
+    import sys, time
+    import numpy as np
+    import jax, jax.numpy as jnp
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("NO_TPU")
+        sys.exit(0)
+
+    from hsip_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
+    from hsip_tpu.track.device_scan import device_tracking_scan
+
+    m, w = 2048, 1024
+    pos = (10 + 0.4 * np.arange(m)).astype(int) % (w - 40)
+    sob = np.zeros((m, w), np.float32); sob[np.arange(m), pos] = 120
+    grad = np.zeros((m, w), np.float32); grad[np.arange(m), pos] = -60
+    fi = np.arange(m, dtype=np.int32)
+    empty = np.zeros(m, bool)
+    hp = np.ones(m, bool); hp[0] = False
+
+    args = (jnp.asarray(fi), jnp.asarray(sob), jnp.asarray(grad),
+            jnp.asarray(empty), jnp.asarray(hp))
+    kw = dict(width=w, min_gradient_strength=jnp.float32(10.0),
+              sobel_threshold_fraction=jnp.float32(0.1),
+              ddt_velocity_jump=jnp.float32(1250.0),
+              calibration=jnp.float32(8.3e-4), frame_rate=jnp.float32(1e5),
+              max_displacement_px=jnp.int32(3))
+    f = jax.jit(lambda *a: device_tracking_scan(*a, **kw))
+    jax.block_until_ready(f(*args))  # compile
+    best = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(*args))
+        best = min(best, time.perf_counter() - t0)
+    per_step_us = best / m * 1e6
+    print(f"SCAN_US_PER_STEP {per_step_us:.1f}")
+    # Measured 21 us/step with the 8x unroll (27 without). 60 us trips on
+    # order-of-magnitude regressions (lost unroll, accidental host sync)
+    # while leaving ~3x headroom for chip contention.
+    assert per_step_us < 60.0, f"device scan regressed: {per_step_us:.1f} us/step"
+    print("SCAN_PERF_OK")
+    """
+)
+
+
+def test_device_scan_stays_fast_on_chip(tmp_path):
+    proc = _run_chip_subprocess(tmp_path, _CHIP_SCAN_PERF)
+    assert "SCAN_PERF_OK" in proc.stdout, proc.stdout
