@@ -227,6 +227,17 @@ def build_parser() -> argparse.ArgumentParser:
         help="skip recordings already completed (checkpoint ledger in output dir)",
     )
     parser.add_argument(
+        "--watch",
+        nargs="?",
+        type=float,
+        const=10.0,
+        default=None,
+        metavar="SECONDS",
+        help="serve mode: keep polling each source directory (default every "
+             "10 s) and process recordings as they appear; implies --resume "
+             "semantics between passes. Stop with Ctrl-C",
+    )
+    parser.add_argument(
         "--profile-dir",
         default=None,
         help="capture a jax.profiler trace into this directory",
@@ -412,28 +423,73 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .pipeline import process_video_source, process_video_source_library
     from .utils.profiling import profile_trace
 
-    with profile_trace(args.profile_dir):
+    def run_pass(resume: bool, verbose: bool) -> int:
+        n = 0
         for cfg in sources:
             if not cfg.enabled:
                 continue
             if args.library:
-                process_video_source_library(
+                outs = process_video_source_library(
                     cfg,
                     detector_config,
                     processor=processor,
-                    verbose=not args.quiet,
-                    resume=args.resume,
+                    verbose=verbose,
+                    resume=resume,
                     mesh=mesh,
                 )
             else:
-                process_video_source(
+                outs = process_video_source(
                     cfg,
                     detector_config,
                     backend=args.backend or "tpu",
                     processor=processor,
-                    verbose=not args.quiet,
-                    resume=args.resume,
+                    verbose=verbose,
+                    resume=resume,
                 )
+            n += len(outs)
+        return n
+
+    with profile_trace(args.profile_dir):
+        if args.watch is not None:
+            # Serve mode: the checkpoint ledger is the work queue — each
+            # pass processes only recordings not yet marked complete, so
+            # files landing in the directory are picked up on the next poll
+            # (the first pass honors --resume; later passes always resume).
+            import time as _time
+
+            missing = [cfg.name for cfg in sources
+                       if cfg.enabled and not cfg.output_dir]
+            if missing:
+                print(f"--watch requires an output dir on every source (the "
+                      f"checkpoint ledger is the work queue); missing on: "
+                      f"{', '.join(missing)}", file=sys.stderr)
+                return 2
+            interval = max(0.1, args.watch)
+            if not args.quiet and (processor is None or processor.is_root):
+                print(f"Watching for new recordings every {interval:g} s "
+                      f"(Ctrl-C to stop)")
+            resume = args.resume
+            verbose = not args.quiet
+            try:
+                while True:
+                    done = run_pass(resume=resume, verbose=verbose)
+                    # Later passes resume (completed work must not
+                    # reprocess) and stay quiet — a verbose pass would
+                    # re-announce every completed recording each poll.
+                    resume = True
+                    verbose = False
+                    if not args.quiet and done and (
+                        processor is None or processor.is_root
+                    ):
+                        print(f"\nWatch pass complete ({done} new); "
+                              f"polling every {interval:g} s")
+                    _time.sleep(interval)
+            except KeyboardInterrupt:
+                if processor is None or processor.is_root:
+                    print("\nWatch stopped")
+                return 0
+
+        run_pass(resume=args.resume, verbose=not args.quiet)
 
     if processor is not None:
         processor.barrier()

@@ -288,3 +288,61 @@ def test_config_rejects_base_path_key(tmp_path):
     p.write_text(json.dumps({"source": [{"name": "X", "base_path": "/data"}]}))
     with pytest.raises(ValueError, match="base_path"):
         load_config(p)
+
+
+def test_cli_watch_picks_up_new_recordings(videos, tmp_path, monkeypatch,
+                                           capsys):
+    """Serve mode: the first pass processes existing recordings, a later
+    poll picks up a recording that arrives afterwards, and completed work
+    is never reprocessed."""
+    import shutil
+
+    from hsip_tpu.cli import main
+
+    vdir = tmp_path / "vids"
+    shutil.copytree(videos, vdir)
+    out = tmp_path / "out"
+
+    # Deterministic harness: instead of sleeping, drop a new recording after
+    # pass 2 and stop after pass 3 via the sleep hook.
+    passes = {"n": 0}
+
+    def fake_sleep(_secs):
+        passes["n"] += 1
+        if passes["n"] == 2:
+            frames, _ = synthesize_flame_video(
+                20, height=48, width=256,
+                flame=FlameSpec(x0=25.0, v0_px=6.0, ignition_frame=2, seed=77),
+            )
+            write_recording(vdir, "cli-run-1-late", frames)
+        if passes["n"] >= 4:
+            raise KeyboardInterrupt
+
+    import time as time_mod
+
+    monkeypatch.setattr(time_mod, "sleep", fake_sleep)
+    rc = main([
+        "--video-path", str(vdir), "--output-dir", str(out),
+        "--calibration", "0.001", "--no-images", "--no-sequences",
+        "--watch", "0.2",
+    ])
+    assert rc == 0
+    outtext = capsys.readouterr().out
+    assert "Watching for new recordings" in outtext
+    assert "Watch stopped" in outtext
+    assert (out / "cli-run-1-a-flame-position.txt").exists()
+    assert (out / "cli-run-1-late-flame-position.txt").exists()
+    # The original recording was processed exactly once (one load banner).
+    assert outtext.count("Loading: cli-run-1-a.cihx") == 1
+
+
+def test_cli_watch_requires_output_dir(tmp_path, capsys):
+    from hsip_tpu.cli import main
+
+    cfg = tmp_path / "w.json"
+    cfg.write_text(json.dumps(
+        {"source": [{"name": "W", "video_path": str(tmp_path)}]}
+    ))
+    rc = main(["--config", str(cfg), "--watch"])
+    assert rc == 2
+    assert "requires an output dir" in capsys.readouterr().err
