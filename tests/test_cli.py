@@ -346,3 +346,31 @@ def test_cli_watch_requires_output_dir(tmp_path, capsys):
     rc = main(["--config", str(cfg), "--watch"])
     assert rc == 2
     assert "requires an output dir" in capsys.readouterr().err
+
+
+def test_cli_watch_library_mode(videos, tmp_path, monkeypatch, capsys):
+    """--watch composes with --library (vmapped passes over the ledger)."""
+    import shutil
+
+    from hsip_tpu.cli import main
+
+    vdir = tmp_path / "vids"
+    shutil.copytree(videos, vdir)
+    out = tmp_path / "out"
+    passes = {"n": 0}
+
+    def fake_sleep(_secs):
+        passes["n"] += 1
+        if passes["n"] >= 2:
+            raise KeyboardInterrupt
+
+    import time as time_mod
+
+    monkeypatch.setattr(time_mod, "sleep", fake_sleep)
+    rc = main([
+        "--video-path", str(vdir), "--output-dir", str(out),
+        "--calibration", "0.001", "--library", "--watch", "1",
+    ])
+    assert rc == 0
+    assert (out / "cli-run-1-a-flame-position.txt").exists()
+    capsys.readouterr()
