@@ -19,12 +19,60 @@ from __future__ import annotations
 
 import argparse
 import json
+import subprocess
 import sys
 import tempfile
 import time
 from pathlib import Path
 
 import numpy as np
+
+# The first backend touch can HANG (not fail) when the axon tunnel is down:
+# round 1 lost its bench to an init that sat >9 min inside
+# ``jax.default_backend()``. Probe in a subprocess so a hang is killable.
+_PROBE_SNIPPET = """
+import jax
+d = jax.devices()
+x = jax.numpy.ones((128, 128))
+(x @ x).block_until_ready()
+print(d[0].platform)
+"""
+
+
+def preflight_backend(
+    timeout_s: float = 150.0, retries: int = 3, backoff_s: float = 45.0
+) -> str:
+    """Probe default-backend init in a killable subprocess.
+
+    Returns the platform name ('tpu'/...) on success. After ``retries``
+    failed/hung attempts, returns 'cpu' — the caller then pins the CPU
+    backend so the bench still lands a (labeled) number instead of rc=1.
+    """
+    for attempt in range(retries):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _PROBE_SNIPPET],
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+            if out.returncode == 0 and out.stdout.strip():
+                return out.stdout.strip().splitlines()[-1]
+            reason = (out.stderr or "").strip().splitlines()[-1:] or ["rc!=0"]
+            print(
+                f"bench: backend probe attempt {attempt + 1}/{retries} "
+                f"failed: {reason[0]}",
+                file=sys.stderr,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"bench: backend probe attempt {attempt + 1}/{retries} hung "
+                f"(> {timeout_s:.0f}s), killed",
+                file=sys.stderr,
+            )
+        if attempt + 1 < retries:
+            time.sleep(backoff_s)
+    return "cpu"
 
 
 def build_recording(tmpdir: Path, n_frames: int, height: int, width: int):
@@ -99,6 +147,85 @@ def run_collection_pipeline(video_dir, config):
         return track_collection_device(coll, config)
 
 
+def _build_library(tmpdir: Path, n_videos: int, per_video: int, height, width):
+    for v in range(n_videos):
+        build_recording(
+            tmpdir / "lib", per_video, height, width
+        ).rename(tmpdir / "lib" / f"bench-run-{v + 1:02d}-001.cihx")
+        (tmpdir / "lib" / "bench-run-1-001.mraw").rename(
+            tmpdir / "lib" / f"bench-run-{v + 1:02d}-001.mraw"
+        )
+    return tmpdir / "lib"
+
+
+def run_bench(args, config) -> dict:
+    """Measure the requested mode(s); returns the result-JSON dict."""
+    extra: dict = {}
+    with tempfile.TemporaryDirectory() as tmp:
+        tmpdir = Path(tmp)
+        single_fps = None
+        library_fps = None
+
+        if args.mode in ("both", "single"):
+            meta = build_recording(tmpdir, args.frames, args.height, args.width)
+            run_tpu_pipeline(meta, config, args.chunk_size, args.scan)  # warm-up
+            best = float("inf")
+            for _ in range(args.repeat):
+                t0 = time.perf_counter()
+                out = run_tpu_pipeline(meta, config, args.chunk_size, args.scan)
+                best = min(best, time.perf_counter() - t0)
+            single_fps = args.frames / best
+            print(
+                f"single: frames={args.frames} {args.height}x{args.width} "
+                f"end_to_end_s={best:.3f} rows={len(out.rows)}",
+                file=sys.stderr,
+            )
+
+        if args.mode in ("both", "library"):
+            per_video = max(2, args.frames // args.videos)
+            lib = _build_library(
+                tmpdir, args.videos, per_video, args.height, args.width
+            )
+            total_frames = per_video * args.videos
+            run_collection_pipeline(lib, config)  # warm-up
+            best = float("inf")
+            for _ in range(args.repeat):
+                t0 = time.perf_counter()
+                outs = run_collection_pipeline(lib, config)
+                best = min(best, time.perf_counter() - t0)
+            library_fps = total_frames / best
+            print(
+                f"library: videos={args.videos} frames={total_frames} "
+                f"end_to_end_s={best:.3f} rows={len(outs[0].rows)}",
+                file=sys.stderr,
+            )
+
+        if args.mode == "library":
+            meta = build_recording(tmpdir, 64, args.height, args.width)
+        baseline_per_frame = time_scipy_baseline(
+            meta, config, args.baseline_sample
+        )
+        baseline_fps = 1.0 / baseline_per_frame
+
+    # Headline: the library (vmapped whole-source) number -- the
+    # representative production shape -- with the single-video figure
+    # alongside; single-video becomes the headline when it ran alone.
+    fps = library_fps if library_fps is not None else single_fps
+    if single_fps is not None:
+        extra["single_video_fps"] = round(single_fps, 1)
+    if library_fps is not None:
+        extra["library_fps"] = round(library_fps, 1)
+        extra["library_videos"] = args.videos
+    extra["scipy_serial_fps"] = round(baseline_fps, 1)
+    return {
+        "metric": "mraw_frames_per_sec_per_chip_decode_track",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 2),
+        **extra,
+    }
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=2048)
@@ -115,13 +242,43 @@ def main() -> int:
         "--scan", choices=("host", "device"), default="device",
         help="tracking-scan backend (both proven row-identical); 'device' "
         "keeps profile lines on the TPU and runs the state machine as a "
-        "lax.scan — the flagship fully on-device path",
+        "lax.scan -- the flagship fully on-device path",
     )
     parser.add_argument(
-        "--videos", type=int, default=1,
-        help=">1: library mode — N recordings tracked by one vmapped device scan",
+        "--mode", choices=("both", "single", "library"), default="both",
+        help="which pipeline shapes to measure; the headline value is the "
+        "library (vmapped whole-source) number when it runs",
+    )
+    parser.add_argument(
+        "--videos", type=int, default=8,
+        help="library-mode video count (frames split evenly across them)",
+    )
+    parser.add_argument(
+        "--no-preflight", action="store_true",
+        help="skip the subprocess backend probe (trusted-backend runs)",
     )
     args = parser.parse_args()
+    if args.scan == "host" and args.mode != "single":
+        parser.error("--scan host applies to single-video mode only "
+                     "(library mode always runs the vmapped device scan)")
+
+    backend = "default"
+    if not args.no_preflight:
+        backend = preflight_backend()
+    import jax
+
+    if backend == "cpu":
+        # Tunnel-down fallback: pin the CPU backend (env vars alone cannot --
+        # an import hook re-adds axon) and shrink the problem so the weak
+        # dev host finishes; the JSON stays parseable and is LABELED.
+        jax.config.update("jax_platforms", "cpu")
+        if args.frames == parser.get_default("frames"):
+            args.frames = 256
+        print(
+            "bench: TPU backend unreachable after retries -- falling back "
+            "to CPU (labeled in the JSON line)",
+            file=sys.stderr,
+        )
 
     from hsip_tpu.track import FlameDetectorConfig
     from hsip_tpu.utils import enable_persistent_compilation_cache
@@ -129,65 +286,27 @@ def main() -> int:
     enable_persistent_compilation_cache()
     config = FlameDetectorConfig()
 
-    if args.videos > 1 and args.scan != "device":
-        parser.error("--videos > 1 (library mode) always runs the vmapped "
-                     "device scan; --scan host applies to single-video mode")
+    try:
+        result = run_bench(args, config)
+    except Exception as exc:  # noqa: BLE001 -- the contract is one JSON line
+        import traceback
 
-    with tempfile.TemporaryDirectory() as tmp:
-        tmpdir = Path(tmp)
-        if args.videos > 1:
-            per_video = max(2, args.frames // args.videos)
-            for v in range(args.videos):
-                build_recording(
-                    tmpdir / "lib", per_video, args.height, args.width
-                ).rename(tmpdir / "lib" / f"bench-run-{v + 1:02d}-001.cihx")
-                (tmpdir / "lib" / "bench-run-1-001.mraw").rename(
-                    tmpdir / "lib" / f"bench-run-{v + 1:02d}-001.mraw"
-                )
-            total_frames = per_video * args.videos
-            run_collection_pipeline(tmpdir / "lib", config)  # warm-up
-            best = float("inf")
-            for _ in range(args.repeat):
-                t0 = time.perf_counter()
-                outs = run_collection_pipeline(tmpdir / "lib", config)
-                best = min(best, time.perf_counter() - t0)
-            out = outs[0]
-            meta = build_recording(tmpdir, 64, args.height, args.width)
-            args_frames = total_frames
-        else:
-            meta = build_recording(tmpdir, args.frames, args.height, args.width)
-
-            # Warm-up: compile + cache.
-            run_tpu_pipeline(meta, config, args.chunk_size, args.scan)
-
-            best = float("inf")
-            for _ in range(args.repeat):
-                t0 = time.perf_counter()
-                out = run_tpu_pipeline(meta, config, args.chunk_size, args.scan)
-                best = min(best, time.perf_counter() - t0)
-            args_frames = args.frames
-
-        fps = args_frames / best
-        baseline_per_frame = time_scipy_baseline(meta, config, args.baseline_sample)
-        baseline_fps = 1.0 / baseline_per_frame
-
+        traceback.print_exc(file=sys.stderr)
         print(
             json.dumps(
                 {
                     "metric": "mraw_frames_per_sec_per_chip_decode_track",
-                    "value": round(fps, 1),
+                    "value": None,
                     "unit": "frames/s",
-                    "vs_baseline": round(fps / baseline_fps, 2),
+                    "vs_baseline": None,
+                    "error": f"{type(exc).__name__}: {exc}",
                 }
             )
         )
-        # Diagnostics on stderr (driver reads stdout's single JSON line).
-        print(
-            f"frames={args_frames} {args.height}x{args.width} "
-            f"end_to_end_s={best:.3f} rows={len(out.rows)} "
-            f"scipy_serial_fps={baseline_fps:.1f}",
-            file=sys.stderr,
-        )
+        return 1
+    if backend == "cpu":
+        result["backend"] = "cpu-fallback"
+    print(json.dumps(result))
     return 0
 
 
