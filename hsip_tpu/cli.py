@@ -414,8 +414,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         # video subset, so its mesh must span only its own chips (the
         # hierarchical video-per-process x video-axis-per-device layout).
         # A global mesh would require identical data on every process.
-        mesh = make_mesh("video", devices=jax.local_devices(),
-                         n_devices=args.mesh or None)
+        try:
+            mesh = make_mesh("video", devices=jax.local_devices(),
+                             n_devices=args.mesh or None)
+        except ValueError:
+            print(f"--mesh {args.mesh}: only "
+                  f"{len(jax.local_devices())} local device(s) available "
+                  "(omit N or pass 0 for all local devices)",
+                  file=sys.stderr)
+            return 2
         if not args.quiet and (processor is None or processor.is_root):
             print(f"Sharding video axis over {mesh.devices.size} devices"
                   + (" per process" if processor is not None else ""))
@@ -423,7 +430,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .pipeline import process_video_source, process_video_source_library
     from .utils.profiling import profile_trace
 
-    def run_pass(resume: bool, verbose: bool) -> int:
+    def run_pass(resume: bool, verbose: bool, failure_cache=None) -> int:
         n = 0
         for cfg in sources:
             if not cfg.enabled:
@@ -436,6 +443,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     verbose=verbose,
                     resume=resume,
                     mesh=mesh,
+                    failure_cache=failure_cache,
                 )
             else:
                 outs = process_video_source(
@@ -445,6 +453,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                     processor=processor,
                     verbose=verbose,
                     resume=resume,
+                    failure_cache=failure_cache,
                 )
             n += len(outs)
         return n
@@ -468,11 +477,36 @@ def main(argv: Optional[List[str]] = None) -> int:
             if not args.quiet and (processor is None or processor.is_root):
                 print(f"Watching for new recordings every {interval:g} s "
                       f"(Ctrl-C to stop)")
+            # Shutdown sentinel: Ctrl-C (or an operator touching the file)
+            # requests a stop that EVERY process honors at its next poll —
+            # without it, interrupting one rank of a --distributed watch
+            # left the others polling alone. A rank interrupted mid-pass
+            # can still leave peers in the end-of-pass barrier; interrupt
+            # between passes (or use the sentinel) for a clean stop.
+            stop_sentinel = next(
+                (Path(cfg.output_dir) / ".hsip-watch-stop"
+                 for cfg in sources if cfg.enabled and cfg.output_dir),
+                None,
+            )
+            if stop_sentinel is not None:
+                if processor is None or processor.is_root:
+                    stop_sentinel.unlink(missing_ok=True)
+                if processor is not None:
+                    # No rank may poll before the stale sentinel is gone.
+                    processor.barrier()
             resume = args.resume
             verbose = not args.quiet
+            # Corrupt recordings are retried only when their mtime/size
+            # change; otherwise every poll would re-fail and re-warn them.
+            failure_cache: Dict[str, Any] = {}
             try:
                 while True:
-                    done = run_pass(resume=resume, verbose=verbose)
+                    if stop_sentinel is not None and stop_sentinel.exists():
+                        if not args.quiet:
+                            print("\nWatch stopped (shutdown requested)")
+                        return 0
+                    done = run_pass(resume=resume, verbose=verbose,
+                                    failure_cache=failure_cache)
                     # Later passes resume (completed work must not
                     # reprocess) and stay quiet — a verbose pass would
                     # re-announce every completed recording each poll.
@@ -485,6 +519,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                               f"polling every {interval:g} s")
                     _time.sleep(interval)
             except KeyboardInterrupt:
+                if stop_sentinel is not None:
+                    # Propagate the stop to peer ranks (and future passes).
+                    stop_sentinel.parent.mkdir(parents=True, exist_ok=True)
+                    stop_sentinel.touch()
                 if processor is None or processor.is_root:
                     print("\nWatch stopped")
                 return 0

@@ -133,12 +133,15 @@ def find_mraw_payload(metadata_path: PathLike) -> Path:
     # on case-sensitive filesystems.
     for suffix in (".mraw", ".MRAW", ".Mraw"):
         candidate = meta.with_suffix(suffix)
-        if candidate.exists():
+        if candidate.is_file():
             return candidate
     try:
         for candidate in meta.parent.iterdir():
+            # is_file() guards against a DIRECTORY named '<stem>.mraw',
+            # which would otherwise surface later as a confusing open error.
             if (candidate.stem == meta.stem
-                    and candidate.suffix.lower() == ".mraw"):
+                    and candidate.suffix.lower() == ".mraw"
+                    and candidate.is_file()):
                 return candidate
     except OSError:
         pass

@@ -509,6 +509,38 @@ class _SourceLedger:
             self._processor.barrier()
 
 
+def _file_fingerprint(path: Path):
+    st = path.stat()
+    return (st.st_mtime_ns, st.st_size)
+
+
+def _skip_known_failure(failure_cache, path: Path) -> bool:
+    """True when ``path`` failed before and is unchanged since (serve mode).
+
+    Watch mode retries every not-yet-completed recording each poll pass; a
+    permanently corrupt file would otherwise fail (and warn) forever at the
+    poll interval. A failed file is retried only once its mtime/size change.
+    """
+    if failure_cache is None:
+        return False
+    fp = failure_cache.get(str(path))
+    if fp is None:
+        return False
+    try:
+        return _file_fingerprint(path) == fp
+    except OSError:
+        return True  # vanished since the failure — nothing to retry
+
+
+def _record_failure_fingerprint(failure_cache, path: Path) -> None:
+    if failure_cache is None:
+        return
+    try:
+        failure_cache[str(path)] = _file_fingerprint(path)
+    except OSError:
+        pass
+
+
 def _warn_unmatched_calibration(config, filename: str) -> None:
     """Warn when file_calibrations exist but none matches this recording.
 
@@ -529,8 +561,17 @@ def _warn_unmatched_calibration(config, filename: str) -> None:
 def _discover_source_files(config, processor, verbose, is_root,
                            mode_banner=""):
     """Shared batch-driver prologue: banner, rglob discovery, and
-    per-process distribution. Returns this process's file list (possibly
-    empty). A discovery/distribution fix here lands in BOTH drivers."""
+    per-process distribution. A discovery/distribution fix here lands in
+    BOTH drivers.
+
+    Returns ``None`` when the source has nothing at all (no path / no
+    recordings — a state every process observes identically), or this
+    process's file list after distribution. The distinction matters under a
+    processor: a rank whose SUBSET is empty (fewer files than ranks) gets
+    ``[]`` and must still run the ledger path — its barriers have to align
+    with the ranks that did receive files; returning early would pair its
+    next barrier with a different pass's and desynchronize the whole run.
+    """
     if verbose and is_root:
         print(f"\n{'=' * 60}")
         print(f"Processing{mode_banner}: {config.name}")
@@ -538,12 +579,12 @@ def _discover_source_files(config, processor, verbose, is_root,
         print(f"Default calibration: {config.calibration} m/pixel")
         print(f"{'=' * 60}")
     if not config.video_path:
-        return []
+        return None
     cihx_files = sorted(Path(config.video_path).rglob("*.cihx"))
     if not cihx_files:
         if verbose and is_root:
             print(f"No CIHX files found in {config.video_path}")
-        return []
+        return None
     if processor is not None:
         my_indices = set(processor.distribute_indices(len(cihx_files)))
         cihx_files = [f for i, f in enumerate(cihx_files) if i in my_indices]
@@ -557,6 +598,7 @@ def process_video_source(
     processor=None,
     verbose: bool = True,
     resume: bool = False,
+    failure_cache: Optional[dict] = None,
 ) -> List[TrackingOutput]:
     """Process every ``*.cihx`` under a source's video path.
 
@@ -567,13 +609,17 @@ def process_video_source(
     ``resume=True`` skips recordings already marked complete in the output
     directory's checkpoint ledger (crash-safe batch restarts); a
     ``run-summary.json`` is written either way.
+
+    ``failure_cache`` (serve mode) is a caller-held dict mapping failed
+    recording paths to their mtime/size fingerprints: unchanged failures are
+    skipped on later passes instead of warning at every poll.
     """
     import time as _time
 
     is_root = processor is None or processor.is_root
     cihx_files = _discover_source_files(config, processor, verbose, is_root)
-    if not cihx_files:
-        return []
+    if cihx_files is None:
+        return []  # globally nothing — every rank takes this branch
 
     ledger = _SourceLedger(config, detector_config, backend, processor, resume)
 
@@ -584,6 +630,8 @@ def process_video_source(
     outputs = []
     try:
         for cihx_file in ledger.filter_pending(cihx_files, _announce_skip):
+            if _skip_known_failure(failure_cache, cihx_file):
+                continue
             t0 = _time.perf_counter()
             try:
                 output = process_video_file(
@@ -602,7 +650,10 @@ def process_video_source(
                 print(f"Warning: Could not process {cihx_file}: {exc}")
                 _log.warning("failed %s: %s", cihx_file.name, exc)
                 ledger.add_failure(cihx_file.name, exc)
+                _record_failure_fingerprint(failure_cache, cihx_file)
                 continue
+            if failure_cache is not None:
+                failure_cache.pop(str(cihx_file), None)
             wall = _time.perf_counter() - t0
             _log.debug(
                 "processed %s: rows=%d empty=%d break=%s wall=%.3fs",
@@ -626,6 +677,7 @@ def process_video_source_library(
     resume: bool = False,
     chunk_size: Optional[int] = None,
     mesh=None,
+    failure_cache: Optional[dict] = None,
 ) -> List[TrackingOutput]:
     """Library mode: track EVERY recording of a source with vmapped scans.
 
@@ -653,13 +705,13 @@ def process_video_source_library(
     cihx_files = _discover_source_files(
         config, processor, verbose, is_root, mode_banner=" (library mode)"
     )
+    if cihx_files is None:
+        return []  # globally nothing — every rank takes this branch
     if verbose and is_root and cihx_files and (
         config.save_frame_images or config.save_stacked_sequences
     ):
         print("  Note: figures unavailable in library mode "
               "(fully on-device scans)")
-    if not cihx_files:
-        return []
 
     ledger = _SourceLedger(config, detector_config, "library", processor,
                            resume)
@@ -680,15 +732,20 @@ def process_video_source_library(
     try:
         videos = []
         for f in cihx_files:
+            if _skip_known_failure(failure_cache, f):
+                continue
             _warn_unmatched_calibration(config, f.name)
             try:
                 videos.append(
                     PhotonVideo(str(f), trigger_frame=config.trigger_frame)
                 )
+                if failure_cache is not None:
+                    failure_cache.pop(str(f), None)
             except Exception as exc:
                 print(f"Warning: Could not load {f}: {exc}")
                 _log.warning("failed to open %s: %s", f.name, exc)
                 ledger.add_failure(f.name, exc)
+                _record_failure_fingerprint(failure_cache, f)
 
         if videos:
             collection = VideoCollection(videos)

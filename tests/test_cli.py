@@ -374,3 +374,86 @@ def test_cli_watch_library_mode(videos, tmp_path, monkeypatch, capsys):
     assert rc == 0
     assert (out / "cli-run-1-a-flame-position.txt").exists()
     capsys.readouterr()
+
+
+def test_cli_watch_corrupt_file_failure_backoff(videos, tmp_path, monkeypatch,
+                                                capsys):
+    """Serve mode must not re-fail a corrupt recording every poll: an
+    unchanged failed file warns once, and is retried when it changes."""
+    import shutil
+
+    from hsip_tpu.cli import main
+
+    vdir = tmp_path / "vids"
+    shutil.copytree(videos, vdir)
+    bad = vdir / "zz-corrupt.cihx"
+    bad.write_bytes(b"\x00" * 64)
+    out = tmp_path / "out"
+    passes = {"n": 0}
+
+    def fake_sleep(_secs):
+        passes["n"] += 1
+        if passes["n"] == 3:
+            # A changed file is a new candidate: mtime/size move.
+            bad.write_bytes(b"\x00" * 128)
+        if passes["n"] >= 5:
+            raise KeyboardInterrupt
+
+    import time as time_mod
+
+    monkeypatch.setattr(time_mod, "sleep", fake_sleep)
+    rc = main([
+        "--video-path", str(vdir), "--output-dir", str(out),
+        "--calibration", "0.001", "--no-images", "--no-sequences",
+        "--watch", "0.2",
+    ])
+    assert rc == 0
+    outtext = capsys.readouterr().out
+    # One warning for the original corrupt bytes, one for the rewrite --
+    # NOT one per poll pass.
+    assert outtext.count("Could not process") == 2
+
+
+def test_cli_watch_stop_sentinel(videos, tmp_path, monkeypatch, capsys):
+    """Creating .hsip-watch-stop in the output dir stops the watch loop
+    cleanly at the next poll (the cross-rank shutdown mechanism)."""
+    import shutil
+
+    from hsip_tpu.cli import main
+
+    vdir = tmp_path / "vids"
+    shutil.copytree(videos, vdir)
+    out = tmp_path / "out"
+    passes = {"n": 0}
+
+    def fake_sleep(_secs):
+        passes["n"] += 1
+        (out / ".hsip-watch-stop").touch()
+        if passes["n"] >= 3:  # safety: the sentinel should stop us first
+            raise KeyboardInterrupt
+
+    import time as time_mod
+
+    monkeypatch.setattr(time_mod, "sleep", fake_sleep)
+    rc = main([
+        "--video-path", str(vdir), "--output-dir", str(out),
+        "--calibration", "0.001", "--no-images", "--no-sequences",
+        "--watch", "0.2",
+    ])
+    assert rc == 0
+    outtext = capsys.readouterr().out
+    assert "Watch stopped (shutdown requested)" in outtext
+    assert passes["n"] == 1  # stopped at the first post-sentinel poll
+
+
+def test_cli_mesh_too_many_devices(videos, tmp_path, capsys):
+    """--mesh N beyond the local device count exits 2 with a message, not a
+    traceback (devices are 8 virtual CPUs under the test config)."""
+    from hsip_tpu.cli import main
+
+    rc = main([
+        "--video-path", str(videos), "--output-dir", str(tmp_path / "o"),
+        "--library", "--mesh", "64",
+    ])
+    assert rc == 2
+    assert "local device(s) available" in capsys.readouterr().err
