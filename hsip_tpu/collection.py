@@ -24,10 +24,13 @@ __all__ = ["VideoCollection"]
 class VideoCollection:
     """A list of :class:`PhotonVideo` with global frame indexing.
 
-    Example:
-        >>> collection = VideoCollection.from_directory("./videos/", pattern="*.cihx")
-        >>> frame = collection.get_global_frame(1000)
-        >>> results = collection.map_frames(process_func)
+    Frames of all member videos form one contiguous address space, so a
+    whole experiment's worth of recordings can be indexed, iterated and
+    mapped as if it were a single long video::
+
+        coll = VideoCollection.from_directory("Nova-Video-Files")
+        vid_idx, local = coll.global_to_local(1000)
+        profiles = coll.map_frames(extract_centerline)
     """
 
     def __init__(
@@ -76,7 +79,7 @@ class VideoCollection:
                     )
                 )
             except Exception as e:  # noqa: BLE001 — skip-and-warn by contract
-                print(f"Warning: Could not load {f}: {e}")
+                print(f"Warning: skipping unreadable recording {f} ({e})")
 
         return cls(videos, metadata_fields)
 
@@ -144,7 +147,8 @@ class VideoCollection:
             global_idx = self._total_frames + global_idx
         if global_idx < 0 or global_idx >= self._total_frames:
             raise IndexError(
-                f"Global frame index {global_idx} out of range [0, {self._total_frames})"
+                f"global frame {global_idx} outside the collection "
+                f"(holds {self._total_frames} frames)"
             )
         video_idx = bisect.bisect_right(self._cumulative_lengths, global_idx) - 1
         return video_idx, global_idx - self._cumulative_lengths[video_idx]
@@ -156,7 +160,10 @@ class VideoCollection:
     def local_to_global(self, video_idx: int, local_idx: int) -> int:
         """(video_idx, local_idx) → global index."""
         if video_idx < 0 or video_idx >= len(self._videos):
-            raise IndexError(f"Video index {video_idx} out of range")
+            raise IndexError(
+                f"no video at index {video_idx} "
+                f"(collection holds {len(self._videos)})"
+            )
         return self._cumulative_lengths[video_idx] + local_idx
 
     # -- batch operations -----------------------------------------------------------
@@ -243,14 +250,15 @@ class VideoCollection:
 
     def summary(self) -> str:
         """Human-readable multi-line summary."""
-        lines = [
-            f"VideoCollection: {len(self)} videos, {self.total_frames} total frames",
-            "-" * 60,
-        ]
+        header = (
+            f"VideoCollection \u2014 {len(self)} videos, "
+            f"{self.total_frames} frames"
+        )
+        lines = [header, "=" * len(header)]
         for i, video in enumerate(self._videos):
             lines.append(
-                f"  [{i}] {video.filepath.name}: "
-                f"{len(video)} frames @ {video.frame_rate} fps"
+                f"  #{i} {video.filepath.name} \u2014 {len(video)} frames "
+                f"@ {video.frame_rate:g} fps"
             )
         return "\n".join(lines)
 
@@ -265,4 +273,7 @@ class VideoCollection:
         self.close_all()
 
     def __repr__(self) -> str:
-        return f"<VideoCollection videos={len(self)} total_frames={self.total_frames}>"
+        return (
+            f"VideoCollection(n_videos={len(self)}, "
+            f"n_frames={self.total_frames})"
+        )
