@@ -62,19 +62,27 @@ def unpack_10bit_device(packed: jnp.ndarray, out_dtype=jnp.uint16) -> jnp.ndarra
     return out.reshape(*packed.shape[:-1], -1).astype(out_dtype)
 
 
-def _unpack_rows_12bit(packed: jnp.ndarray, rows: jnp.ndarray, height: int,
-                       width: int) -> jnp.ndarray:
-    """Decode only selected ROWS from packed 12-bit frames.
+_UNPACKERS = {
+    10: unpack_10bit_device,
+    12: unpack_12bit_device,
+    16: unpack_16bit_device,
+}
+
+
+def _unpack_rows(packed: jnp.ndarray, rows: jnp.ndarray, height: int,
+                 width: int, bit_depth: int) -> jnp.ndarray:
+    """Decode only selected ROWS from packed frames.
 
     ``packed`` is (N, frame_nbytes); each row of ``width`` pixels occupies
-    ``width * 3 // 2`` contiguous bytes (width is even), so a row gather on
-    the packed axis decodes just the band — the full frame never exists.
+    ``width * bit_depth // 8`` contiguous bytes (callers gate on byte-aligned
+    rows), so a row gather on the packed axis decodes just the band — the
+    full frame never exists.
     """
-    row_nbytes = width * 3 // 2
+    row_nbytes = width * bit_depth // 8
     n = packed.shape[0]
     per_row = packed.reshape(n, height, row_nbytes)
     band_rows = per_row[:, rows, :]  # (N, B, row_nbytes)
-    return unpack_12bit_device(band_rows, out_dtype=jnp.float32)
+    return _UNPACKERS[bit_depth](band_rows, out_dtype=jnp.float32)
 
 
 @partial(
@@ -100,12 +108,7 @@ def packed_band_profiles(
     (C++ fused pass); the device decodes the band and runs the fused chain.
     Returns (sobel, gradient, intensity, raw_center) — all (N, W) f32.
     """
-    unpack = {
-        10: unpack_10bit_device,
-        12: unpack_12bit_device,
-        16: unpack_16bit_device,
-    }[bit_depth]
-    band_pixels = unpack(band_bytes, out_dtype=jnp.float32)  # (N, B, W)
+    band_pixels = _UNPACKERS[bit_depth](band_bytes, out_dtype=jnp.float32)  # (N, B, W)
     band = jnp.maximum(band_pixels - background_scalar, 0.0)
     margin = (band.shape[1] - 1) // 2
     raw_center_lines = band[:, margin, :]
@@ -121,7 +124,7 @@ def packed_band_profiles(
     jax.jit,
     static_argnames=(
         "height", "width", "morphology_kernel_size", "gaussian_sigma",
-        "center_row", "use_pallas",
+        "center_row", "use_pallas", "bit_depth",
     ),
 )
 def packed_centerline_profiles(
@@ -136,13 +139,15 @@ def packed_centerline_profiles(
     gaussian_sigma: float = 1.5,
     center_row: Optional[int] = None,
     use_pallas: bool = False,
+    bit_depth: int = 12,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Packed 12-bit bytes (N, frame_nbytes) → centerline profiles + counts.
+    """Packed bytes (N, frame_nbytes) → centerline profiles + counts.
 
     Same contract as :func:`hsip_tpu.kernels.preprocess.
-    batch_centerline_profiles` but the input is the raw MRAW payload; the
-    band (2M+1 rows) is decoded on-device and the empty-frame signal count
-    is computed from the full decoded frame (one cheap pass).
+    batch_centerline_profiles` but the input is the raw MRAW payload
+    (10/12-bit packing or raw 16-bit, per ``bit_depth``); the band (2M+1
+    rows) is decoded on-device and the empty-frame signal count is computed
+    from the full decoded frame (one cheap pass).
     """
     if center_row is None:
         center_row = height // 2
@@ -152,11 +157,11 @@ def packed_centerline_profiles(
 
     # Empty-frame counts need the whole frame: decode once, count, discard.
     # (XLA fuses the decode+compare+reduce into one pass over the bytes.)
-    full = unpack_12bit_device(packed, out_dtype=jnp.float32)
+    full = _UNPACKERS[bit_depth](packed, out_dtype=jnp.float32)
     sub_full = jnp.maximum(full - background_scalar, 0.0)
     counts = jnp.sum((sub_full > noise_threshold).astype(jnp.int32), axis=-1)
 
-    band_pixels = _unpack_rows_12bit(packed, rows, height, width)
+    band_pixels = _unpack_rows(packed, rows, height, width, bit_depth)
     band = jnp.maximum(band_pixels - background_scalar, 0.0)
     raw_center_lines = band[:, margin, :]
 

@@ -125,13 +125,15 @@ def compute_profiles_batched(
         chunk_size: frames per device dispatch (static shape; last chunk pads).
         device_fn: override for the batched kernel (testing/backends).
         read_packed: callable (start, stop) -> (n, frame_nbytes) PACKED bytes.
-            When given (12-bit recordings), raw bytes ship to the device and
-            decode there — no host decode, 1.33-2.67x less transfer.
+            When given (10/12/16-bit containers with byte-aligned rows), raw
+            bytes ship to the device and decode there — no host decode, and
+            for packed 10/12-bit 1.6-2.67x less transfer.
         read_band: callable (start, stop, rows) -> (n, B, row_nbytes) packed
             BAND bytes. With ``count_fn`` (native empty-frame counts on
             host), only the centerline band ever crosses to the device —
             the minimal-transfer path (~15 percent of the payload at H=128).
-            10/12/16-bit containers supported (``band_bit_depth``).
+            10/12/16-bit containers supported (``band_bit_depth``, the
+            storage depth — also used by the full-frame packed path).
         use_pallas: run the fused Mosaic kernel for the band chain (defaults
             to True on TPU backends, False elsewhere).
         keep_device: return the (N, W) profile lines as DEVICE-resident jnp
@@ -318,6 +320,7 @@ def compute_profiles_batched(
                     morphology_kernel_size=config.morphology_kernel_size,
                     gaussian_sigma=config.gaussian_sigma,
                     use_pallas=use_pallas,
+                    bit_depth=band_bit_depth,
                 )
             else:
                 sob, grad, intens, rawc, counts = device_fn(
@@ -745,7 +748,7 @@ def track_video(
         out.total_frames = len(video)
         return out
 
-    # 12-bit recordings decode on-device from raw packed bytes; with the
+    # Packed recordings decode on-device from raw payload bytes; with the
     # native codec, only band rows ship (counts computed host-side).
     read_packed, read_band, count_fn, storage_depth = video.staging_paths()
     if chunk_size is None:

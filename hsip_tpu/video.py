@@ -446,13 +446,14 @@ class PhotonVideo:
 
     @property
     def supports_packed_frames(self) -> bool:
-        """True when full packed frames can decode ON-DEVICE: 12-bit packing
-        with byte-aligned rows (even width). Odd-width 12-bit payloads are
-        byte-aligned per frame but not per row, so they decode host-side."""
+        """True when full packed frames can decode ON-DEVICE: 10/12-bit
+        packing or raw 16-bit, with byte-aligned rows (width divisible by
+        4 for 10-bit, even for 12-bit). Payloads that are byte-aligned per
+        frame but not per row decode host-side."""
         reader = self._reader
         return (
             reader is not None
-            and reader.bit_depth == 12
+            and reader.bit_depth in (10, 12, 16)
             and reader.row_nbytes is not None
         )
 
@@ -495,9 +496,9 @@ class PhotonVideo:
 
         Returns ``(read_packed, read_band, count_fn, storage_bit_depth)``:
         ``read_band``+``count_fn`` when only packed band rows need to cross
-        to the device (12/10/16-bit, byte-aligned rows, native codec);
+        to the device (10/12/16-bit, byte-aligned rows, native codec);
         ``read_packed`` when full packed frames can decode on-device
-        (12-bit, byte-aligned rows); all None → host decode via
+        (10/12/16-bit, byte-aligned rows); all None → host decode via
         :meth:`read_batch`. Single source of truth for every map-phase
         caller — the gating rules must never be re-derived at call sites.
         """

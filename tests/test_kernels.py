@@ -255,3 +255,66 @@ def test_band_kernels_refuse_even_kernel_folding_band():
             packed, 12, 256, jnp.float32(10.0), prior, jnp.float32(5.0),
             jnp.float32(50.0), morphology_kernel_size=4,
         )
+
+
+@pytest.mark.parametrize("bit_depth", [10, 16])
+def test_packed_full_frame_staging_parity(tmp_path, bit_depth):
+    """The full-frame packed staging ladder is not 12-bit-only: 10-bit
+    (5 bytes / 4 px) and raw 16-bit payloads decode on-device to profiles
+    identical to the host-decode path."""
+    import numpy as np
+
+    from hsip_tpu import open_video
+    from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
+    from hsip_tpu.track import FlameDetectorConfig
+    from hsip_tpu.track.scan import compute_profiles_batched
+
+    frames, _ = synthesize_flame_video(
+        24, height=32, width=256,
+        flame=FlameSpec(x0=25.0, v0_px=7.0, ignition_frame=2, seed=5),
+    )
+    frames = np.minimum(frames, 2 ** bit_depth - 1).astype(np.uint16)
+    meta = write_recording(
+        tmp_path, f"pk{bit_depth}-run-1", frames,
+        spec=CihxSpec(width=256, height=32, total_frames=24,
+                      record_rate=100_000, bit_depth=bit_depth),
+    )
+    config = FlameDetectorConfig()
+    with open_video(str(meta)) as v:
+        assert v.supports_packed_frames
+        bg = float(np.max(v[0]))
+        common = dict(
+            n_frames=len(v), frame_shape=v.frame_shape,
+            background_scalar=bg, config=config, chunk_size=8,
+        )
+        packed = compute_profiles_batched(
+            read_batch=v.read_batch, read_packed=v.frame_bytes,
+            band_bit_depth=bit_depth, **common,
+        )
+        host = compute_profiles_batched(read_batch=v.read_batch, **common)
+    np.testing.assert_array_equal(packed.sobel_lines, host.sobel_lines)
+    np.testing.assert_array_equal(packed.gradient_lines, host.gradient_lines)
+    np.testing.assert_array_equal(packed.intensity_lines, host.intensity_lines)
+    np.testing.assert_array_equal(packed.raw_center_lines, host.raw_center_lines)
+    np.testing.assert_array_equal(packed.signal_counts, host.signal_counts)
+
+
+def test_packed_frames_gated_on_row_alignment(tmp_path):
+    """10-bit with width not divisible by 4 has no byte-aligned rows: the
+    packed ladder must gate off (host decode) rather than mis-slice."""
+    import numpy as np
+
+    from hsip_tpu import open_video
+    from hsip_tpu.io import CihxSpec, write_recording
+
+    frames = np.zeros((3, 16, 250), dtype=np.uint16)  # 250 % 4 != 0
+    meta = write_recording(
+        tmp_path, "pk10odd-run-1", frames,
+        spec=CihxSpec(width=250, height=16, total_frames=3,
+                      record_rate=1000, bit_depth=10),
+    )
+    with open_video(str(meta)) as v:
+        assert not v.supports_packed_frames
+        read_packed, read_band, count_fn, depth = v.staging_paths()
+        assert read_packed is None and read_band is None
+        np.testing.assert_array_equal(v[0], frames[0])
