@@ -358,9 +358,14 @@ def test_spline_hits_target_residual():
 
 
 def test_spline_degenerate_inputs():
-    assert fit_smoothing_spline(np.array([0.0, 1.0]), np.array([1.0, 2.0]), 1.0) is None
+    # One point cannot fit any degree; duplicate abscissae are rejected
+    # (silent-fail contract). Two points DO fit: UnivariateSpline picks
+    # k = min(3, m-1) = 1 there, and so do we.
+    assert fit_smoothing_spline(np.array([0.0]), np.array([1.0]), 1.0) is None
     x = np.array([0.0, 1.0, 1.0, 2.0])
     assert fit_smoothing_spline(x, x, 1.0) is None
+    two = fit_smoothing_spline(np.array([0.0, 1.0]), np.array([1.0, 3.0]), 1.0)
+    assert two is not None and two(0.5) == pytest.approx(2.0)
 
 
 def test_spline_extrapolation_is_finite_and_sane():
@@ -372,8 +377,8 @@ def test_spline_extrapolation_is_finite_and_sane():
 
 
 def test_spline_close_to_scipy_univariate():
-    """Plot-parity (loose): our smoother should land near scipy's
-    UnivariateSpline for the tracker's actual usage pattern."""
+    """FITPACK parity: identical knots/coefficients and evaluations that
+    agree to float accuracy with scipy's UnivariateSpline."""
     from scipy.interpolate import UnivariateSpline
 
     rng = np.random.default_rng(3)
@@ -382,9 +387,43 @@ def test_spline_close_to_scipy_univariate():
     s = 0.5 * len(x)
     ours = fit_smoothing_spline(x, y, s=s)
     theirs = UnivariateSpline(x, y, s=s, k=3)
-    xq = np.linspace(0, 29, 97)
-    # Within a couple of pixels everywhere (both smooth the same data).
-    assert np.max(np.abs(ours(xq) - theirs(xq))) < 3.0
+    np.testing.assert_array_equal(ours.t, theirs._eval_args[0])
+    nk1 = ours.t.size - 4
+    np.testing.assert_allclose(ours.c[:nk1], theirs._eval_args[1][:nk1],
+                               rtol=1e-9, atol=1e-9)
+    xq = np.linspace(-3, 33, 97)  # includes ext=0 extrapolation
+    np.testing.assert_allclose(ours(xq), theirs(xq), rtol=1e-9, atol=1e-9)
+
+
+def test_spline_fitpack_parity_randomized():
+    """The curfit port reproduces UnivariateSpline's adaptive knot vectors,
+    coefficients and residual on tracker-shaped corpora — including the
+    nest-capped fpcurf0 -> fpcurf1 continuation scipy performs."""
+    from scipy.interpolate import UnivariateSpline
+
+    rng = np.random.default_rng(42)
+    checked = 0
+    for _ in range(40):
+        m = int(rng.integers(5, 70))
+        x = np.sort(rng.choice(np.arange(250), size=m, replace=False)).astype(float)
+        # monotone-ish flame trajectories with pixel-integer noise
+        y = np.cumsum(rng.integers(0, 6, size=m)).astype(float)
+        y += rng.normal(0, 1.5, m).round()
+        k = min(3, m - 1)
+        s = 0.5 * m
+        try:
+            theirs = UnivariateSpline(x, y, s=s, k=k)
+        except Exception:
+            continue
+        ours = fit_smoothing_spline(x, y, s=s)
+        np.testing.assert_array_equal(ours.t, theirs._eval_args[0])
+        nk1 = ours.t.size - k - 1
+        np.testing.assert_allclose(
+            ours.c[:nk1], theirs._eval_args[1][:nk1], rtol=1e-7, atol=1e-7
+        )
+        assert ours.residual == pytest.approx(theirs.get_residual(), abs=1e-9)
+        checked += 1
+    assert checked >= 35
 
 
 def test_validate_position_constraints():
