@@ -119,7 +119,8 @@ def save_frame_image(
     _imshow_panel(axes[3], result.blurred, "4. Gaussian Blur", "hot", center_row)
     _imshow_panel(axes[4], result.sobel_output, "5. Sobel Filter (horizontal)",
                   "RdBu", center_row, symmetric=True)
-    _imshow_panel(axes[5], result.gradient_output, "6. Gradient Filter",
+    _imshow_panel(axes[5], result.gradient_output,
+                  "6. Gradient Filter (np.gradient)",
                   "RdBu", center_row, symmetric=True)
     for i in range(6):
         if [result.frame_subtracted, result.frame_diff, result.noise_removed,

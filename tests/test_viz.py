@@ -1,4 +1,10 @@
-"""Visualization smoke tests: figures render and write non-trivial PNGs."""
+"""Visualization tests: structural figure checks + render smoke.
+
+Structural assertions (panel count, titles, marker positions) run here on
+every suite pass; panel-for-panel parity against the ACTUAL reference
+figures is the opt-in HSIP_REFERENCE=1 tier
+(test_reference_viz_differential.py).
+"""
 
 from pathlib import Path
 
@@ -24,7 +30,34 @@ def video_on_disk(tmp_path_factory):
     return meta, tmp
 
 
-def test_save_frame_image_full(video_on_disk, tmp_path):
+_PANEL_TITLE_STARTS = [
+    "1. BG Subtracted - Frame",
+    "2. Frame Diff (current - prior)",
+    "3. Noise Removed (morphological opening)",
+    "4. Gaussian Blur",
+    "5. Sobel Filter (horizontal)",
+    "6. Gradient Filter (np.gradient)",
+    "7. Frame Diff Centerline",
+    "8. Sobel Centerline",
+    "9. Gradient Centerline (min = leading edge)",
+    "10. Result:",
+    "11. Position History + Spline Estimator",
+    "12. Velocity Comparison",
+]
+
+
+def _axvline_xs(ax):
+    xs = []
+    for line in ax.lines:
+        xd = np.asarray(line.get_xdata(), dtype=float)
+        if xd.size == 2 and xd[0] == xd[1]:
+            xs.append(float(xd[0]))
+    return xs
+
+
+def test_save_frame_image_full(video_on_disk, tmp_path, monkeypatch):
+    import matplotlib.pyplot as plt
+
     meta, _ = video_on_disk
     with open_video(str(meta)) as video:
         det = FlameDetector(FlameDetectorConfig(), video.frame_rate, 0.001)
@@ -32,9 +65,47 @@ def test_save_frame_image_full(video_on_disk, tmp_path):
         result = None
         for i in range(6):
             result = det.detect(video[i], i, bg)
+
+        # Capture the figure object for structural checks, then render.
+        # (The real close runs AFTER the assertions — closing first can
+        # tear down artists.)
+        captured = []
+        orig_close = plt.close
+        monkeypatch.setattr(plt, "close",
+                            lambda fig=None: captured.append(fig))
         out = viz.save_frame_image(video[5], result, tmp_path, "Test", det)
+        monkeypatch.setattr(plt, "close", orig_close)
+
         assert out.exists() and out.stat().st_size > 50_000
         assert out.name == "Test-Frame-000005.png"
+
+        # Structure: 12 panels with the reference's titles, and the
+        # detection markers at the detector's actual positions.
+        fig = captured[-1]
+        assert len(fig.axes) == 12
+        for ax, start in zip(fig.axes, _PANEL_TITLE_STARTS):
+            assert ax.get_title().startswith(start), ax.get_title()
+        assert result.final_position is not None
+        for panel in (6, 7, 8):  # the three centerline panels
+            xs = _axvline_xs(fig.axes[panel])
+            assert float(result.final_position) in xs
+            assert float(result.search_bounds[0]) in xs
+        if result.pos_min_gradient is not None:
+            assert float(result.pos_min_gradient) in _axvline_xs(fig.axes[8])
+        if result.pos_rightmost_sobel is not None:
+            assert float(result.pos_rightmost_sobel) in _axvline_xs(fig.axes[7])
+        # Result overlay (panel 10): candidates are POINT markers on the
+        # centerline, search bounds are vlines.
+        overlay = fig.axes[9]
+        assert float(result.search_bounds[0]) in _axvline_xs(overlay)
+        marker_pts = [
+            (float(np.asarray(l.get_xdata())[0]), float(np.asarray(l.get_ydata())[0]))
+            for l in overlay.lines
+            if len(np.asarray(l.get_xdata())) == 1
+        ]
+        assert (float(result.final_position), float(video.height // 2)) in marker_pts
+        for f in captured:
+            orig_close(f)
 
 
 def test_save_frame_image_from_band_result(video_on_disk, tmp_path):
