@@ -1,0 +1,336 @@
+"""Pallas TPU kernel for the tracking state machine (single-video path).
+
+The ``lax.scan`` tracker (:mod:`hsip_tpu.track.device_scan`) pays a
+per-step loop overhead (~21 µs/step on v5e after an 8x unroll) that
+dominates single-video on-device time: the fused map kernel processes 2048
+frames in ~0.08 ms while the scan needs ~42 ms. This module runs the SAME
+state machine as one ``pallas_call`` with a sequential grid over frames —
+tracker state lives in SMEM scratch (persistent across grid steps on TPU),
+each step's profile rows stream through VMEM blocks with the usual
+double-buffered DMA, and the whole scan is a single kernel launch.
+
+Scope: the 'combined' detector (the reference tracker — min-gradient +
+rightmost-Sobel), which is the default and the bench path. Named profile
+methods keep using the ``lax.scan`` backend. The vmapped library path also
+keeps ``lax.scan``: its per-step cost already amortizes across the video
+batch.
+
+Bit-parity contract: every float32 compare and reduction mirrors
+``device_tracking_scan``'s step function operation for operation (min/max
+reductions are exact; first-occurrence argmin is reproduced with an
+index-encoded second reduction), so outputs are REQUIRED to be
+bit-identical to the lax.scan backend — tested in interpret mode on CPU
+and on the real chip in the ``HSIP_TPU_CHIP=1`` tier.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .device_scan import DeviceScanResult
+
+__all__ = ["pallas_tracking_scan", "supports_pallas_scan"]
+
+# numpy scalars (not jnp): jnp constants would be captured as traced
+# closure consts, which pallas_call rejects.
+_NEG = np.float32(-3.0e38)
+_POS = np.float32(3.0e38)
+_BIG_I = np.int32(2**30)
+
+# SMEM int32 state slots.
+_LV_POS, _LV_FRAME, _P1_FRAME, _P1_POS = 0, 1, 2, 3
+_VL_OK, _VP_OK, _N_ENTRIES, _DDT = 4, 5, 6, 7
+_STOPPED = 8
+_N_I32 = 9
+# SMEM f32 state slots.
+_V_LATEST, _V_PREV = 0, 1
+_N_F32 = 2
+
+
+def supports_pallas_scan(width: int, method: str) -> bool:
+    """The kernel covers the default tracker on lane-aligned widths."""
+    return method == "combined" and width % 128 == 0
+
+
+def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px):
+    w = width
+
+    def kernel(pf, pi, fidx_ref, empty_ref, prior_ref, sob_ref, grad_ref,
+               out_final, out_rec, out_post, out_s0, out_s1, out_scal,
+               st_i, st_f):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _init():
+            st_i[_LV_POS] = -1
+            st_i[_LV_FRAME] = 0
+            st_i[_P1_FRAME] = 0
+            st_i[_P1_POS] = -1
+            st_i[_VL_OK] = 0
+            st_i[_VP_OK] = 0
+            st_i[_N_ENTRIES] = 0
+            st_i[_DDT] = -1
+            st_i[_STOPPED] = 0
+            st_f[_V_LATEST] = 0.0
+            st_f[_V_PREV] = 0.0
+            out_scal[0, 0] = -1  # stop_step
+            out_scal[1, 0] = 0   # stop_reason
+            out_scal[2, 0] = -1  # ddt_frame
+            out_scal[3, 0] = -1  # clear_vc_entry
+
+        min_grad = pf[0]
+        sobel_frac = pf[1]
+        ddt_jump = pf[2]
+        calibration = pf[3]
+        frame_rate = pf[4]
+        max_disp = pi[0]
+
+        frame = fidx_ref[0, 0]
+        is_empty = empty_ref[0, 0]
+        prior_ok = prior_ref[0, 0]
+
+        stopped = st_i[_STOPPED]
+        active = (stopped == 0) & (is_empty == 0)
+
+        # ---- search bounds (velocity-constrained, monotone rightward) ----
+        lv_pos = st_i[_LV_POS]
+        lv_frame = st_i[_LV_FRAME]
+        no_hist = lv_pos < 0
+        frames_elapsed = jnp.maximum(1, frame - lv_frame)
+        s0 = jnp.where(no_hist, edge_margin_px, lv_pos)
+        s1 = jnp.where(
+            no_hist,
+            w - edge_margin_px,
+            jnp.minimum(
+                w - edge_margin_px,
+                lv_pos + max_disp * frames_elapsed + search_window_px,
+            ),
+        )
+        window_nonempty = s1 > s0
+
+        # ---- candidates ('combined': min-gradient + rightmost-Sobel) ----
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        in_window = (cols >= s0) & (cols < s1)
+        sob = sob_ref[...]
+        grad = grad_ref[...]
+
+        grad_m = jnp.where(in_window, grad, _POS)
+        gmin = jnp.min(grad_m)
+        # First-occurrence argmin, reproduced as an index reduction (exact).
+        pos_g = jnp.min(jnp.where(grad_m == gmin, cols, _BIG_I)).astype(jnp.int32)
+        g_ok = window_nonempty & (gmin < -min_grad)
+
+        abs_sob = jnp.where(in_window, jnp.abs(sob), _NEG)
+        smax = jnp.max(abs_sob)
+        above = in_window & (abs_sob > smax * sobel_frac)
+        pos_s = jnp.max(jnp.where(above, cols, -1)).astype(jnp.int32)
+        s_ok = window_nonempty & (smax > min_grad) & (pos_s >= 0)
+
+        final = jnp.maximum(
+            jnp.where(g_ok, pos_g, -1), jnp.where(s_ok, pos_s, -1)
+        )
+        final = jnp.where(window_nonempty, final, -1)
+        final = jnp.where(active & (prior_ok != 0), final, -1)
+        detected = active & (final >= 0)
+
+        # ---- history append (every active step) ----
+        p1_frame = st_i[_P1_FRAME]
+        p1_pos = st_i[_P1_POS]
+        new_p1_frame = jnp.where(active, frame, p1_frame)
+        new_p1_pos = jnp.where(active, final, p1_pos)
+        new_lv_pos = jnp.where(detected, final, lv_pos)
+        new_lv_frame = jnp.where(detected, frame, lv_frame)
+
+        # ---- velocities (mirrors FlameTracker._update_velocities) ----
+        v_latest = st_f[_V_LATEST]
+        v_prev = st_f[_V_PREV]
+        vl_ok = st_i[_VL_OK]
+        vp_ok = st_i[_VP_OK]
+        n_entries = st_i[_N_ENTRIES]
+        have_prev_entry = active & (p1_pos >= 0) & detected
+        dt = (frame - p1_frame).astype(jnp.float32) / frame_rate
+        vel_ok = have_prev_entry & (dt > 0) & (frame_rate > 0)
+        v1 = jnp.where(
+            vel_ok,
+            (final - p1_pos).astype(jnp.float32) * calibration / dt,
+            jnp.float32(0.0),
+        )
+        new_v_prev = jnp.where(vel_ok, v_latest, v_prev)
+        new_vp_ok = jnp.where(vel_ok, vl_ok, vp_ok)
+        new_v_latest = jnp.where(vel_ok, v1, v_latest)
+        new_vl_ok = jnp.where(vel_ok, 1, vl_ok)
+        new_n_entries = n_entries + jnp.where(vel_ok, 1, 0)
+
+        # ---- DDT latch ----
+        ddt = st_i[_DDT]
+        ddt_hit = (
+            vel_ok & (ddt < 0) & (vl_ok != 0) & (v1 - v_latest > ddt_jump)
+        )
+        new_ddt = jnp.where(ddt_hit, frame, ddt)
+
+        # ---- exit / velocity-drop truncation ----
+        exit_hit = detected & (final >= w - exit_margin_px)
+        vel_now_ok = (new_vl_ok != 0) & (new_n_entries >= 1)
+        prev_ok = (new_vp_ok != 0) & (new_n_entries >= 2)
+        vdrop_hit = (
+            active
+            & jnp.logical_not(exit_hit)
+            & vel_now_ok
+            & prev_ok
+            & (new_v_prev > 100.0)
+            & ((new_v_prev - new_v_latest) / new_v_prev > 0.5)
+        )
+        stopped_now = exit_hit | vdrop_hit
+
+        recorded = detected & jnp.logical_not(stopped_now)
+        is_post = (new_ddt >= 0) & (frame >= new_ddt)
+
+        # ---- per-step outputs ----
+        out_final[0, 0] = final
+        out_rec[0, 0] = recorded.astype(jnp.int32)
+        out_post[0, 0] = is_post.astype(jnp.int32)
+        out_s0[0, 0] = s0
+        out_s1[0, 0] = s1
+
+        # ---- scalar event outputs (resident block, write-once latches) ----
+        first_stop = stopped_now & (out_scal[0, 0] < 0)
+        out_scal[0, 0] = jnp.where(first_stop, i, out_scal[0, 0])
+        out_scal[1, 0] = jnp.where(
+            first_stop, jnp.where(exit_hit, 1, 2), out_scal[1, 0]
+        )
+        out_scal[2, 0] = new_ddt
+        out_scal[3, 0] = jnp.where(
+            stopped_now & (new_n_entries >= 2) & (out_scal[3, 0] < 0),
+            new_n_entries - 2,
+            out_scal[3, 0],
+        )
+
+        # ---- state update ----
+        st_i[_LV_POS] = new_lv_pos
+        st_i[_LV_FRAME] = new_lv_frame
+        st_i[_P1_FRAME] = new_p1_frame
+        st_i[_P1_POS] = new_p1_pos
+        st_i[_VL_OK] = new_vl_ok
+        st_i[_VP_OK] = new_vp_ok
+        st_i[_N_ENTRIES] = new_n_entries
+        st_i[_DDT] = new_ddt
+        st_i[_STOPPED] = jnp.where(stopped_now, 1, stopped)
+        st_f[_V_LATEST] = new_v_latest
+        st_f[_V_PREV] = new_v_prev
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width",
+        "edge_margin_px",
+        "search_window_px",
+        "exit_margin_px",
+        "interpret",
+    ),
+)
+def pallas_tracking_scan(
+    frame_indices: jnp.ndarray,     # (M,) int32
+    sobel_lines: jnp.ndarray,       # (M, W) f32
+    gradient_lines: jnp.ndarray,    # (M, W) f32
+    empty: jnp.ndarray,             # (M,) bool
+    has_prior: jnp.ndarray,         # (M,) bool
+    width: int,
+    min_gradient_strength: jnp.ndarray,
+    sobel_threshold_fraction: jnp.ndarray,
+    ddt_velocity_jump: jnp.ndarray,
+    calibration: jnp.ndarray,
+    frame_rate: jnp.ndarray,
+    max_displacement_px: jnp.ndarray = 3,
+    edge_margin_px: int = 10,
+    search_window_px: int = 100,
+    exit_margin_px: int = 15,
+    interpret: bool = False,
+) -> DeviceScanResult:
+    """One-kernel tracking scan ('combined' method), lax.scan-bit-identical.
+
+    Same argument contract as :func:`hsip_tpu.track.device_scan.
+    device_tracking_scan` restricted to the combined detector. ``interpret``
+    runs the kernel in Pallas interpret mode (CPU parity tests).
+    """
+    m, w = sobel_lines.shape
+    if w != width:
+        raise ValueError(f"width {width} != profile width {w}")
+    if m == 0:
+        raise ValueError("empty scan (caller handles m == 0)")
+
+    params_f = jnp.stack([
+        jnp.asarray(min_gradient_strength, jnp.float32),
+        jnp.asarray(sobel_threshold_fraction, jnp.float32),
+        jnp.asarray(ddt_velocity_jump, jnp.float32),
+        jnp.asarray(calibration, jnp.float32),
+        jnp.asarray(frame_rate, jnp.float32),
+    ])
+    params_i = jnp.asarray(max_displacement_px, jnp.int32).reshape(1)
+
+    fidx = frame_indices.astype(jnp.int32).reshape(m, 1)
+    empty_i = empty.astype(jnp.int32).reshape(m, 1)
+    prior_i = has_prior.astype(jnp.int32).reshape(m, 1)
+
+    kernel = _make_kernel(width, edge_margin_px, search_window_px,
+                          exit_margin_px)
+
+    step_spec = pl.BlockSpec((1, 1), lambda i, pf, pi: (i, 0))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # params_f, params_i
+        grid=(m,),
+        in_specs=[
+            step_spec,  # frame_indices
+            step_spec,  # empty
+            step_spec,  # has_prior
+            pl.BlockSpec((1, w), lambda i, pf, pi: (i, 0)),  # sobel
+            pl.BlockSpec((1, w), lambda i, pf, pi: (i, 0)),  # gradient
+        ],
+        out_specs=[
+            step_spec,  # final
+            step_spec,  # recorded
+            step_spec,  # is_post
+            step_spec,  # s0
+            step_spec,  # s1
+            pl.BlockSpec((4, 1), lambda i, pf, pi: (0, 0)),  # event scalars
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((_N_I32,), jnp.int32),
+            pltpu.SMEM((_N_F32,), jnp.float32),
+        ],
+    )
+    i32 = jnp.int32
+    finals, recs, posts, s0s, s1s, scal = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((m, 1), i32),
+            jax.ShapeDtypeStruct((m, 1), i32),
+            jax.ShapeDtypeStruct((m, 1), i32),
+            jax.ShapeDtypeStruct((m, 1), i32),
+            jax.ShapeDtypeStruct((m, 1), i32),
+            jax.ShapeDtypeStruct((4, 1), i32),
+        ],
+        interpret=interpret,
+    )(params_f, params_i, fidx, empty_i, prior_i,
+      sobel_lines, gradient_lines)
+
+    return DeviceScanResult(
+        final_position=finals[:, 0],
+        recorded=recs[:, 0].astype(bool),
+        is_post_ddt=posts[:, 0].astype(bool),
+        search_start=s0s[:, 0],
+        search_end=s1s[:, 0],
+        stop_step=scal[0, 0],
+        stop_reason=scal[1, 0],
+        ddt_frame=scal[2, 0],
+        clear_vc_entry=scal[3, 0],
+    )

@@ -597,12 +597,19 @@ def run_tracking_scan_device(
     time_fn=None,
     detection_method: str = "combined",
     use_frame_diff: bool = True,
+    use_pallas_scan: Optional[bool] = None,
 ) -> TrackingOutput:
-    """Scan phase ON DEVICE: lax.scan tracker over device-resident profiles.
+    """Scan phase ON DEVICE: one-kernel tracker over device-resident profiles.
 
     Only the per-frame positions/masks (a few KB) cross back to host; exact
     float64 velocity columns are reconstructed from the integer positions.
     Proven row-identical to :func:`run_tracking_scan` (tests/test_device_scan).
+
+    On TPU backends the default 'combined' tracker runs as a single Pallas
+    kernel (state in SMEM, sequential grid over frames —
+    :mod:`hsip_tpu.track.pallas_scan`); named methods, non-lane-aligned
+    widths and CPU backends use the ``lax.scan`` implementation. Both are
+    bit-identical by contract; ``use_pallas_scan`` overrides the gate.
     """
 
     from .batch import ScanHistory, build_device_scan_output
@@ -629,26 +636,57 @@ def run_tracking_scan_device(
         config, frame_rate, calibration_m_per_px
     ).max_displacement_px
 
-    res = device_tracking_scan(
-        np.asarray(profiles.frame_indices, dtype=np.int32),
-        profiles.sobel_lines,
-        profiles.gradient_lines,
-        empty,
-        has_prior,
-        width=profiles.width,
-        min_gradient_strength=np.float32(config.min_gradient_strength),
-        sobel_threshold_fraction=np.float32(config.sobel_threshold_fraction),
-        ddt_velocity_jump=np.float32(config.ddt_velocity_jump_m_s),
-        calibration=np.float32(calibration_m_per_px),
-        frame_rate=np.float32(frame_rate),
-        max_displacement_px=np.int32(max_disp),
-        edge_margin_px=config.edge_margin_px,
-        search_window_px=config.search_window_px,
-        exit_margin_px=config.exit_margin_px,
-        method=detection_method,
-        intensity_lines=intensity,
-        method_fraction=np.float32(fraction),
-    )
+    import jax
+
+    from .pallas_scan import pallas_tracking_scan, supports_pallas_scan
+
+    if use_pallas_scan is None:
+        use_pallas_scan = jax.default_backend() == "tpu"
+    if use_pallas_scan and supports_pallas_scan(
+        profiles.width, detection_method
+    ):
+        res = pallas_tracking_scan(
+            np.asarray(profiles.frame_indices, dtype=np.int32),
+            profiles.sobel_lines,
+            profiles.gradient_lines,
+            empty,
+            has_prior,
+            width=profiles.width,
+            min_gradient_strength=np.float32(config.min_gradient_strength),
+            sobel_threshold_fraction=np.float32(
+                config.sobel_threshold_fraction
+            ),
+            ddt_velocity_jump=np.float32(config.ddt_velocity_jump_m_s),
+            calibration=np.float32(calibration_m_per_px),
+            frame_rate=np.float32(frame_rate),
+            max_displacement_px=np.int32(max_disp),
+            edge_margin_px=config.edge_margin_px,
+            search_window_px=config.search_window_px,
+            exit_margin_px=config.exit_margin_px,
+        )
+    else:
+        res = device_tracking_scan(
+            np.asarray(profiles.frame_indices, dtype=np.int32),
+            profiles.sobel_lines,
+            profiles.gradient_lines,
+            empty,
+            has_prior,
+            width=profiles.width,
+            min_gradient_strength=np.float32(config.min_gradient_strength),
+            sobel_threshold_fraction=np.float32(
+                config.sobel_threshold_fraction
+            ),
+            ddt_velocity_jump=np.float32(config.ddt_velocity_jump_m_s),
+            calibration=np.float32(calibration_m_per_px),
+            frame_rate=np.float32(frame_rate),
+            max_displacement_px=np.int32(max_disp),
+            edge_margin_px=config.edge_margin_px,
+            search_window_px=config.search_window_px,
+            exit_margin_px=config.exit_margin_px,
+            method=detection_method,
+            intensity_lines=intensity,
+            method_fraction=np.float32(fraction),
+        )
 
     # ONE device->host round-trip for all scan outputs: per-field fetches
     # each block on a separate transfer (4 of them scalars), which costs

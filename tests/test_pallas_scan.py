@@ -1,0 +1,148 @@
+"""Pallas scan kernel: bit-identity with the lax.scan tracker.
+
+The single-kernel Pallas scan (track/pallas_scan.py) must agree with
+device_tracking_scan on EVERY output field, bit for bit — it is the TPU
+fast path for the default tracker, and the host scan's quantization
+contract is anchored on the lax.scan semantics. These tests run the kernel
+in interpret mode on the CPU suite; the real-chip identity + latency
+checks live in the HSIP_TPU_CHIP=1 tier.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hsip_tpu.io import FlameSpec, synthesize_flame_video, write_recording
+from hsip_tpu.track import FlameDetectorConfig
+from hsip_tpu.track.device_scan import device_tracking_scan
+from hsip_tpu.track.pallas_scan import pallas_tracking_scan, supports_pallas_scan
+
+
+def _assert_identical(a, b):
+    for name in a._fields:
+        va = np.asarray(getattr(a, name))
+        vb = np.asarray(getattr(b, name)).astype(va.dtype)
+        np.testing.assert_array_equal(va, vb, err_msg=name)
+
+
+def _run_both(fidx, sob, grad, empty, prior, **kw):
+    a = device_tracking_scan(
+        fidx, sob, grad, jnp.asarray(empty), jnp.asarray(prior), **kw
+    )
+    b = pallas_tracking_scan(
+        fidx, sob, grad, jnp.asarray(empty), jnp.asarray(prior),
+        interpret=True, **kw,
+    )
+    _assert_identical(a, b)
+    return a
+
+
+_KW = dict(
+    min_gradient_strength=np.float32(10.0),
+    sobel_threshold_fraction=np.float32(0.1),
+    ddt_velocity_jump=np.float32(1250.0),
+    calibration=np.float32(0.001),
+    frame_rate=np.float32(100_000.0),
+    max_displacement_px=np.int32(3),
+)
+
+
+def test_pallas_scan_random_profiles():
+    rng = np.random.default_rng(3)
+    for trial in range(4):
+        M, W = int(rng.integers(8, 80)), 256
+        sob = rng.normal(0, 30, (M, W)).astype(np.float32)
+        grad = rng.normal(0, 15, (M, W)).astype(np.float32)
+        empty = rng.random(M) < 0.15
+        prior = np.ones(M, bool)
+        prior[0] = False
+        fidx = np.arange(M, dtype=np.int32)
+        _run_both(fidx, sob, grad, empty, prior, width=W, **_KW)
+
+
+def _video_profiles(flame, n=40, width=256, height=32):
+    from hsip_tpu.track.scan import compute_profiles_batched
+
+    frames, _ = synthesize_flame_video(n, height=height, width=width,
+                                       flame=flame)
+    config = FlameDetectorConfig()
+    bg = float(frames[0].max())
+
+    def read_batch(a, b):
+        return frames[a:b]
+
+    p = compute_profiles_batched(
+        read_batch, n, (height, width), bg, config, chunk_size=16
+    )
+    from hsip_tpu.track.scan import MIN_SIGNAL_FRACTION
+
+    empty = p.signal_counts / p.total_pixels < MIN_SIGNAL_FRACTION
+    return p, empty
+
+
+@pytest.mark.parametrize("flame", [
+    FlameSpec(x0=25.0, v0_px=9.0, accel_px=0.05, ignition_frame=2, seed=7),
+    FlameSpec(x0=20.0, v0_px=4.0, ddt_frame=18, v_jump_px=22.0,
+              ignition_frame=3, seed=11),
+    FlameSpec(x0=30.0, v0_px=6.0, ignition_frame=12, seed=13),
+], ids=["exit", "ddt", "late-ignition"])
+def test_pallas_scan_flame_scenarios(flame):
+    """Exit truncation, DDT latch and empty-frame skipping all agree."""
+    p, empty = _video_profiles(flame)
+    res = _run_both(
+        np.asarray(p.frame_indices, np.int32),
+        np.asarray(p.sobel_lines), np.asarray(p.gradient_lines),
+        empty, p.has_prior, width=p.width, **_KW,
+    )
+    # The scenario must actually exercise the machinery.
+    assert int(np.sum(np.asarray(res.recorded))) > 3
+
+
+def test_pallas_scan_zero_frame_rate():
+    """frame_rate <= 0 records no velocity entries in either backend."""
+    p, empty = _video_profiles(
+        FlameSpec(x0=25.0, v0_px=8.0, ignition_frame=2, seed=5), n=24
+    )
+    kw = dict(_KW, frame_rate=np.float32(0.0))
+    _run_both(
+        np.asarray(p.frame_indices, np.int32),
+        np.asarray(p.sobel_lines), np.asarray(p.gradient_lines),
+        empty, p.has_prior, width=p.width, **kw,
+    )
+
+
+def test_pallas_scan_gate():
+    assert supports_pallas_scan(1024, "combined")
+    assert not supports_pallas_scan(1000, "combined")   # lane misalignment
+    assert not supports_pallas_scan(1024, "gradient")   # named methods
+
+
+def test_track_video_pallas_gate_off_on_cpu(tmp_path):
+    """On CPU backends run_tracking_scan_device stays on lax.scan (the
+    Pallas kernel would need interpret mode); forcing it via the override
+    + interpret is what the tests above do."""
+    from hsip_tpu import open_video
+    from hsip_tpu.track.scan import track_video
+
+    frames, _ = synthesize_flame_video(
+        20, height=32, width=256,
+        flame=FlameSpec(x0=25, v0_px=8, ignition_frame=2, seed=9),
+    )
+    meta = write_recording(tmp_path, "ps-run-1", frames)
+    with open_video(str(meta)) as video:
+        out = track_video(
+            video, FlameDetectorConfig(), calibration_m_per_px=0.001,
+            scan="device",
+        )
+    assert len(out.rows) > 3
+
+
+def test_pallas_scan_rejects_bad_width():
+    with pytest.raises(ValueError, match="width"):
+        pallas_tracking_scan(
+            np.arange(4, dtype=np.int32),
+            np.zeros((4, 256), np.float32), np.zeros((4, 256), np.float32),
+            jnp.zeros(4, bool), jnp.ones(4, bool),
+            width=512, interpret=True, **_KW,
+        )
