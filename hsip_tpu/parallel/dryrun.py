@@ -12,7 +12,11 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ["build_multichip_step", "run_multichip_dryrun"]
+__all__ = [
+    "build_multichip_step",
+    "run_multichip_dryrun",
+    "run_pipeline_dryrun",
+]
 
 
 def build_multichip_step(mesh, height: int, width: int, axis_frame: str = "frame",
@@ -151,3 +155,72 @@ def run_multichip_dryrun(n_devices: int, height: int = 24, width: int = 128,
     assert res.final_position.shape == (v, n_frames)
 
     return np.asarray(pos_g), np.asarray(pos_s), float(np.asarray(total))
+
+
+def run_pipeline_dryrun(n_devices: int) -> int:
+    """End-to-end ORCHESTRATION dry-run on an ``n_devices`` video mesh.
+
+    Where :func:`run_multichip_dryrun` validates the sharded kernel step in
+    isolation, this exercises the production path the CLI ships —
+    ``pipeline.process_video_source_library``: recording discovery, the
+    staged map phase per video, the vmapped on-device scan sharded over the
+    mesh's video axis, and results-table writing — and asserts the tables
+    are byte-identical to an unsharded library run. Returns the number of
+    recordings processed.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import jax
+
+    from ..io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
+    from ..pipeline import process_video_source_library
+    from ..track.config import FlameDetectorConfig, VideoSourceConfig
+    from .mesh import make_mesh
+
+    mesh = make_mesh("video", devices=jax.devices()[:n_devices],
+                     n_devices=n_devices)
+
+    tmp = Path(tempfile.mkdtemp(prefix="hsip-dryrun-"))
+    try:
+        spec = CihxSpec(width=128, height=24, total_frames=14,
+                        record_rate=100_000, bit_depth=12)
+        for i, flame in enumerate((
+            FlameSpec(x0=15.0, v0_px=7.0, ignition_frame=1, seed=31),
+            FlameSpec(x0=12.0, v0_px=5.0, ignition_frame=2, seed=32),
+            FlameSpec(x0=18.0, v0_px=6.0, ignition_frame=1, seed=33),
+        )):
+            frames, _ = synthesize_flame_video(14, height=24, width=128,
+                                               flame=flame)
+            write_recording(tmp / "v", f"dry-run-{i + 1}-001", frames,
+                            spec=spec)
+
+        def run(out_name, use_mesh):
+            cfg = VideoSourceConfig(
+                name="Dryrun", calibration=8.3e-4,
+                save_frame_images=False, save_stacked_sequences=False,
+            )
+            cfg.video_path = str(tmp / "v")
+            cfg.output_dir = str(tmp / out_name)
+            outs = process_video_source_library(
+                cfg, FlameDetectorConfig(), verbose=False,
+                mesh=mesh if use_mesh else None,
+            )
+            return outs
+
+        outs = run("out-mesh", use_mesh=True)
+        run("out-single", use_mesh=False)
+        mesh_tables = sorted((tmp / "out-mesh").glob("*.txt"))
+        single_tables = sorted((tmp / "out-single").glob("*.txt"))
+        assert mesh_tables, "mesh run wrote no tables"
+        assert [t.name for t in mesh_tables] == [
+            t.name for t in single_tables
+        ], (mesh_tables, single_tables)
+        for mt, st in zip(mesh_tables, single_tables):
+            assert mt.read_bytes() == st.read_bytes(), (
+                f"sharded table differs: {mt.name}"
+            )
+        return len(outs)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -242,3 +242,20 @@ def test_track_video_over_mesh_even_kernel_folding_fallback(tmp_path):
         single = track_video(video, cfg, 0.001)
         sharded = track_video(video, cfg, 0.001, mesh=mesh)
     assert [r[:4] for r in sharded.rows] == [r[:4] for r in single.rows]
+
+
+def test_multichip_dryrun_kernel_step():
+    """The driver's dryrun kernel step runs on the 8-virtual-device mesh."""
+    from hsip_tpu.parallel.dryrun import run_multichip_dryrun
+
+    pos_g, pos_s, total = run_multichip_dryrun(8)
+    assert pos_g.shape == pos_s.shape == (2, 8)
+    assert total > 0
+
+
+def test_multichip_dryrun_pipeline():
+    """Orchestration dry-run: process_video_source_library over a video
+    mesh writes tables byte-identical to the unsharded run."""
+    from hsip_tpu.parallel.dryrun import run_pipeline_dryrun
+
+    assert run_pipeline_dryrun(8) == 3
