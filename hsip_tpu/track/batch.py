@@ -335,7 +335,44 @@ def _track_uniform_videos(
         else jnp.zeros((V, n_max, w), dtype=jnp.float32)
     )
 
-    # --- one vmapped device scan over the video axis ---
+    # --- one device scan over the whole video axis ---
+    # On TPU the default tracker runs as a single batched Pallas kernel
+    # (grid (V, M), per-video state reset — track/pallas_scan.py); other
+    # methods/widths/backends and the mesh-sharded path use the vmapped
+    # lax.scan. Both are bit-identical by contract.
+    from .pallas_scan import pallas_tracking_scan_batched, supports_pallas_scan
+
+    use_pallas = (
+        mesh is None
+        and jax.default_backend() == "tpu"
+        and supports_pallas_scan(w, method)
+    )
+    if use_pallas:
+        import numpy as _np
+
+        res = pallas_tracking_scan_batched(
+            jnp.asarray(fi),
+            sob,
+            grad,
+            jnp.asarray(empty),
+            jnp.asarray(has_prior),
+            width=w,
+            min_gradient_strength=_np.float32(config.min_gradient_strength),
+            sobel_threshold_fraction=_np.float32(
+                config.sobel_threshold_fraction
+            ),
+            ddt_velocity_jump=_np.float32(config.ddt_velocity_jump_m_s),
+            calibration=jnp.asarray(cals),
+            frame_rate=jnp.asarray(fpss),
+            max_displacement_px=jnp.asarray(max_disps),
+            edge_margin_px=config.edge_margin_px,
+            search_window_px=config.search_window_px,
+            exit_margin_px=config.exit_margin_px,
+        )
+        return _outputs_from_scan(
+            res, videos, profiles, fi, empty, calibs, use_absolute_time
+        )
+
     fraction = (config.threshold_fraction if method == "threshold"
                 else config.half_maximum_fraction)
     scan_v = jax.vmap(
@@ -381,7 +418,15 @@ def _track_uniform_videos(
             cals, fpss, max_disps,
         )
 
-    # --- host: rows + exact velocities per video (shared reconstruction) ---
+    return _outputs_from_scan(
+        res, videos, profiles, fi, empty, calibs, use_absolute_time
+    )
+
+
+def _outputs_from_scan(res, videos, profiles, fi, empty, calibs,
+                       use_absolute_time) -> List[TrackingOutput]:
+    """Host reconstruction shared by the Pallas and vmapped-lax.scan paths:
+    rows + exact float64 velocities per video from batched scan arrays."""
     # ONE device->host round-trip for every scan output (per-field fetches
     # block on separate transfers — expensive over a high-latency link).
     outputs: List[TrackingOutput] = []

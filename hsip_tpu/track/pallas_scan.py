@@ -1,19 +1,23 @@
-"""Pallas TPU kernel for the tracking state machine (single-video path).
+"""Pallas TPU kernel for the tracking state machine.
 
 The ``lax.scan`` tracker (:mod:`hsip_tpu.track.device_scan`) pays a
 per-step loop overhead (~21 µs/step on v5e after an 8x unroll) that
 dominates single-video on-device time: the fused map kernel processes 2048
 frames in ~0.08 ms while the scan needs ~42 ms. This module runs the SAME
-state machine as one ``pallas_call`` with a sequential grid over frames —
-tracker state lives in SMEM scratch (persistent across grid steps on TPU),
-each step's profile rows stream through VMEM blocks with the usual
+state machine as one ``pallas_call`` with a sequential grid — tracker
+state lives in SMEM scratch (persistent across grid steps on TPU), each
+step's profile rows stream through VMEM blocks with the usual
 double-buffered DMA, and the whole scan is a single kernel launch.
 
+The grid is ``(V, M)`` — videos major, frames minor — so a whole library
+batch runs as ONE kernel too (state resets when the frame index wraps to
+0); the single-video entry is simply the V=1 case. Per-video calibration,
+frame rate and displacement caps ride in scalar-prefetch arrays.
+
 Scope: the 'combined' detector (the reference tracker — min-gradient +
-rightmost-Sobel), which is the default and the bench path. Named profile
-methods keep using the ``lax.scan`` backend. The vmapped library path also
-keeps ``lax.scan``: its per-step cost already amortizes across the video
-batch.
+rightmost-Sobel) on lane-aligned widths; named profile methods and other
+widths keep the ``lax.scan`` backend, as does the mesh-sharded library
+path (a kernel under ``shard_map`` buys nothing extra there).
 
 Bit-parity contract: every float32 compare and reduction mirrors
 ``device_tracking_scan``'s step function operation for operation (min/max
@@ -35,7 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .device_scan import DeviceScanResult
 
-__all__ = ["pallas_tracking_scan", "supports_pallas_scan"]
+__all__ = [
+    "pallas_tracking_scan",
+    "pallas_tracking_scan_batched",
+    "supports_pallas_scan",
+]
 
 # numpy scalars (not jnp): jnp constants would be captured as traced
 # closure consts, which pallas_call rejects.
@@ -61,10 +69,12 @@ def supports_pallas_scan(width: int, method: str) -> bool:
 def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px):
     w = width
 
-    def kernel(pf, pi, fidx_ref, empty_ref, prior_ref, sob_ref, grad_ref,
+    def kernel(pf, cal_ref, fr_ref, md_ref,
+               fidx_ref, empty_ref, prior_ref, sob_ref, grad_ref,
                out_final, out_rec, out_post, out_s0, out_s1, out_scal,
                st_i, st_f):
-        i = pl.program_id(0)
+        v = pl.program_id(0)
+        i = pl.program_id(1)
 
         @pl.when(i == 0)
         def _init():
@@ -80,16 +90,16 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px):
             st_f[_V_LATEST] = 0.0
             st_f[_V_PREV] = 0.0
             out_scal[0, 0] = -1  # stop_step
-            out_scal[1, 0] = 0   # stop_reason
-            out_scal[2, 0] = -1  # ddt_frame
-            out_scal[3, 0] = -1  # clear_vc_entry
+            out_scal[0, 1] = 0   # stop_reason
+            out_scal[0, 2] = -1  # ddt_frame
+            out_scal[0, 3] = -1  # clear_vc_entry
 
         min_grad = pf[0]
         sobel_frac = pf[1]
         ddt_jump = pf[2]
-        calibration = pf[3]
-        frame_rate = pf[4]
-        max_disp = pi[0]
+        calibration = cal_ref[v]
+        frame_rate = fr_ref[v]
+        max_disp = md_ref[v]
 
         frame = fidx_ref[0, 0]
         is_empty = empty_ref[0, 0]
@@ -117,8 +127,8 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px):
         # ---- candidates ('combined': min-gradient + rightmost-Sobel) ----
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
         in_window = (cols >= s0) & (cols < s1)
-        sob = sob_ref[...]
-        grad = grad_ref[...]
+        sob = sob_ref[0]
+        grad = grad_ref[0]
 
         grad_m = jnp.where(in_window, grad, _POS)
         gmin = jnp.min(grad_m)
@@ -201,14 +211,14 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px):
         # ---- scalar event outputs (resident block, write-once latches) ----
         first_stop = stopped_now & (out_scal[0, 0] < 0)
         out_scal[0, 0] = jnp.where(first_stop, i, out_scal[0, 0])
-        out_scal[1, 0] = jnp.where(
-            first_stop, jnp.where(exit_hit, 1, 2), out_scal[1, 0]
+        out_scal[0, 1] = jnp.where(
+            first_stop, jnp.where(exit_hit, 1, 2), out_scal[0, 1]
         )
-        out_scal[2, 0] = new_ddt
-        out_scal[3, 0] = jnp.where(
-            stopped_now & (new_n_entries >= 2) & (out_scal[3, 0] < 0),
+        out_scal[0, 2] = new_ddt
+        out_scal[0, 3] = jnp.where(
+            stopped_now & (new_n_entries >= 2) & (out_scal[0, 3] < 0),
             new_n_entries - 2,
-            out_scal[3, 0],
+            out_scal[0, 3],
         )
 
         # ---- state update ----
@@ -237,6 +247,104 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px):
         "interpret",
     ),
 )
+def pallas_tracking_scan_batched(
+    frame_indices: jnp.ndarray,     # (V, M) int32
+    sobel_lines: jnp.ndarray,       # (V, M, W) f32
+    gradient_lines: jnp.ndarray,    # (V, M, W) f32
+    empty: jnp.ndarray,             # (V, M) bool
+    has_prior: jnp.ndarray,         # (V, M) bool
+    width: int,
+    min_gradient_strength: jnp.ndarray,
+    sobel_threshold_fraction: jnp.ndarray,
+    ddt_velocity_jump: jnp.ndarray,
+    calibration: jnp.ndarray,       # (V,) f32 — per video
+    frame_rate: jnp.ndarray,        # (V,) f32
+    max_displacement_px: jnp.ndarray,   # (V,) i32
+    edge_margin_px: int = 10,
+    search_window_px: int = 100,
+    exit_margin_px: int = 15,
+    interpret: bool = False,
+) -> DeviceScanResult:
+    """Whole-batch tracking scan: one kernel, grid (V, M), state resets per
+    video. Result fields are (V, M) / (V,) — the same structure as
+    ``vmap(device_tracking_scan)``, to which it is bit-identical.
+    """
+    n_videos, m, w = sobel_lines.shape
+    if w != width:
+        raise ValueError(f"width {width} != profile width {w}")
+    if m == 0 or n_videos == 0:
+        raise ValueError("empty scan (caller handles zero-size batches)")
+
+    params_f = jnp.stack([
+        jnp.asarray(min_gradient_strength, jnp.float32),
+        jnp.asarray(sobel_threshold_fraction, jnp.float32),
+        jnp.asarray(ddt_velocity_jump, jnp.float32),
+    ])
+    cal = jnp.asarray(calibration, jnp.float32).reshape(n_videos)
+    fr = jnp.asarray(frame_rate, jnp.float32).reshape(n_videos)
+    md = jnp.asarray(max_displacement_px, jnp.int32).reshape(n_videos)
+
+    fidx = frame_indices.astype(jnp.int32)
+    empty_i = empty.astype(jnp.int32)
+    prior_i = has_prior.astype(jnp.int32)
+
+    kernel = _make_kernel(width, edge_margin_px, search_window_px,
+                          exit_margin_px)
+
+    step_spec = pl.BlockSpec((1, 1), lambda v, i, *pf: (v, i))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # thresholds, calibration, frame_rate, max_disp
+        grid=(n_videos, m),
+        in_specs=[
+            step_spec,  # frame_indices
+            step_spec,  # empty
+            step_spec,  # has_prior
+            pl.BlockSpec((1, 1, w), lambda v, i, *pf: (v, i, 0)),  # sobel
+            pl.BlockSpec((1, 1, w), lambda v, i, *pf: (v, i, 0)),  # gradient
+        ],
+        out_specs=[
+            step_spec,  # final
+            step_spec,  # recorded
+            step_spec,  # is_post
+            step_spec,  # s0
+            step_spec,  # s1
+            # Per-video event latches: resident for a video's whole pass.
+            pl.BlockSpec((1, 4), lambda v, i, *pf: (v, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((_N_I32,), jnp.int32),
+            pltpu.SMEM((_N_F32,), jnp.float32),
+        ],
+    )
+    i32 = jnp.int32
+    finals, recs, posts, s0s, s1s, scal = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_videos, m), i32),
+            jax.ShapeDtypeStruct((n_videos, m), i32),
+            jax.ShapeDtypeStruct((n_videos, m), i32),
+            jax.ShapeDtypeStruct((n_videos, m), i32),
+            jax.ShapeDtypeStruct((n_videos, m), i32),
+            jax.ShapeDtypeStruct((n_videos, 4), i32),
+        ],
+        interpret=interpret,
+    )(params_f, cal, fr, md, fidx, empty_i, prior_i,
+      sobel_lines, gradient_lines)
+
+    return DeviceScanResult(
+        final_position=finals,
+        recorded=recs.astype(bool),
+        is_post_ddt=posts.astype(bool),
+        search_start=s0s,
+        search_end=s1s,
+        stop_step=scal[:, 0],
+        stop_reason=scal[:, 1],
+        ddt_frame=scal[:, 2],
+        clear_vc_entry=scal[:, 3],
+    )
+
+
 def pallas_tracking_scan(
     frame_indices: jnp.ndarray,     # (M,) int32
     sobel_lines: jnp.ndarray,       # (M, W) f32
@@ -255,82 +363,42 @@ def pallas_tracking_scan(
     exit_margin_px: int = 15,
     interpret: bool = False,
 ) -> DeviceScanResult:
-    """One-kernel tracking scan ('combined' method), lax.scan-bit-identical.
+    """Single-video kernel scan ('combined' method), lax.scan-bit-identical.
 
     Same argument contract as :func:`hsip_tpu.track.device_scan.
-    device_tracking_scan` restricted to the combined detector. ``interpret``
-    runs the kernel in Pallas interpret mode (CPU parity tests).
+    device_tracking_scan` restricted to the combined detector — the V=1
+    case of :func:`pallas_tracking_scan_batched`. ``interpret`` runs the
+    kernel in Pallas interpret mode (CPU parity tests).
     """
-    m, w = sobel_lines.shape
-    if w != width:
-        raise ValueError(f"width {width} != profile width {w}")
-    if m == 0:
-        raise ValueError("empty scan (caller handles m == 0)")
-
-    params_f = jnp.stack([
-        jnp.asarray(min_gradient_strength, jnp.float32),
-        jnp.asarray(sobel_threshold_fraction, jnp.float32),
-        jnp.asarray(ddt_velocity_jump, jnp.float32),
-        jnp.asarray(calibration, jnp.float32),
-        jnp.asarray(frame_rate, jnp.float32),
-    ])
-    params_i = jnp.asarray(max_displacement_px, jnp.int32).reshape(1)
-
-    fidx = frame_indices.astype(jnp.int32).reshape(m, 1)
-    empty_i = empty.astype(jnp.int32).reshape(m, 1)
-    prior_i = has_prior.astype(jnp.int32).reshape(m, 1)
-
-    kernel = _make_kernel(width, edge_margin_px, search_window_px,
-                          exit_margin_px)
-
-    step_spec = pl.BlockSpec((1, 1), lambda i, pf, pi: (i, 0))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,  # params_f, params_i
-        grid=(m,),
-        in_specs=[
-            step_spec,  # frame_indices
-            step_spec,  # empty
-            step_spec,  # has_prior
-            pl.BlockSpec((1, w), lambda i, pf, pi: (i, 0)),  # sobel
-            pl.BlockSpec((1, w), lambda i, pf, pi: (i, 0)),  # gradient
-        ],
-        out_specs=[
-            step_spec,  # final
-            step_spec,  # recorded
-            step_spec,  # is_post
-            step_spec,  # s0
-            step_spec,  # s1
-            pl.BlockSpec((4, 1), lambda i, pf, pi: (0, 0)),  # event scalars
-        ],
-        scratch_shapes=[
-            pltpu.SMEM((_N_I32,), jnp.int32),
-            pltpu.SMEM((_N_F32,), jnp.float32),
-        ],
-    )
-    i32 = jnp.int32
-    finals, recs, posts, s0s, s1s, scal = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((m, 1), i32),
-            jax.ShapeDtypeStruct((m, 1), i32),
-            jax.ShapeDtypeStruct((m, 1), i32),
-            jax.ShapeDtypeStruct((m, 1), i32),
-            jax.ShapeDtypeStruct((m, 1), i32),
-            jax.ShapeDtypeStruct((4, 1), i32),
-        ],
+    m = frame_indices.shape[0]
+    res = pallas_tracking_scan_batched(
+        frame_indices.reshape(1, m),
+        sobel_lines[None],
+        gradient_lines[None],
+        empty.reshape(1, m),
+        has_prior.reshape(1, m),
+        width=width,
+        min_gradient_strength=min_gradient_strength,
+        sobel_threshold_fraction=sobel_threshold_fraction,
+        ddt_velocity_jump=ddt_velocity_jump,
+        calibration=jnp.asarray(calibration, jnp.float32).reshape(1),
+        frame_rate=jnp.asarray(frame_rate, jnp.float32).reshape(1),
+        max_displacement_px=jnp.asarray(
+            max_displacement_px, jnp.int32
+        ).reshape(1),
+        edge_margin_px=edge_margin_px,
+        search_window_px=search_window_px,
+        exit_margin_px=exit_margin_px,
         interpret=interpret,
-    )(params_f, params_i, fidx, empty_i, prior_i,
-      sobel_lines, gradient_lines)
-
+    )
     return DeviceScanResult(
-        final_position=finals[:, 0],
-        recorded=recs[:, 0].astype(bool),
-        is_post_ddt=posts[:, 0].astype(bool),
-        search_start=s0s[:, 0],
-        search_end=s1s[:, 0],
-        stop_step=scal[0, 0],
-        stop_reason=scal[1, 0],
-        ddt_frame=scal[2, 0],
-        clear_vc_entry=scal[3, 0],
+        final_position=res.final_position[0],
+        recorded=res.recorded[0],
+        is_post_ddt=res.is_post_ddt[0],
+        search_start=res.search_start[0],
+        search_end=res.search_end[0],
+        stop_step=res.stop_step[0],
+        stop_reason=res.stop_reason[0],
+        ddt_frame=res.ddt_frame[0],
+        clear_vc_entry=res.clear_vc_entry[0],
     )

@@ -146,3 +146,61 @@ def test_pallas_scan_rejects_bad_width():
             jnp.zeros(4, bool), jnp.ones(4, bool),
             width=512, interpret=True, **_KW,
         )
+
+
+def test_pallas_scan_batched_matches_vmapped_lax_scan():
+    """Whole-batch kernel (grid (V, M), per-video state reset and params)
+    is bit-identical to vmap(device_tracking_scan) — including an inert
+    all-empty pad video like the mesh-alignment padding."""
+    specs = [
+        FlameSpec(x0=25.0, v0_px=9.0, accel_px=0.05, ignition_frame=2, seed=7),
+        FlameSpec(x0=20.0, v0_px=4.0, ddt_frame=18, v_jump_px=22.0,
+                  ignition_frame=3, seed=11),
+        FlameSpec(x0=30.0, v0_px=6.0, ignition_frame=12, seed=13),
+    ]
+    profs = [_video_profiles(f) for f in specs]
+    n_max = max(p.frame_indices.size for p, _ in profs)
+    V = len(profs) + 1  # + one inert pad video
+    W = profs[0][0].width
+    fi = np.zeros((V, n_max), np.int32)
+    sob = np.zeros((V, n_max, W), np.float32)
+    grad = np.zeros((V, n_max, W), np.float32)
+    empty = np.ones((V, n_max), bool)
+    prior = np.ones((V, n_max), bool)
+    cals = np.array([0.001, 0.0008, 0.0012, 1.0], np.float32)
+    fps = np.array([1e5, 9e4, 1.1e5, 1.0], np.float32)
+    mds = np.array([3, 4, 2, 1], np.int32)
+    for i, (p, e) in enumerate(profs):
+        m = p.frame_indices.size
+        fi[i, :m] = p.frame_indices
+        sob[i, :m] = p.sobel_lines
+        grad[i, :m] = p.gradient_lines
+        empty[i, :m] = e
+        prior[i, :m] = p.has_prior
+
+    kw = dict(
+        width=W,
+        min_gradient_strength=np.float32(10.0),
+        sobel_threshold_fraction=np.float32(0.1),
+        ddt_velocity_jump=np.float32(1250.0),
+    )
+    scan_v = jax.vmap(
+        lambda f, s, g, e, hp, c, r, md: device_tracking_scan(
+            f, s, g, e, hp, calibration=c, frame_rate=r,
+            max_displacement_px=md, **kw,
+        )
+    )
+    a = scan_v(jnp.asarray(fi), jnp.asarray(sob), jnp.asarray(grad),
+               jnp.asarray(empty), jnp.asarray(prior),
+               jnp.asarray(cals), jnp.asarray(fps), jnp.asarray(mds))
+    from hsip_tpu.track.pallas_scan import pallas_tracking_scan_batched
+
+    b = pallas_tracking_scan_batched(
+        jnp.asarray(fi), jnp.asarray(sob), jnp.asarray(grad),
+        jnp.asarray(empty), jnp.asarray(prior),
+        calibration=jnp.asarray(cals), frame_rate=jnp.asarray(fps),
+        max_displacement_px=jnp.asarray(mds), interpret=True, **kw,
+    )
+    _assert_identical(a, b)
+    # The batch genuinely tracked something in each real video.
+    assert all(np.asarray(a.recorded)[i].sum() > 3 for i in range(3))
