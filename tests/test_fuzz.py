@@ -170,3 +170,62 @@ def test_random_library_matches_per_file(seed, tmp_path):
     assert set(lib_tables) == set(dev_tables)
     for name in lib_tables:
         assert lib_tables[name] == dev_tables[name], f"seed {seed}: {name}"
+
+
+@pytest.mark.parametrize("seed", range(max(3, N_CONFIGS // 3)))
+def test_random_pallas_scan_parity(seed):
+    """Randomized configs through the Pallas scan kernel (interpret mode)
+    vs the lax.scan backend: every output field bit-identical."""
+    import jax.numpy as jnp
+
+    from hsip_tpu.track.device_scan import device_tracking_scan
+    from hsip_tpu.track.pallas_scan import pallas_tracking_scan
+    from hsip_tpu.track.scan import MIN_SIGNAL_FRACTION, compute_profiles_batched
+
+    rng = np.random.default_rng(7000 + seed)
+    det = FlameDetectorConfig(
+        frame_diff_threshold=float(rng.uniform(1, 12)),
+        gaussian_sigma=float(rng.uniform(0.8, 2.5)),
+        min_gradient_strength=float(rng.uniform(3, 20)),
+        sobel_threshold_fraction=float(rng.uniform(0.05, 0.3)),
+        search_window_px=int(rng.integers(40, 160)),
+        edge_margin_px=int(rng.integers(3, 20)),
+        exit_margin_px=int(rng.integers(8, 25)),
+    )
+    n = int(rng.integers(16, 48))
+    height, width = 32, int(rng.choice([256, 384, 512]))
+    flame = FlameSpec(
+        x0=float(rng.uniform(10, 40)),
+        v0_px=float(rng.uniform(2, 12)),
+        accel_px=float(rng.uniform(0, 0.15)),
+        ignition_frame=int(rng.integers(0, 6)),
+        seed=int(rng.integers(0, 2**31)),
+    )
+    frames, _ = synthesize_flame_video(n, height=height, width=width,
+                                       flame=flame)
+    bg = float(frames[0].max())
+    p = compute_profiles_batched(
+        lambda a, b: frames[a:b], n, (height, width), bg, det, chunk_size=16
+    )
+    empty = p.signal_counts / p.total_pixels < MIN_SIGNAL_FRACTION
+    kw = dict(
+        width=width,
+        min_gradient_strength=np.float32(det.min_gradient_strength),
+        sobel_threshold_fraction=np.float32(det.sobel_threshold_fraction),
+        ddt_velocity_jump=np.float32(det.ddt_velocity_jump_m_s),
+        calibration=np.float32(rng.uniform(5e-4, 2e-3)),
+        frame_rate=np.float32(rng.choice([5e4, 1e5, 2e5])),
+        max_displacement_px=np.int32(rng.integers(1, 8)),
+        edge_margin_px=det.edge_margin_px,
+        search_window_px=det.search_window_px,
+        exit_margin_px=det.exit_margin_px,
+    )
+    args = (np.asarray(p.frame_indices, np.int32), np.asarray(p.sobel_lines),
+            np.asarray(p.gradient_lines), jnp.asarray(empty),
+            jnp.asarray(p.has_prior))
+    a = device_tracking_scan(*args, **kw)
+    b = pallas_tracking_scan(*args, interpret=True, **kw)
+    for name in a._fields:
+        va = np.asarray(getattr(a, name))
+        vb = np.asarray(getattr(b, name)).astype(va.dtype)
+        np.testing.assert_array_equal(va, vb, err_msg=name)
