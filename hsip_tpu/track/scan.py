@@ -82,6 +82,10 @@ class TrackingOutput:
     break_frame: Optional[int] = None
     break_reason: Optional[str] = None   # 'exit' | 'velocity_drop' | None
     total_frames: int = 0                # frames in the recording
+    #: wall-clock phase attribution: {'map_s', 'scan_s'}. The map phase
+    #: free-runs (dispatch without blocking), so device waits it hides are
+    #: paid by — and attributed to — the scan phase.
+    phase_timings: Optional[dict] = None
 
     def merged_rows(self) -> List[Tuple]:
         """Rows with velocities merged from the final tracker history:
@@ -793,6 +797,9 @@ def track_video(
         # Band staging is ~2% of the payload, so big chunks amortize
         # dispatch overhead cheaply; full-frame staging stays bounded.
         chunk_size = 4096 if read_band is not None else 256
+    import time as _time
+
+    t0 = _time.perf_counter()
     profiles = compute_profiles_batched(
         read_batch=video.read_batch,
         n_frames=len(video),
@@ -810,7 +817,9 @@ def track_video(
         need_raw=detection_method != "combined" and not use_frame_diff,
         progress=progress,
     )
+    t_map = _time.perf_counter() - t0
     time_fn = video.get_absolute_time if use_absolute_time else video.get_time
+    t0 = _time.perf_counter()
     if scan == "device":
         out = run_tracking_scan_device(
             profiles,
@@ -822,19 +831,22 @@ def track_video(
             detection_method=detection_method,
             use_frame_diff=use_frame_diff,
         )
-        out.total_frames = len(video)
-        return out
-    out = run_tracking_scan(
-        profiles,
-        config,
-        frame_rate=video.frame_rate,
-        calibration_m_per_px=calibration_m_per_px,
-        position_offset_m=position_offset_m,
-        time_fn=time_fn,
-        on_result=on_result,
-        detection_method=detection_method,
-        use_frame_diff=use_frame_diff,
-    )
+    else:
+        out = run_tracking_scan(
+            profiles,
+            config,
+            frame_rate=video.frame_rate,
+            calibration_m_per_px=calibration_m_per_px,
+            position_offset_m=position_offset_m,
+            time_fn=time_fn,
+            on_result=on_result,
+            detection_method=detection_method,
+            use_frame_diff=use_frame_diff,
+        )
+    out.phase_timings = {
+        "map_s": round(t_map, 4),
+        "scan_s": round(_time.perf_counter() - t0, 4),
+    }
     out.total_frames = len(video)
     return out
 

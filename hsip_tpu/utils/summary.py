@@ -84,6 +84,11 @@ class RunSummary:
                 "last_position_px": output.rows[-1][2] if output.rows else None,
                 "wall_s": round(wall_s, 3),
                 "frames_per_s": round(n_frames / wall_s, 1) if wall_s > 0 else None,
+                **(
+                    {"phase_timings": output.phase_timings}
+                    if getattr(output, "phase_timings", None)
+                    else {}
+                ),
             }
         )
 

@@ -202,3 +202,31 @@ def test_invalid_log_level_env_does_not_crash():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "IMPORT_OK" in proc.stdout
     assert "ignoring invalid HSIP_LOG_LEVEL" in proc.stderr
+
+
+def test_run_summary_includes_phase_timings(tmp_path):
+    """track_video attributes wall time to map/scan phases and the run
+    summary carries it through."""
+    import json
+
+    import numpy as np
+
+    from hsip_tpu.io import FlameSpec, synthesize_flame_video, write_recording
+    from hsip_tpu.pipeline import process_video_source
+    from hsip_tpu.track import VideoSourceConfig
+
+    frames, _ = synthesize_flame_video(
+        16, height=32, width=256,
+        flame=FlameSpec(x0=25, v0_px=8, ignition_frame=2, seed=2),
+    )
+    write_recording(tmp_path / "v", "pt-run-1", frames)
+    cfg = VideoSourceConfig(name="PT", save_frame_images=False,
+                            save_stacked_sequences=False)
+    cfg.video_path = str(tmp_path / "v")
+    cfg.output_dir = str(tmp_path / "out")
+    outs = process_video_source(cfg, verbose=False)
+    assert outs[0].phase_timings is not None
+    assert set(outs[0].phase_timings) == {"map_s", "scan_s"}
+    summary = json.loads((tmp_path / "out" / "run-summary.json").read_text())
+    pt = summary["files"][0]["phase_timings"]
+    assert pt["map_s"] >= 0 and pt["scan_s"] >= 0
