@@ -19,6 +19,7 @@ import numpy as np
 __all__ = ["native_decoder", "NativeDecoder", "build_library"]
 
 _SRC = Path(__file__).parent / "mraw_decode.cpp"
+_SRC_FITPACK = Path(__file__).parent / "fitpack_curfit.cpp"
 
 
 def _host_tag() -> str:
@@ -54,19 +55,27 @@ def build_library(force: bool = False) -> Path:
     processes (the multi-process runtime) never dlopen a half-written .so.
     """
     with _BUILD_LOCK:
+        src_mtime = max(_SRC.stat().st_mtime, _SRC_FITPACK.stat().st_mtime)
         if _LIB.exists() and not force:
-            if _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
+            if _LIB.stat().st_mtime >= src_mtime:
                 return _LIB
         tmp = _LIB.with_suffix(f".{os.getpid()}.tmp.so")
+        # -ffp-contract=off: the curfit translation unit must match numpy
+        # float64 semantics bit for bit — FMA contraction (gcc's default)
+        # would round differently and move FITPACK knot choices at ties.
         cmd = [
-            "g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
-            str(_SRC), "-o", str(tmp),
+            "g++", "-O3", "-march=native", "-ffp-contract=off",
+            "-shared", "-fPIC", "-fopenmp",
+            str(_SRC), str(_SRC_FITPACK), "-o", str(tmp),
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, text=True)
         except (subprocess.CalledProcessError, FileNotFoundError):
             # Retry without -march=native / OpenMP (portability fallbacks).
-            cmd = ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(tmp)]
+            cmd = [
+                "g++", "-O3", "-ffp-contract=off", "-shared", "-fPIC",
+                str(_SRC), str(_SRC_FITPACK), "-o", str(tmp),
+            ]
             subprocess.run(cmd, check=True, capture_output=True, text=True)
         os.replace(tmp, _LIB)
         return _LIB
@@ -106,6 +115,13 @@ class NativeDecoder:
         ]
         lib.native_num_threads.restype = ctypes.c_int
         lib.native_set_num_threads.argtypes = [ctypes.c_int]
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        i64sp = ctypes.POINTER(ctypes.c_int64)
+        lib.curfit_univariate.argtypes = [
+            f64p, f64p, f64p, ctypes.c_int64, ctypes.c_int, ctypes.c_double,
+            f64p, f64p, i64sp, ctypes.POINTER(ctypes.c_double),
+        ]
+        lib.curfit_univariate.restype = ctypes.c_int
         self._lib = lib
 
         # The payload scans (count_above*, gather_rows) are page-fault-bound
@@ -225,6 +241,29 @@ class NativeDecoder:
             float(background), float(threshold), counts,
         )
         return counts
+
+    def curfit(self, x, y, w, k: int, s: float):
+        """Native FITPACK curfit (UnivariateSpline-equivalent two-stage
+        fit). Returns (t, c, fp, ier); raises ValueError on invalid input
+        (mirroring the Python port's FitpackError rejections)."""
+        import ctypes as _ct
+
+        x = np.ascontiguousarray(x, dtype=np.float64)
+        y = np.ascontiguousarray(y, dtype=np.float64)
+        w = np.ascontiguousarray(w, dtype=np.float64)
+        m = x.size
+        cap = m + k + 1
+        t = np.zeros(cap, dtype=np.float64)
+        c = np.zeros(cap, dtype=np.float64)
+        n = _ct.c_int64(0)
+        fp = _ct.c_double(0.0)
+        ier = self._lib.curfit_univariate(
+            x, y, w, m, int(k), float(s), t, c, _ct.byref(n), _ct.byref(fp)
+        )
+        if ier == -10:
+            raise ValueError("invalid curfit input")
+        nn = int(n.value)
+        return t[:nn].copy(), c[:nn].copy(), float(fp.value), int(ier)
 
     def gather_rows(
         self,

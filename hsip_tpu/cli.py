@@ -501,10 +501,19 @@ def main(argv: Optional[List[str]] = None) -> int:
             failure_cache: Dict[str, Any] = {}
             try:
                 while True:
-                    if stop_sentinel is not None and stop_sentinel.exists():
-                        if not args.quiet:
-                            print("\nWatch stopped (shutdown requested)")
-                        return 0
+                    if stop_sentinel is not None:
+                        stop = stop_sentinel.exists()
+                        if processor is not None:
+                            # COLLECTIVE decision (root's view wins): an
+                            # operator touching the sentinel mid-poll must
+                            # not let one rank exit while a peer enters the
+                            # pass — the peer would hang in the ledger
+                            # barrier waiting for the departed rank.
+                            stop = bool(processor.broadcast(stop))
+                        if stop:
+                            if not args.quiet:
+                                print("\nWatch stopped (shutdown requested)")
+                            return 0
                     done = run_pass(resume=resume, verbose=verbose,
                                     failure_cache=failure_cache)
                     # Later passes resume (completed work must not

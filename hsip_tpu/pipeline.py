@@ -532,13 +532,24 @@ def _skip_known_failure(failure_cache, path: Path) -> bool:
         return True  # vanished since the failure — nothing to retry
 
 
-def _record_failure_fingerprint(failure_cache, path: Path) -> None:
+def _pre_attempt_fingerprint(failure_cache, path: Path):
+    """Fingerprint taken BEFORE processing: a file still being copied can
+    finish (and change) DURING a failed attempt — stamping it afterwards
+    would freeze the completed file's fingerprint and skip it forever.
+    With the pre-attempt stamp, any change since the failed open makes the
+    next poll's comparison differ and the file is retried."""
     if failure_cache is None:
-        return
+        return None
     try:
-        failure_cache[str(path)] = _file_fingerprint(path)
+        return _file_fingerprint(path)
     except OSError:
-        pass
+        return None
+
+
+def _record_failure_fingerprint(failure_cache, path: Path, fingerprint) -> None:
+    if failure_cache is None or fingerprint is None:
+        return
+    failure_cache[str(path)] = fingerprint
 
 
 def _warn_unmatched_calibration(config, filename: str) -> None:
@@ -632,6 +643,7 @@ def process_video_source(
         for cihx_file in ledger.filter_pending(cihx_files, _announce_skip):
             if _skip_known_failure(failure_cache, cihx_file):
                 continue
+            fingerprint = _pre_attempt_fingerprint(failure_cache, cihx_file)
             t0 = _time.perf_counter()
             try:
                 output = process_video_file(
@@ -650,7 +662,8 @@ def process_video_source(
                 print(f"Warning: Could not process {cihx_file}: {exc}")
                 _log.warning("failed %s: %s", cihx_file.name, exc)
                 ledger.add_failure(cihx_file.name, exc)
-                _record_failure_fingerprint(failure_cache, cihx_file)
+                _record_failure_fingerprint(failure_cache, cihx_file,
+                                            fingerprint)
                 continue
             if failure_cache is not None:
                 failure_cache.pop(str(cihx_file), None)
@@ -734,6 +747,7 @@ def process_video_source_library(
         for f in cihx_files:
             if _skip_known_failure(failure_cache, f):
                 continue
+            fingerprint = _pre_attempt_fingerprint(failure_cache, f)
             _warn_unmatched_calibration(config, f.name)
             try:
                 videos.append(
@@ -745,7 +759,7 @@ def process_video_source_library(
                 print(f"Warning: Could not load {f}: {exc}")
                 _log.warning("failed to open %s: %s", f.name, exc)
                 ledger.add_failure(f.name, exc)
-                _record_failure_fingerprint(failure_cache, f)
+                _record_failure_fingerprint(failure_cache, f, fingerprint)
 
         if videos:
             collection = VideoCollection(videos)

@@ -340,11 +340,13 @@ def _track_uniform_videos(
     # (grid (V, M), per-video state reset — track/pallas_scan.py); other
     # methods/widths/backends and the mesh-sharded path use the vmapped
     # lax.scan. Both are bit-identical by contract.
+    from ..utils.backend import is_tpu_backend
     from .pallas_scan import pallas_tracking_scan_batched, supports_pallas_scan
 
     use_pallas = (
         mesh is None
-        and jax.default_backend() == "tpu"
+        and n_max > 0
+        and is_tpu_backend()
         and supports_pallas_scan(w, method)
     )
     if use_pallas:

@@ -392,7 +392,9 @@ def device_tracking_scan(
     # 27 -> 21 us/step measured on v5e; saturates by 8). On CPU backends the
     # 8x body only bloats compile time (the test suite runs there), so gate
     # on the backend at trace time.
-    unroll = 8 if jax.default_backend() in ("tpu", "axon") else 1
+    from ..utils.backend import is_tpu_backend
+
+    unroll = 8 if is_tpu_backend() else 1
     final_state, (finals, recs, posts, s0s, s1s) = jax.lax.scan(
         step,
         init,

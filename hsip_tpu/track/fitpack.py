@@ -221,6 +221,15 @@ def curfit(
     if np.any(w <= 0):
         raise FitpackError("weights must be positive")
 
+    try:
+        from .._native import native_decoder
+
+        return native_decoder().curfit(x, y, w, k, s)
+    except ValueError:
+        raise FitpackError("invalid curfit input") from None
+    except Exception:
+        pass  # no toolchain: pure-Python fallback below
+
     nest0 = m + k + 1 if s <= 0 else max(m // 2, 2 * (k + 1))
     t, c, fp, ier, state = _fpcurf(x, y, w, k, s, nest0)
     if ier == 1:
@@ -448,7 +457,12 @@ def _fpcurf(
     f3 = fpms
     p1 = 0.0
     p3 = -1.0
-    p = nk1 / float(np.sum(a[:, 0]))
+    # Sequential sum (not np.sum's pairwise): matches the Fortran and the
+    # native C++ translation bit for bit.
+    psum = 0.0
+    for _i in range(nk1):
+        psum += float(a[_i, 0])
+    p = nk1 / psum
     ich1 = 0
     ich3 = 0
     for it_count in range(_MAXIT):

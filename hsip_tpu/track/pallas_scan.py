@@ -89,10 +89,10 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px):
             st_i[_STOPPED] = 0
             st_f[_V_LATEST] = 0.0
             st_f[_V_PREV] = 0.0
-            out_scal[0, 0] = -1  # stop_step
-            out_scal[0, 1] = 0   # stop_reason
-            out_scal[0, 2] = -1  # ddt_frame
-            out_scal[0, 3] = -1  # clear_vc_entry
+            out_scal[0, 0, 0] = -1  # stop_step
+            out_scal[0, 0, 1] = 0   # stop_reason
+            out_scal[0, 0, 2] = -1  # ddt_frame
+            out_scal[0, 0, 3] = -1  # clear_vc_entry
 
         min_grad = pf[0]
         sobel_frac = pf[1]
@@ -101,9 +101,9 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px):
         frame_rate = fr_ref[v]
         max_disp = md_ref[v]
 
-        frame = fidx_ref[0, 0]
-        is_empty = empty_ref[0, 0]
-        prior_ok = prior_ref[0, 0]
+        frame = fidx_ref[0, 0, 0, 0]
+        is_empty = empty_ref[0, 0, 0, 0]
+        prior_ok = prior_ref[0, 0, 0, 0]
 
         stopped = st_i[_STOPPED]
         active = (stopped == 0) & (is_empty == 0)
@@ -127,8 +127,8 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px):
         # ---- candidates ('combined': min-gradient + rightmost-Sobel) ----
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
         in_window = (cols >= s0) & (cols < s1)
-        sob = sob_ref[0]
-        grad = grad_ref[0]
+        sob = sob_ref[0, 0]    # (1, W)
+        grad = grad_ref[0, 0]
 
         grad_m = jnp.where(in_window, grad, _POS)
         gmin = jnp.min(grad_m)
@@ -202,23 +202,23 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px):
         is_post = (new_ddt >= 0) & (frame >= new_ddt)
 
         # ---- per-step outputs ----
-        out_final[0, 0] = final
-        out_rec[0, 0] = recorded.astype(jnp.int32)
-        out_post[0, 0] = is_post.astype(jnp.int32)
-        out_s0[0, 0] = s0
-        out_s1[0, 0] = s1
+        out_final[0, 0, 0, 0] = final
+        out_rec[0, 0, 0, 0] = recorded.astype(jnp.int32)
+        out_post[0, 0, 0, 0] = is_post.astype(jnp.int32)
+        out_s0[0, 0, 0, 0] = s0
+        out_s1[0, 0, 0, 0] = s1
 
         # ---- scalar event outputs (resident block, write-once latches) ----
-        first_stop = stopped_now & (out_scal[0, 0] < 0)
-        out_scal[0, 0] = jnp.where(first_stop, i, out_scal[0, 0])
-        out_scal[0, 1] = jnp.where(
-            first_stop, jnp.where(exit_hit, 1, 2), out_scal[0, 1]
+        first_stop = stopped_now & (out_scal[0, 0, 0] < 0)
+        out_scal[0, 0, 0] = jnp.where(first_stop, i, out_scal[0, 0, 0])
+        out_scal[0, 0, 1] = jnp.where(
+            first_stop, jnp.where(exit_hit, 1, 2), out_scal[0, 0, 1]
         )
-        out_scal[0, 2] = new_ddt
-        out_scal[0, 3] = jnp.where(
-            stopped_now & (new_n_entries >= 2) & (out_scal[0, 3] < 0),
+        out_scal[0, 0, 2] = new_ddt
+        out_scal[0, 0, 3] = jnp.where(
+            stopped_now & (new_n_entries >= 2) & (out_scal[0, 0, 3] < 0),
             new_n_entries - 2,
-            out_scal[0, 3],
+            out_scal[0, 0, 3],
         )
 
         # ---- state update ----
@@ -284,14 +284,20 @@ def pallas_tracking_scan_batched(
     fr = jnp.asarray(frame_rate, jnp.float32).reshape(n_videos)
     md = jnp.asarray(max_displacement_px, jnp.int32).reshape(n_videos)
 
-    fidx = frame_indices.astype(jnp.int32)
-    empty_i = empty.astype(jnp.int32)
-    prior_i = has_prior.astype(jnp.int32)
+    # Mosaic-safe layouts: every blocked array's LAST TWO dims are fully
+    # covered by its block (leading dims blocked by 1) — the pattern the
+    # fused band kernel established; (1, 1) blocks over a trailing frame
+    # axis would violate the lane-dim tiling constraint.
+    fidx = frame_indices.astype(jnp.int32).reshape(n_videos, m, 1, 1)
+    empty_i = empty.astype(jnp.int32).reshape(n_videos, m, 1, 1)
+    prior_i = has_prior.astype(jnp.int32).reshape(n_videos, m, 1, 1)
+    sob4 = sobel_lines.reshape(n_videos, m, 1, w)
+    grad4 = gradient_lines.reshape(n_videos, m, 1, w)
 
     kernel = _make_kernel(width, edge_margin_px, search_window_px,
                           exit_margin_px)
 
-    step_spec = pl.BlockSpec((1, 1), lambda v, i, *pf: (v, i))
+    step_spec = pl.BlockSpec((1, 1, 1, 1), lambda v, i, *pf: (v, i, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # thresholds, calibration, frame_rate, max_disp
         grid=(n_videos, m),
@@ -299,8 +305,8 @@ def pallas_tracking_scan_batched(
             step_spec,  # frame_indices
             step_spec,  # empty
             step_spec,  # has_prior
-            pl.BlockSpec((1, 1, w), lambda v, i, *pf: (v, i, 0)),  # sobel
-            pl.BlockSpec((1, 1, w), lambda v, i, *pf: (v, i, 0)),  # gradient
+            pl.BlockSpec((1, 1, 1, w), lambda v, i, *pf: (v, i, 0, 0)),  # sobel
+            pl.BlockSpec((1, 1, 1, w), lambda v, i, *pf: (v, i, 0, 0)),  # gradient
         ],
         out_specs=[
             step_spec,  # final
@@ -309,7 +315,7 @@ def pallas_tracking_scan_batched(
             step_spec,  # s0
             step_spec,  # s1
             # Per-video event latches: resident for a video's whole pass.
-            pl.BlockSpec((1, 4), lambda v, i, *pf: (v, 0)),
+            pl.BlockSpec((1, 1, 4), lambda v, i, *pf: (v, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.SMEM((_N_I32,), jnp.int32),
@@ -321,17 +327,22 @@ def pallas_tracking_scan_batched(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_videos, m), i32),
-            jax.ShapeDtypeStruct((n_videos, m), i32),
-            jax.ShapeDtypeStruct((n_videos, m), i32),
-            jax.ShapeDtypeStruct((n_videos, m), i32),
-            jax.ShapeDtypeStruct((n_videos, m), i32),
-            jax.ShapeDtypeStruct((n_videos, 4), i32),
+            jax.ShapeDtypeStruct((n_videos, m, 1, 1), i32),
+            jax.ShapeDtypeStruct((n_videos, m, 1, 1), i32),
+            jax.ShapeDtypeStruct((n_videos, m, 1, 1), i32),
+            jax.ShapeDtypeStruct((n_videos, m, 1, 1), i32),
+            jax.ShapeDtypeStruct((n_videos, m, 1, 1), i32),
+            jax.ShapeDtypeStruct((n_videos, 1, 4), i32),
         ],
         interpret=interpret,
-    )(params_f, cal, fr, md, fidx, empty_i, prior_i,
-      sobel_lines, gradient_lines)
+    )(params_f, cal, fr, md, fidx, empty_i, prior_i, sob4, grad4)
 
+    finals = finals[:, :, 0, 0]
+    recs = recs[:, :, 0, 0]
+    posts = posts[:, :, 0, 0]
+    s0s = s0s[:, :, 0, 0]
+    s1s = s1s[:, :, 0, 0]
+    scal = scal[:, 0, :]
     return DeviceScanResult(
         final_position=finals,
         recorded=recs.astype(bool),

@@ -173,7 +173,9 @@ def compute_profiles_batched(
     if use_pallas is None:
         # The fused Mosaic kernel is bit-identical to the jnp chain on TPU;
         # on CPU backends Pallas would run interpreted (slow), so skip it.
-        use_pallas = jax.default_backend() == "tpu"
+        from ..utils.backend import is_tpu_backend
+
+        use_pallas = is_tpu_backend()
 
     skip = set(int(s) for s in skip_frames)
     processed = np.array([i for i in range(n_frames) if i not in skip], dtype=np.int64)
@@ -645,7 +647,9 @@ def run_tracking_scan_device(
     from .pallas_scan import pallas_tracking_scan, supports_pallas_scan
 
     if use_pallas_scan is None:
-        use_pallas_scan = jax.default_backend() == "tpu"
+        from ..utils.backend import is_tpu_backend
+
+        use_pallas_scan = is_tpu_backend()
     if use_pallas_scan and supports_pallas_scan(
         profiles.width, detection_method
     ):

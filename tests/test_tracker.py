@@ -631,3 +631,38 @@ def test_host_scan_scales_linearly():
 
     t4, t16 = run(4000), run(16000)
     assert t16 / t4 < 10.0, f"scan scaling regressed: {t16 / t4:.1f}x for 4x frames"
+
+
+def test_native_and_python_curfit_agree():
+    """The C++ curfit translation and the pure-Python port choose identical
+    knots (part 1 is bit-exact by construction); part-2 coefficients agree
+    to ~1e-12 (iteration rounding), and both match scipy."""
+    import hsip_tpu.track.fitpack as F
+
+    try:
+        from hsip_tpu._native import native_decoder
+
+        dec = native_decoder()
+    except Exception:
+        pytest.skip("no native toolchain")
+
+    rng = np.random.default_rng(11)
+    for _ in range(12):
+        m = int(rng.integers(6, 60))
+        x = np.sort(rng.choice(np.arange(200), size=m, replace=False)).astype(float)
+        y = np.cumsum(rng.integers(0, 5, size=m)).astype(float)
+        y += rng.normal(0, 1.2, m).round()
+        k = min(3, m - 1)
+        s = 0.5 * m
+        w = np.ones(m)
+        tn, cn, fpn, iern = dec.curfit(x, y, w, k, s)
+        nest0 = max(m // 2, 2 * (k + 1))
+        tp, cp, fpp, ierp, st = F._fpcurf(x, y, w, k, s, nest0)
+        if ierp == 1:
+            tp, cp, fpp, ierp, st = F._fpcurf(
+                x, y, w, k, s, m + k + 1, state=st, ier_in=1
+            )
+        np.testing.assert_array_equal(tn, tp)
+        nk1 = tn.size - k - 1
+        np.testing.assert_allclose(cn[:nk1], cp[:nk1], rtol=1e-9, atol=1e-9)
+        assert iern == ierp
