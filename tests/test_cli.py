@@ -457,3 +457,17 @@ def test_cli_mesh_too_many_devices(videos, tmp_path, capsys):
     ])
     assert rc == 2
     assert "local device(s) available" in capsys.readouterr().err
+
+
+def test_cli_profile_dir_writes_trace(videos, tmp_path):
+    """--profile-dir captures a jax.profiler trace around the run."""
+    from hsip_tpu.cli import main
+
+    prof = tmp_path / "trace"
+    rc = main([
+        "--video-path", str(videos), "--output-dir", str(tmp_path / "out"),
+        "--calibration", "0.001", "--no-images", "--no-sequences",
+        "--quiet", "--profile-dir", str(prof),
+    ])
+    assert rc == 0
+    assert prof.exists() and any(prof.rglob("*"))

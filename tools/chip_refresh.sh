@@ -1,0 +1,21 @@
+#!/usr/bin/env bash
+# One-command real-chip validation + benchmark refresh. Run when the TPU
+# tunnel is reachable (first backend init can take ~40 s):
+#
+#   bash tools/chip_refresh.sh
+#
+# 1. Real-chip tier: Pallas band-kernel bit-identity, three-backend row
+#    parity, library byte-identity, band-kernel roofline, lax.scan latency
+#    guard, and the Pallas tracking-scan identity + >=2x latency gate.
+# 2. Driver benchmark (both modes, one JSON line on stdout).
+#
+# After a green run, refresh BASELINE.md's "Measured" table from the
+# bench output and the SCAN/PALLAS_US_PER_STEP lines in the tier log.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== HSIP_TPU_CHIP tier =="
+HSIP_TPU_CHIP=1 python -m pytest tests/test_tpu_chip.py -v -rs 2>&1 | tail -20
+
+echo "== bench.py (both modes) =="
+python bench.py
