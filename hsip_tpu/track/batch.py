@@ -352,28 +352,38 @@ def _track_uniform_videos(
     if use_pallas:
         import numpy as _np
 
-        res = pallas_tracking_scan_batched(
-            jnp.asarray(fi),
-            sob,
-            grad,
-            jnp.asarray(empty),
-            jnp.asarray(has_prior),
-            width=w,
-            min_gradient_strength=_np.float32(config.min_gradient_strength),
-            sobel_threshold_fraction=_np.float32(
-                config.sobel_threshold_fraction
-            ),
-            ddt_velocity_jump=_np.float32(config.ddt_velocity_jump_m_s),
-            calibration=jnp.asarray(cals),
-            frame_rate=jnp.asarray(fpss),
-            max_displacement_px=jnp.asarray(max_disps),
-            edge_margin_px=config.edge_margin_px,
-            search_window_px=config.search_window_px,
-            exit_margin_px=config.exit_margin_px,
-        )
-        return _outputs_from_scan(
-            res, videos, profiles, fi, empty, calibs, use_absolute_time
-        )
+        try:
+            res = pallas_tracking_scan_batched(
+                jnp.asarray(fi),
+                sob,
+                grad,
+                jnp.asarray(empty),
+                jnp.asarray(has_prior),
+                width=w,
+                min_gradient_strength=_np.float32(config.min_gradient_strength),
+                sobel_threshold_fraction=_np.float32(
+                    config.sobel_threshold_fraction
+                ),
+                ddt_velocity_jump=_np.float32(config.ddt_velocity_jump_m_s),
+                calibration=jnp.asarray(cals),
+                frame_rate=jnp.asarray(fpss),
+                max_displacement_px=jnp.asarray(max_disps),
+                edge_margin_px=config.edge_margin_px,
+                search_window_px=config.search_window_px,
+                exit_margin_px=config.exit_margin_px,
+            )
+            return _outputs_from_scan(
+                res, videos, profiles, fi, empty, calibs, use_absolute_time
+            )
+        except Exception as exc:  # noqa: BLE001 — bit-identical fallback
+            # Degrade to the vmapped lax.scan (identical outputs) rather
+            # than abort a whole library batch on a kernel failure.
+            from ..utils.logging import get_logger
+
+            get_logger("track").warning(
+                "batched pallas scan unavailable (%s: %s); using lax.scan",
+                type(exc).__name__, exc,
+            )
 
     fraction = (config.threshold_fraction if method == "threshold"
                 else config.half_maximum_fraction)

@@ -650,29 +650,40 @@ def run_tracking_scan_device(
         from ..utils.backend import is_tpu_backend
 
         use_pallas_scan = is_tpu_backend()
+    res = None
     if use_pallas_scan and supports_pallas_scan(
         profiles.width, detection_method
     ):
-        res = pallas_tracking_scan(
-            np.asarray(profiles.frame_indices, dtype=np.int32),
-            profiles.sobel_lines,
-            profiles.gradient_lines,
-            empty,
-            has_prior,
-            width=profiles.width,
-            min_gradient_strength=np.float32(config.min_gradient_strength),
-            sobel_threshold_fraction=np.float32(
-                config.sobel_threshold_fraction
-            ),
-            ddt_velocity_jump=np.float32(config.ddt_velocity_jump_m_s),
-            calibration=np.float32(calibration_m_per_px),
-            frame_rate=np.float32(frame_rate),
-            max_displacement_px=np.int32(max_disp),
-            edge_margin_px=config.edge_margin_px,
-            search_window_px=config.search_window_px,
-            exit_margin_px=config.exit_margin_px,
-        )
-    else:
+        try:
+            res = pallas_tracking_scan(
+                np.asarray(profiles.frame_indices, dtype=np.int32),
+                profiles.sobel_lines,
+                profiles.gradient_lines,
+                empty,
+                has_prior,
+                width=profiles.width,
+                min_gradient_strength=np.float32(config.min_gradient_strength),
+                sobel_threshold_fraction=np.float32(
+                    config.sobel_threshold_fraction
+                ),
+                ddt_velocity_jump=np.float32(config.ddt_velocity_jump_m_s),
+                calibration=np.float32(calibration_m_per_px),
+                frame_rate=np.float32(frame_rate),
+                max_displacement_px=np.int32(max_disp),
+                edge_margin_px=config.edge_margin_px,
+                search_window_px=config.search_window_px,
+                exit_margin_px=config.exit_margin_px,
+            )
+        except Exception as exc:  # noqa: BLE001 — bit-identical fallback
+            # A Mosaic lowering/runtime failure must degrade to the
+            # lax.scan backend (identical outputs), not kill the run.
+            from ..utils.logging import get_logger
+
+            get_logger("track").warning(
+                "pallas scan unavailable (%s: %s); using lax.scan",
+                type(exc).__name__, exc,
+            )
+    if res is None:
         res = device_tracking_scan(
             np.asarray(profiles.frame_indices, dtype=np.int32),
             profiles.sobel_lines,

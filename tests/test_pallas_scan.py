@@ -204,3 +204,35 @@ def test_pallas_scan_batched_matches_vmapped_lax_scan():
     _assert_identical(a, b)
     # The batch genuinely tracked something in each real video.
     assert all(np.asarray(a.recorded)[i].sum() > 3 for i in range(3))
+
+
+def test_pallas_failure_falls_back_to_lax_scan(tmp_path):
+    """Forcing the Pallas path on a backend that cannot lower it must
+    degrade to the (bit-identical) lax.scan, not abort the run."""
+    from hsip_tpu import open_video
+    from hsip_tpu.track.scan import (
+        compute_profiles_batched,
+        run_tracking_scan_device,
+    )
+
+    frames, _ = synthesize_flame_video(
+        20, height=32, width=256,
+        flame=FlameSpec(x0=25, v0_px=8, ignition_frame=2, seed=9),
+    )
+    meta = write_recording(tmp_path, "fb-run-1", frames)
+    with open_video(str(meta)) as video:
+        bg = float(np.max(video[0]))
+        p = compute_profiles_batched(
+            video.read_batch, len(video), video.frame_shape, bg,
+            FlameDetectorConfig(), chunk_size=16,
+        )
+        out = run_tracking_scan_device(
+            p, FlameDetectorConfig(), frame_rate=video.frame_rate,
+            calibration_m_per_px=0.001,
+            use_pallas_scan=True,  # CPU backend: lowering fails -> fallback
+        )
+        ref = run_tracking_scan_device(
+            p, FlameDetectorConfig(), frame_rate=video.frame_rate,
+            calibration_m_per_px=0.001, use_pallas_scan=False,
+        )
+    assert out.rows == ref.rows and len(out.rows) > 3
