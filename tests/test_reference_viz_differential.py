@@ -182,3 +182,36 @@ def test_stacked_sequence_structural_parity(ref_viz, recording, tmp_path,
         assert ao.get_title() == ar.get_title(), f"axes {i} title"
         assert len(ao.images) == len(ar.images), f"axes {i} images"
     assert fig_ours.get_suptitle() == fig_ref.get_suptitle()
+
+
+def test_stacked_single_column_structural_parity(ref_viz, recording,
+                                                 tmp_path, monkeypatch):
+    """Single-column composited sequence: same axes count and titles."""
+    from hsip_tpu import open_video, viz
+
+    with open_video(str(recording)) as video:
+        bg = float(np.max(video[0]))
+        display = list(range(0, 16, 2))
+
+        fig_ref = _render_captured(
+            monkeypatch,
+            lambda: ref_viz.generate_stacked_sequence_single_column(
+                video, display, bg, tmp_path / "r1.png",
+                use_frame_diff=False, title="viz-run-1-001",
+                figsize_width=8.0,
+            ),
+        )
+        fig_ours = _render_captured(
+            monkeypatch,
+            lambda: viz.generate_stacked_sequence_single_column(
+                video, display, bg, tmp_path / "o1.png",
+                use_frame_diff=False, title="viz-run-1-001",
+                figsize_width=8.0,
+            ),
+        )
+
+    assert len(fig_ref.axes) == len(fig_ours.axes)
+    for i, (ar, ao) in enumerate(zip(fig_ref.axes, fig_ours.axes)):
+        assert ao.get_title() == ar.get_title(), f"axes {i} title"
+        assert len(ao.images) == len(ar.images), f"axes {i} images"
+    assert fig_ours.get_suptitle() == fig_ref.get_suptitle()
