@@ -117,11 +117,19 @@ class NativeDecoder:
         lib.native_set_num_threads.argtypes = [ctypes.c_int]
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
         i64sp = ctypes.POINTER(ctypes.c_int64)
-        lib.curfit_univariate.argtypes = [
-            f64p, f64p, f64p, ctypes.c_int64, ctypes.c_int, ctypes.c_double,
-            f64p, f64p, i64sp, ctypes.POINTER(ctypes.c_double),
-        ]
-        lib.curfit_univariate.restype = ctypes.c_int
+        try:
+            lib.curfit_univariate.argtypes = [
+                f64p, f64p, f64p, ctypes.c_int64, ctypes.c_int,
+                ctypes.c_double,
+                f64p, f64p, i64sp, ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.curfit_univariate.restype = ctypes.c_int
+            self._has_curfit = True
+        except AttributeError:
+            # A stale cached .so predating the curfit symbol (archive-mtime
+            # transports can defeat the rebuild check) must only degrade
+            # the spline path — never take the whole codec down with it.
+            self._has_curfit = False
         self._lib = lib
 
         # The payload scans (count_above*, gather_rows) are page-fault-bound
@@ -247,6 +255,9 @@ class NativeDecoder:
         fit). Returns (t, c, fp, ier); raises ValueError on invalid input
         (mirroring the Python port's FitpackError rejections)."""
         import ctypes as _ct
+
+        if not self._has_curfit:
+            raise RuntimeError("native library lacks curfit (stale build)")
 
         x = np.ascontiguousarray(x, dtype=np.float64)
         y = np.ascontiguousarray(y, dtype=np.float64)

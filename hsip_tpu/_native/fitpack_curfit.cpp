@@ -3,9 +3,10 @@
 // UnivariateSpline). The Python port's per-point Givens loops cost ~0.6-3 s
 // per fit on noisy 300-600 point histories, and the figure path refits per
 // frame; this translation follows the SAME scalar operation order (compile
-// with -ffp-contract=off so no FMA re-rounding creeps in) and runs ~100x
-// faster. Part 1 (knot placement) is bit-identical to the Python port by
-// construction; part 2 converges to the same tolerance.
+// with -ffp-contract=off so no FMA re-rounding creeps in) and runs
+// ~150-400x faster (measured at m=300 / m=600 noisy histories). Part 1
+// (knot placement) is bit-identical to the Python port by construction;
+// part 2 converges to the same tolerance.
 //
 // Entry point: curfit_univariate() — the two-stage nest dance
 // (fpcurf0 with nest = max(m/2, 2k+2), then the fpcurf1 continuation with

@@ -499,21 +499,35 @@ def main(argv: Optional[List[str]] = None) -> int:
             # Corrupt recordings are retried only when their mtime/size
             # change; otherwise every poll would re-fail and re-warn them.
             failure_cache: Dict[str, Any] = {}
-            try:
-                while True:
-                    if stop_sentinel is not None:
-                        stop = stop_sentinel.exists()
-                        if processor is not None:
-                            # COLLECTIVE decision (root's view wins): an
-                            # operator touching the sentinel mid-poll must
-                            # not let one rank exit while a peer enters the
-                            # pass — the peer would hang in the ledger
-                            # barrier waiting for the departed rank.
-                            stop = bool(processor.broadcast(stop))
-                        if stop:
-                            if not args.quiet:
-                                print("\nWatch stopped (shutdown requested)")
-                            return 0
+            stop_requested = False
+
+            def _note_interrupt():
+                nonlocal stop_requested
+                stop_requested = True
+                if stop_sentinel is not None:
+                    # Also visible to future passes / co-located ranks.
+                    stop_sentinel.parent.mkdir(parents=True, exist_ok=True)
+                    stop_sentinel.touch()
+
+            while True:
+                stop = stop_requested or (
+                    stop_sentinel is not None and stop_sentinel.exists()
+                )
+                if processor is not None:
+                    # COLLECTIVE any-rank decision: every rank reaches this
+                    # allgather each poll (an interrupted rank keeps
+                    # looping instead of exiting), so no rank can leave
+                    # while a peer enters the pass and hangs in the ledger
+                    # barrier — and a Ctrl-C on one host propagates even
+                    # without a shared output directory.
+                    stop = any(processor.allgather(stop))
+                if stop:
+                    if not args.quiet and (
+                        processor is None or processor.is_root
+                    ):
+                        print("\nWatch stopped (shutdown requested)")
+                    return 0
+                try:
                     done = run_pass(resume=resume, verbose=verbose,
                                     failure_cache=failure_cache)
                     # Later passes resume (completed work must not
@@ -527,14 +541,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                         print(f"\nWatch pass complete ({done} new); "
                               f"polling every {interval:g} s")
                     _time.sleep(interval)
-            except KeyboardInterrupt:
-                if stop_sentinel is not None:
-                    # Propagate the stop to peer ranks (and future passes).
-                    stop_sentinel.parent.mkdir(parents=True, exist_ok=True)
-                    stop_sentinel.touch()
-                if processor is None or processor.is_root:
-                    print("\nWatch stopped")
-                return 0
+                except KeyboardInterrupt:
+                    # Between-pass (sleep) interrupts stop cleanly via the
+                    # collective above. A mid-pass interrupt on one rank of
+                    # a distributed run is best-effort: collectives may be
+                    # left misaligned; interrupt between passes for a
+                    # guaranteed-clean stop.
+                    _note_interrupt()
+                    if processor is None:
+                        if not args.quiet:
+                            print("\nWatch stopped")
+                        return 0
 
         run_pass(resume=args.resume, verbose=not args.quiet)
 

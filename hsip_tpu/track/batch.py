@@ -372,17 +372,21 @@ def _track_uniform_videos(
                 search_window_px=config.search_window_px,
                 exit_margin_px=config.exit_margin_px,
             )
-            return _outputs_from_scan(
-                res, videos, profiles, fi, empty, calibs, use_absolute_time
-            )
         except Exception as exc:  # noqa: BLE001 — bit-identical fallback
             # Degrade to the vmapped lax.scan (identical outputs) rather
-            # than abort a whole library batch on a kernel failure.
+            # than abort a whole library batch on a kernel failure. ONLY
+            # the kernel call is guarded: host-side reconstruction guards
+            # (e.g. _checked_stop's padding-region parity check) must
+            # still fail loudly, not be mislabeled as kernel issues.
             from ..utils.logging import get_logger
 
             get_logger("track").warning(
                 "batched pallas scan unavailable (%s: %s); using lax.scan",
                 type(exc).__name__, exc,
+            )
+        else:
+            return _outputs_from_scan(
+                res, videos, profiles, fi, empty, calibs, use_absolute_time
             )
 
     fraction = (config.threshold_fraction if method == "threshold"

@@ -11,11 +11,11 @@
 #
 # After a green run, refresh BASELINE.md's "Measured" table from the
 # bench output and the SCAN/PALLAS_US_PER_STEP lines in the tier log.
-set -uo pipefail
+set -euo pipefail
 cd "$(dirname "$0")/.."
 
 echo "== HSIP_TPU_CHIP tier =="
-HSIP_TPU_CHIP=1 python -m pytest tests/test_tpu_chip.py -v -rs 2>&1 | tail -20
+HSIP_TPU_CHIP=1 python -m pytest tests/test_tpu_chip.py -v -rs
 
 echo "== bench.py (both modes) =="
 python bench.py
