@@ -126,6 +126,7 @@ inline void fpknot(const double* x, double* t, long& n, double* fpint,
         }
         jbegin += jpoint + 1;
     }
+    if (number < 0) return;  // no splittable interval: nothing to insert
     long ihalf = maxpt / 2 + 1;
     long nrx = maxbeg + ihalf;
     long nxt = number + 1;

@@ -156,6 +156,10 @@ def _fpknot(x, t, n, fpint, nrdata, nrint, k):
             maxpt = jpoint
             maxbeg = jbegin
         jbegin += jpoint + 1
+    if number < 0:
+        # No splittable interval (all residual mass on zero-point
+        # intervals): a negative index would silently corrupt the tail.
+        return t, n, fpint, nrdata, nrint
     # New knot at the data point halving the fullest interval.
     ihalf = maxpt // 2 + 1
     nrx = maxbeg + ihalf        # 0-based index into x
