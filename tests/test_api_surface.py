@@ -76,3 +76,20 @@ def test_viz_exports():
 
 def test_cli_entry_points():
     from hsip_tpu.cli import build_parser, entry, load_config, main  # noqa: F401
+
+
+def test_round2_additions():
+    from hsip_tpu.track import fitpack, pallas_scan, spline
+    from hsip_tpu.utils import is_tpu_backend
+
+    for mod, names in (
+        (fitpack, ("curfit", "splev", "FitpackError")),
+        (pallas_scan, ("pallas_tracking_scan", "pallas_tracking_scan_batched",
+                       "supports_pallas_scan")),
+        (spline, ("fit_smoothing_spline", "SmoothingSpline")),
+    ):
+        for name in names:
+            assert hasattr(mod, name), name
+    assert callable(is_tpu_backend)
+
+    from hsip_tpu.parallel.dryrun import run_pipeline_dryrun  # noqa: F401
