@@ -471,3 +471,35 @@ def test_cli_profile_dir_writes_trace(videos, tmp_path):
     ])
     assert rc == 0
     assert prof.exists() and any(prof.rglob("*"))
+
+
+def test_cli_watch_library_corrupt_backoff(videos, tmp_path, monkeypatch,
+                                           capsys):
+    """The library driver's failure cache also backs off unchanged corrupt
+    recordings across watch passes."""
+    import shutil
+
+    from hsip_tpu.cli import main
+
+    vdir = tmp_path / "vids"
+    shutil.copytree(videos, vdir)
+    (vdir / "zz-bad.cihx").write_bytes(b"\x01" * 50)
+    out = tmp_path / "out"
+    passes = {"n": 0}
+
+    def fake_sleep(_secs):
+        passes["n"] += 1
+        if passes["n"] >= 4:
+            raise KeyboardInterrupt
+
+    import time as time_mod
+
+    monkeypatch.setattr(time_mod, "sleep", fake_sleep)
+    rc = main([
+        "--video-path", str(vdir), "--output-dir", str(out),
+        "--calibration", "0.001", "--library", "--watch", "0.2",
+    ])
+    assert rc == 0
+    outtext = capsys.readouterr().out
+    assert outtext.count("Could not load") == 1  # once, not per poll
+    assert (out / "cli-run-1-a-flame-position.txt").exists()
