@@ -181,10 +181,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--backend",
         choices=("tpu", "device", "exact"),
         default=None,
-        help="tpu: device map + host scan (default); device: fully on-device "
+        help="tpu: device map + host scan; device: fully on-device "
              "tracking (no per-frame figures); exact: serial float64 host. "
-             "Incompatible with --library (which always runs the vmapped "
-             "device path)",
+             "Default: auto — 'device' when per-frame figures are off, "
+             "else 'tpu'. Incompatible with --library (which always runs "
+             "the vmapped device path)",
     )
     parser.add_argument(
         "--library",
@@ -449,7 +450,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                 outs = process_video_source(
                     cfg,
                     detector_config,
-                    backend=args.backend or "tpu",
+                    # Auto backend: figure-less runs take the fully
+                    # on-device scan (identical tables, no per-frame viz
+                    # hook needed); figure runs need the host scan's hook.
+                    backend=args.backend or (
+                        "tpu" if cfg.save_frame_images else "device"
+                    ),
                     processor=processor,
                     verbose=verbose,
                     resume=resume,

@@ -503,3 +503,31 @@ def test_cli_watch_library_corrupt_backoff(videos, tmp_path, monkeypatch,
     outtext = capsys.readouterr().out
     assert outtext.count("Could not load") == 1  # once, not per poll
     assert (out / "cli-run-1-a-flame-position.txt").exists()
+
+
+def test_cli_auto_backend_prefers_device_without_figures(videos, tmp_path,
+                                                         monkeypatch):
+    """With figures off and no explicit --backend, the CLI takes the fully
+    on-device scan; with figures on it keeps the host scan (viz hooks)."""
+    import hsip_tpu.cli as cli_mod
+    import hsip_tpu.pipeline as pipeline_mod
+
+    seen = []
+    real = pipeline_mod.process_video_source
+
+    def spy(cfg, det, backend="tpu", **kw):
+        seen.append(backend)
+        return real(cfg, det, backend=backend, **kw)
+
+    monkeypatch.setattr(pipeline_mod, "process_video_source", spy)
+    rc = cli_mod.main([
+        "--video-path", str(videos), "--output-dir", str(tmp_path / "a"),
+        "--calibration", "0.001", "--no-images", "--no-sequences", "--quiet",
+    ])
+    assert rc == 0 and seen == ["device"]
+    seen.clear()
+    rc = cli_mod.main([
+        "--video-path", str(videos), "--output-dir", str(tmp_path / "b"),
+        "--calibration", "0.001", "--no-sequences", "--quiet",
+    ])
+    assert rc == 0 and seen == ["tpu"]
