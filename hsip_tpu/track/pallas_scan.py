@@ -201,7 +201,7 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px):
         recorded = detected & jnp.logical_not(stopped_now)
         is_post = (new_ddt >= 0) & (frame >= new_ddt)
 
-        # ---- per-step outputs ----
+        # ---- per-step outputs (SMEM blocks: these are scalars) ----
         out_final[0, 0, 0, 0] = final
         out_rec[0, 0, 0, 0] = recorded.astype(jnp.int32)
         out_post[0, 0, 0, 0] = is_post.astype(jnp.int32)
@@ -284,10 +284,11 @@ def pallas_tracking_scan_batched(
     fr = jnp.asarray(frame_rate, jnp.float32).reshape(n_videos)
     md = jnp.asarray(max_displacement_px, jnp.int32).reshape(n_videos)
 
-    # Mosaic-safe layouts: every blocked array's LAST TWO dims are fully
-    # covered by its block (leading dims blocked by 1) — the pattern the
-    # fused band kernel established; (1, 1) blocks over a trailing frame
-    # axis would violate the lane-dim tiling constraint.
+    # Layouts: per-step scalars (frame index, flags, outputs, latches) live
+    # in SMEM blocks — Mosaic rejects scalar stores to VMEM — while the
+    # (1, W) profile rows stream through VMEM with their blocks fully
+    # covering the trailing two dims (the fused band kernel's pattern).
+    # Validated by the cross-platform Mosaic lowering test (no chip needed).
     fidx = frame_indices.astype(jnp.int32).reshape(n_videos, m, 1, 1)
     empty_i = empty.astype(jnp.int32).reshape(n_videos, m, 1, 1)
     prior_i = has_prior.astype(jnp.int32).reshape(n_videos, m, 1, 1)
@@ -297,25 +298,30 @@ def pallas_tracking_scan_batched(
     kernel = _make_kernel(width, edge_margin_px, search_window_px,
                           exit_margin_px)
 
-    step_spec = pl.BlockSpec((1, 1, 1, 1), lambda v, i, *pf: (v, i, 0, 0))
+    # Lowering rules (enforced by Mosaic): blocks' last two dims must equal
+    # the array's (or be 8/128-divisible), and scalar loads/stores must use
+    # SMEM — hence (V, M, 1, 1) scalar arrays with (1, 1, 1, 1) SMEM blocks.
+    smem_step = pl.BlockSpec((1, 1, 1, 1), lambda v, i, *pf: (v, i, 0, 0),
+                             memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # thresholds, calibration, frame_rate, max_disp
         grid=(n_videos, m),
         in_specs=[
-            step_spec,  # frame_indices
-            step_spec,  # empty
-            step_spec,  # has_prior
+            smem_step,  # frame_indices
+            smem_step,  # empty
+            smem_step,  # has_prior
             pl.BlockSpec((1, 1, 1, w), lambda v, i, *pf: (v, i, 0, 0)),  # sobel
             pl.BlockSpec((1, 1, 1, w), lambda v, i, *pf: (v, i, 0, 0)),  # gradient
         ],
         out_specs=[
-            step_spec,  # final
-            step_spec,  # recorded
-            step_spec,  # is_post
-            step_spec,  # s0
-            step_spec,  # s1
+            smem_step,  # final
+            smem_step,  # recorded
+            smem_step,  # is_post
+            smem_step,  # s0
+            smem_step,  # s1
             # Per-video event latches: resident for a video's whole pass.
-            pl.BlockSpec((1, 1, 4), lambda v, i, *pf: (v, 0, 0)),
+            pl.BlockSpec((1, 1, 4), lambda v, i, *pf: (v, 0, 0),
+                         memory_space=pltpu.SMEM),
         ],
         scratch_shapes=[
             pltpu.SMEM((_N_I32,), jnp.int32),

@@ -236,3 +236,47 @@ def test_pallas_failure_falls_back_to_lax_scan(tmp_path):
             calibration_m_per_px=0.001, use_pallas_scan=False,
         )
     assert out.rows == ref.rows and len(out.rows) > 3
+
+
+def test_pallas_scan_lowers_for_tpu():
+    """Cross-platform Mosaic lowering: the kernel must pass the Pallas->TPU
+    lowering rules (scalar I/O in SMEM, block layout constraints) WITHOUT a
+    chip — this is what stands between interpret-mode parity and the real
+    hardware, and it caught scalar-store-to-VMEM and block-shape bugs."""
+    from hsip_tpu.track.pallas_scan import pallas_tracking_scan_batched
+
+    V, M, W = 2, 16, 1024
+    args = (
+        jnp.zeros((V, M), jnp.int32),
+        jnp.zeros((V, M, W), jnp.float32),
+        jnp.zeros((V, M, W), jnp.float32),
+        jnp.zeros((V, M), bool),
+        jnp.ones((V, M), bool),
+    )
+    kw = dict(
+        width=W,
+        min_gradient_strength=jnp.float32(10.0),
+        sobel_threshold_fraction=jnp.float32(0.1),
+        ddt_velocity_jump=jnp.float32(1250.0),
+        calibration=jnp.ones(V, jnp.float32),
+        frame_rate=jnp.full(V, 1e5, jnp.float32),
+        max_displacement_px=jnp.full(V, 3, jnp.int32),
+    )
+    f = jax.jit(lambda *a: pallas_tracking_scan_batched(*a, **kw))
+    low = f.trace(*args).lower(lowering_platforms=("tpu",))
+    assert "tpu_custom_call" in low.as_text()
+
+
+def test_band_preprocess_lowers_for_tpu():
+    """Same cross-platform lowering gate for the fused band kernel."""
+    import numpy as np
+
+    from hsip_tpu.kernels.pallas_preprocess import pallas_band_profiles
+
+    band = jnp.zeros((4, 19, 1024), jnp.float32)
+    pidx = np.arange(-1, 3, dtype=np.int32)
+    f = jax.jit(
+        lambda b: pallas_band_profiles(b, np.maximum(pidx, 0), jnp.float32(5.0))
+    )
+    low = f.trace(band).lower(lowering_platforms=("tpu",))
+    assert "tpu_custom_call" in low.as_text()
