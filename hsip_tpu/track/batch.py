@@ -31,6 +31,11 @@ from .tracker import FlameTracker
 
 __all__ = ["track_collection_device", "ScanHistory", "build_device_scan_output"]
 
+# Tracking-scan kernel selection: "auto" (Pallas on TPU backends, lax.scan
+# elsewhere), "off" (always lax.scan), "interpret" (Pallas in interpret
+# mode — tests exercise the kernel path, incl. under shard_map, on CPU).
+_PALLAS_MODE = "auto"
+
 
 class ScanHistory:
     """Tracker-shaped view over device-scan results (velocity history, DDT).
@@ -337,41 +342,75 @@ def _track_uniform_videos(
 
     # --- one device scan over the whole video axis ---
     # On TPU the default tracker runs as a single batched Pallas kernel
-    # (grid (V, M), per-video state reset — track/pallas_scan.py); other
-    # methods/widths/backends and the mesh-sharded path use the vmapped
-    # lax.scan. Both are bit-identical by contract.
+    # (grid (V, M), per-video state reset — track/pallas_scan.py); under a
+    # mesh the same kernel runs per device via shard_map over the video
+    # axis. Other methods/widths/backends use the vmapped lax.scan. All
+    # paths are bit-identical by contract.
     from ..utils.backend import is_tpu_backend
     from .pallas_scan import pallas_tracking_scan_batched, supports_pallas_scan
 
+    pallas_interpret = _PALLAS_MODE == "interpret"
     use_pallas = (
-        mesh is None
+        _PALLAS_MODE != "off"
         and n_max > 0
-        and is_tpu_backend()
+        and (pallas_interpret or is_tpu_backend())
         and supports_pallas_scan(w, method)
     )
     if use_pallas:
         import numpy as _np
 
-        try:
-            res = pallas_tracking_scan_batched(
-                jnp.asarray(fi),
-                sob,
-                grad,
-                jnp.asarray(empty),
-                jnp.asarray(has_prior),
+        def kernel_scan(fi_l, sob_l, grad_l, empty_l, hp_l,
+                        cal_l, fps_l, md_l):
+            return pallas_tracking_scan_batched(
+                fi_l, sob_l, grad_l, empty_l, hp_l,
                 width=w,
-                min_gradient_strength=_np.float32(config.min_gradient_strength),
+                min_gradient_strength=_np.float32(
+                    config.min_gradient_strength
+                ),
                 sobel_threshold_fraction=_np.float32(
                     config.sobel_threshold_fraction
                 ),
                 ddt_velocity_jump=_np.float32(config.ddt_velocity_jump_m_s),
-                calibration=jnp.asarray(cals),
-                frame_rate=jnp.asarray(fpss),
-                max_displacement_px=jnp.asarray(max_disps),
+                calibration=cal_l,
+                frame_rate=fps_l,
+                max_displacement_px=md_l,
                 edge_margin_px=config.edge_margin_px,
                 search_window_px=config.search_window_px,
                 exit_margin_px=config.exit_margin_px,
+                interpret=pallas_interpret,
             )
+
+        try:
+            kern_args = (
+                jnp.asarray(fi), sob, grad,
+                jnp.asarray(empty), jnp.asarray(has_prior),
+                jnp.asarray(cals), jnp.asarray(fpss), jnp.asarray(max_disps),
+            )
+            if mesh is not None:
+                # Each device runs the single-kernel scan over ITS videos
+                # (V is already padded to the axis size).
+                from jax import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                from .device_scan import DeviceScanResult
+
+                vm = P(video_axis, None)
+                vmw = P(video_axis, None, None)
+                vs = P(video_axis)
+                res = jax.jit(shard_map(
+                    kernel_scan,
+                    mesh=mesh,
+                    in_specs=(vm, vmw, vmw, vm, vm, vs, vs, vs),
+                    out_specs=DeviceScanResult(
+                        final_position=vm, recorded=vm, is_post_ddt=vm,
+                        search_start=vm, search_end=vm,
+                        stop_step=vs, stop_reason=vs,
+                        ddt_frame=vs, clear_vc_entry=vs,
+                    ),
+                    check_vma=False,
+                ))(*kern_args)
+            else:
+                res = kernel_scan(*kern_args)
         except Exception as exc:  # noqa: BLE001 — bit-identical fallback
             # Degrade to the vmapped lax.scan (identical outputs) rather
             # than abort a whole library batch on a kernel failure. ONLY

@@ -280,3 +280,86 @@ def test_band_preprocess_lowers_for_tpu():
     )
     low = f.trace(band).lower(lowering_platforms=("tpu",))
     assert "tpu_custom_call" in low.as_text()
+
+
+def test_pallas_scan_under_mesh_shard_map(tmp_path, monkeypatch):
+    """The kernel path also serves the mesh-sharded library mode: shard_map
+    over the video axis (interpret mode on the virtual CPU mesh) produces
+    tables identical to the lax.scan mesh path."""
+    import hsip_tpu.track.batch as batch_mod
+    from hsip_tpu import open_collection
+    from hsip_tpu.parallel import make_mesh
+    from hsip_tpu.track.batch import track_collection_device
+
+    for i in range(3):
+        frames, _ = synthesize_flame_video(
+            18 + 4 * i, height=32, width=256,
+            flame=FlameSpec(x0=22.0 + i, v0_px=7.0 + i, ignition_frame=2,
+                            seed=70 + i),
+        )
+        write_recording(tmp_path, f"mesh-run-{i + 1}-001", frames)
+
+    mesh = make_mesh("video", n_devices=4)
+
+    def run():
+        with open_collection(str(tmp_path)) as coll:
+            return track_collection_device(
+                coll, FlameDetectorConfig(), mesh=mesh
+            )
+
+    monkeypatch.setattr(batch_mod, "_PALLAS_MODE", "interpret")
+    outs_pallas = run()
+    monkeypatch.setattr(batch_mod, "_PALLAS_MODE", "off")
+    outs_lax = run()
+    assert len(outs_pallas) == len(outs_lax) == 3
+    for a, b in zip(outs_pallas, outs_lax):
+        assert a.rows == b.rows and len(a.rows) > 3
+        assert a.break_reason == b.break_reason
+        assert a.tracker.get_velocity_history() == b.tracker.get_velocity_history()
+
+
+def test_mesh_pallas_scan_lowers_for_tpu():
+    """Cross-platform Mosaic lowering of the shard_map'd kernel (the mesh
+    library path) — per-device pallas_call must survive partitioning."""
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from hsip_tpu.parallel import make_mesh
+    from hsip_tpu.track.device_scan import DeviceScanResult
+    from hsip_tpu.track.pallas_scan import pallas_tracking_scan_batched
+
+    mesh = make_mesh("video", n_devices=4)
+    V, M, W = 4, 16, 1024
+    kw = dict(
+        width=W,
+        min_gradient_strength=np.float32(10.0),
+        sobel_threshold_fraction=np.float32(0.1),
+        ddt_velocity_jump=np.float32(1250.0),
+    )
+
+    def kernel_scan(fi, sob, grad, empty, hp, cal, fps, md):
+        return pallas_tracking_scan_batched(
+            fi, sob, grad, empty, hp,
+            calibration=cal, frame_rate=fps, max_displacement_px=md, **kw,
+        )
+
+    vm, vmw, vs = P("video", None), P("video", None, None), P("video")
+    f = jax.jit(shard_map(
+        kernel_scan, mesh=mesh,
+        in_specs=(vm, vmw, vmw, vm, vm, vs, vs, vs),
+        out_specs=DeviceScanResult(
+            final_position=vm, recorded=vm, is_post_ddt=vm,
+            search_start=vm, search_end=vm,
+            stop_step=vs, stop_reason=vs, ddt_frame=vs, clear_vc_entry=vs,
+        ),
+        check_vma=False,
+    ))
+    args = (
+        jnp.zeros((V, M), jnp.int32), jnp.zeros((V, M, W), jnp.float32),
+        jnp.zeros((V, M, W), jnp.float32), jnp.zeros((V, M), bool),
+        jnp.ones((V, M), bool), jnp.ones(V, jnp.float32),
+        jnp.full(V, 1e5, jnp.float32), jnp.full(V, 3, jnp.int32),
+    )
+    low = f.trace(*args).lower(lowering_platforms=("tpu",))
+    assert "tpu_custom_call" in low.as_text()
