@@ -23,7 +23,7 @@ from .metadata import MetadataConfig
 from .collection import VideoCollection
 from .io.cihx import parse_cihx_xml
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 
 def open_video(
