@@ -207,7 +207,7 @@ def reference_tables(ref, video_dir, tmp_path_factory):
     return tables
 
 
-@pytest.mark.parametrize("backend", ["tpu", "device"])
+@pytest.mark.parametrize("backend", ["tpu", "device", "exact"])
 def test_tables_byte_identical_to_reference(
     reference_tables, video_dir, tmp_path, backend
 ):
