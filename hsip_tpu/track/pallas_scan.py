@@ -66,8 +66,10 @@ def supports_pallas_scan(width: int, method: str) -> bool:
     return method == "combined" and width % 128 == 0
 
 
-def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px):
+def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
+                 frames_per_step=1):
     w = width
+    K = frames_per_step
 
     def kernel(pf, cal_ref, fr_ref, md_ref,
                fidx_ref, empty_ref, prior_ref, sob_ref, grad_ref,
@@ -100,139 +102,147 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px):
         calibration = cal_ref[v]
         frame_rate = fr_ref[v]
         max_disp = md_ref[v]
-
-        frame = fidx_ref[0, 0, 0, 0]
-        is_empty = empty_ref[0, 0, 0, 0]
-        prior_ok = prior_ref[0, 0, 0, 0]
-
-        stopped = st_i[_STOPPED]
-        active = (stopped == 0) & (is_empty == 0)
-
-        # ---- search bounds (velocity-constrained, monotone rightward) ----
-        lv_pos = st_i[_LV_POS]
-        lv_frame = st_i[_LV_FRAME]
-        no_hist = lv_pos < 0
-        frames_elapsed = jnp.maximum(1, frame - lv_frame)
-        s0 = jnp.where(no_hist, edge_margin_px, lv_pos)
-        s1 = jnp.where(
-            no_hist,
-            w - edge_margin_px,
-            jnp.minimum(
-                w - edge_margin_px,
-                lv_pos + max_disp * frames_elapsed + search_window_px,
-            ),
-        )
-        window_nonempty = s1 > s0
-
-        # ---- candidates ('combined': min-gradient + rightmost-Sobel) ----
         cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
-        in_window = (cols >= s0) & (cols < s1)
-        sob = sob_ref[0, 0]    # (1, W)
-        grad = grad_ref[0, 0]
 
-        grad_m = jnp.where(in_window, grad, _POS)
-        gmin = jnp.min(grad_m)
-        # First-occurrence argmin, reproduced as an index reduction (exact).
-        pos_g = jnp.min(jnp.where(grad_m == gmin, cols, _BIG_I)).astype(jnp.int32)
-        g_ok = window_nonempty & (gmin < -min_grad)
+        # K frames per grid step (statically unrolled): amortizes the
+        # per-step grid + DMA overhead; K=1 is the plain per-frame scan.
+        for j in range(K):
+            step_idx = i * K + j
+            frame = fidx_ref[0, j, 0, 0]
+            is_empty = empty_ref[0, j, 0, 0]
+            prior_ok = prior_ref[0, j, 0, 0]
 
-        abs_sob = jnp.where(in_window, jnp.abs(sob), _NEG)
-        smax = jnp.max(abs_sob)
-        above = in_window & (abs_sob > smax * sobel_frac)
-        pos_s = jnp.max(jnp.where(above, cols, -1)).astype(jnp.int32)
-        s_ok = window_nonempty & (smax > min_grad) & (pos_s >= 0)
+            stopped = st_i[_STOPPED]
+            active = (stopped == 0) & (is_empty == 0)
 
-        final = jnp.maximum(
-            jnp.where(g_ok, pos_g, -1), jnp.where(s_ok, pos_s, -1)
-        )
-        final = jnp.where(window_nonempty, final, -1)
-        final = jnp.where(active & (prior_ok != 0), final, -1)
-        detected = active & (final >= 0)
+            # ---- search bounds (velocity-constrained, monotone right) ----
+            lv_pos = st_i[_LV_POS]
+            lv_frame = st_i[_LV_FRAME]
+            no_hist = lv_pos < 0
+            frames_elapsed = jnp.maximum(1, frame - lv_frame)
+            s0 = jnp.where(no_hist, edge_margin_px, lv_pos)
+            s1 = jnp.where(
+                no_hist,
+                w - edge_margin_px,
+                jnp.minimum(
+                    w - edge_margin_px,
+                    lv_pos + max_disp * frames_elapsed + search_window_px,
+                ),
+            )
+            window_nonempty = s1 > s0
 
-        # ---- history append (every active step) ----
-        p1_frame = st_i[_P1_FRAME]
-        p1_pos = st_i[_P1_POS]
-        new_p1_frame = jnp.where(active, frame, p1_frame)
-        new_p1_pos = jnp.where(active, final, p1_pos)
-        new_lv_pos = jnp.where(detected, final, lv_pos)
-        new_lv_frame = jnp.where(detected, frame, lv_frame)
+            # ---- candidates (min-gradient + rightmost-Sobel) ----
+            in_window = (cols >= s0) & (cols < s1)
+            sob = sob_ref[0, j]    # (1, W)
+            grad = grad_ref[0, j]
 
-        # ---- velocities (mirrors FlameTracker._update_velocities) ----
-        v_latest = st_f[_V_LATEST]
-        v_prev = st_f[_V_PREV]
-        vl_ok = st_i[_VL_OK]
-        vp_ok = st_i[_VP_OK]
-        n_entries = st_i[_N_ENTRIES]
-        have_prev_entry = active & (p1_pos >= 0) & detected
-        dt = (frame - p1_frame).astype(jnp.float32) / frame_rate
-        vel_ok = have_prev_entry & (dt > 0) & (frame_rate > 0)
-        v1 = jnp.where(
-            vel_ok,
-            (final - p1_pos).astype(jnp.float32) * calibration / dt,
-            jnp.float32(0.0),
-        )
-        new_v_prev = jnp.where(vel_ok, v_latest, v_prev)
-        new_vp_ok = jnp.where(vel_ok, vl_ok, vp_ok)
-        new_v_latest = jnp.where(vel_ok, v1, v_latest)
-        new_vl_ok = jnp.where(vel_ok, 1, vl_ok)
-        new_n_entries = n_entries + jnp.where(vel_ok, 1, 0)
+            grad_m = jnp.where(in_window, grad, _POS)
+            gmin = jnp.min(grad_m)
+            # First-occurrence argmin as an index reduction (exact).
+            pos_g = jnp.min(
+                jnp.where(grad_m == gmin, cols, _BIG_I)
+            ).astype(jnp.int32)
+            g_ok = window_nonempty & (gmin < -min_grad)
 
-        # ---- DDT latch ----
-        ddt = st_i[_DDT]
-        ddt_hit = (
-            vel_ok & (ddt < 0) & (vl_ok != 0) & (v1 - v_latest > ddt_jump)
-        )
-        new_ddt = jnp.where(ddt_hit, frame, ddt)
+            abs_sob = jnp.where(in_window, jnp.abs(sob), _NEG)
+            smax = jnp.max(abs_sob)
+            above = in_window & (abs_sob > smax * sobel_frac)
+            pos_s = jnp.max(jnp.where(above, cols, -1)).astype(jnp.int32)
+            s_ok = window_nonempty & (smax > min_grad) & (pos_s >= 0)
 
-        # ---- exit / velocity-drop truncation ----
-        exit_hit = detected & (final >= w - exit_margin_px)
-        vel_now_ok = (new_vl_ok != 0) & (new_n_entries >= 1)
-        prev_ok = (new_vp_ok != 0) & (new_n_entries >= 2)
-        vdrop_hit = (
-            active
-            & jnp.logical_not(exit_hit)
-            & vel_now_ok
-            & prev_ok
-            & (new_v_prev > 100.0)
-            & ((new_v_prev - new_v_latest) / new_v_prev > 0.5)
-        )
-        stopped_now = exit_hit | vdrop_hit
+            final = jnp.maximum(
+                jnp.where(g_ok, pos_g, -1), jnp.where(s_ok, pos_s, -1)
+            )
+            final = jnp.where(window_nonempty, final, -1)
+            final = jnp.where(active & (prior_ok != 0), final, -1)
+            detected = active & (final >= 0)
 
-        recorded = detected & jnp.logical_not(stopped_now)
-        is_post = (new_ddt >= 0) & (frame >= new_ddt)
+            # ---- history append (every active step) ----
+            p1_frame = st_i[_P1_FRAME]
+            p1_pos = st_i[_P1_POS]
+            new_p1_frame = jnp.where(active, frame, p1_frame)
+            new_p1_pos = jnp.where(active, final, p1_pos)
+            new_lv_pos = jnp.where(detected, final, lv_pos)
+            new_lv_frame = jnp.where(detected, frame, lv_frame)
 
-        # ---- per-step outputs (SMEM blocks: these are scalars) ----
-        out_final[0, 0, 0, 0] = final
-        out_rec[0, 0, 0, 0] = recorded.astype(jnp.int32)
-        out_post[0, 0, 0, 0] = is_post.astype(jnp.int32)
-        out_s0[0, 0, 0, 0] = s0
-        out_s1[0, 0, 0, 0] = s1
+            # ---- velocities (mirrors FlameTracker._update_velocities) ----
+            v_latest = st_f[_V_LATEST]
+            v_prev = st_f[_V_PREV]
+            vl_ok = st_i[_VL_OK]
+            vp_ok = st_i[_VP_OK]
+            n_entries = st_i[_N_ENTRIES]
+            have_prev_entry = active & (p1_pos >= 0) & detected
+            dt = (frame - p1_frame).astype(jnp.float32) / frame_rate
+            vel_ok = have_prev_entry & (dt > 0) & (frame_rate > 0)
+            v1 = jnp.where(
+                vel_ok,
+                (final - p1_pos).astype(jnp.float32) * calibration / dt,
+                jnp.float32(0.0),
+            )
+            new_v_prev = jnp.where(vel_ok, v_latest, v_prev)
+            new_vp_ok = jnp.where(vel_ok, vl_ok, vp_ok)
+            new_v_latest = jnp.where(vel_ok, v1, v_latest)
+            new_vl_ok = jnp.where(vel_ok, 1, vl_ok)
+            new_n_entries = n_entries + jnp.where(vel_ok, 1, 0)
 
-        # ---- scalar event outputs (resident block, write-once latches) ----
-        first_stop = stopped_now & (out_scal[0, 0, 0] < 0)
-        out_scal[0, 0, 0] = jnp.where(first_stop, i, out_scal[0, 0, 0])
-        out_scal[0, 0, 1] = jnp.where(
-            first_stop, jnp.where(exit_hit, 1, 2), out_scal[0, 0, 1]
-        )
-        out_scal[0, 0, 2] = new_ddt
-        out_scal[0, 0, 3] = jnp.where(
-            stopped_now & (new_n_entries >= 2) & (out_scal[0, 0, 3] < 0),
-            new_n_entries - 2,
-            out_scal[0, 0, 3],
-        )
+            # ---- DDT latch ----
+            ddt = st_i[_DDT]
+            ddt_hit = (
+                vel_ok & (ddt < 0) & (vl_ok != 0) & (v1 - v_latest > ddt_jump)
+            )
+            new_ddt = jnp.where(ddt_hit, frame, ddt)
 
-        # ---- state update ----
-        st_i[_LV_POS] = new_lv_pos
-        st_i[_LV_FRAME] = new_lv_frame
-        st_i[_P1_FRAME] = new_p1_frame
-        st_i[_P1_POS] = new_p1_pos
-        st_i[_VL_OK] = new_vl_ok
-        st_i[_VP_OK] = new_vp_ok
-        st_i[_N_ENTRIES] = new_n_entries
-        st_i[_DDT] = new_ddt
-        st_i[_STOPPED] = jnp.where(stopped_now, 1, stopped)
-        st_f[_V_LATEST] = new_v_latest
-        st_f[_V_PREV] = new_v_prev
+            # ---- exit / velocity-drop truncation ----
+            exit_hit = detected & (final >= w - exit_margin_px)
+            vel_now_ok = (new_vl_ok != 0) & (new_n_entries >= 1)
+            prev_ok = (new_vp_ok != 0) & (new_n_entries >= 2)
+            vdrop_hit = (
+                active
+                & jnp.logical_not(exit_hit)
+                & vel_now_ok
+                & prev_ok
+                & (new_v_prev > 100.0)
+                & ((new_v_prev - new_v_latest) / new_v_prev > 0.5)
+            )
+            stopped_now = exit_hit | vdrop_hit
+
+            recorded = detected & jnp.logical_not(stopped_now)
+            is_post = (new_ddt >= 0) & (frame >= new_ddt)
+
+            # ---- per-step outputs (SMEM blocks: scalars) ----
+            out_final[0, j, 0, 0] = final
+            out_rec[0, j, 0, 0] = recorded.astype(jnp.int32)
+            out_post[0, j, 0, 0] = is_post.astype(jnp.int32)
+            out_s0[0, j, 0, 0] = s0
+            out_s1[0, j, 0, 0] = s1
+
+            # ---- event latches (resident block, write-once) ----
+            first_stop = stopped_now & (out_scal[0, 0, 0] < 0)
+            out_scal[0, 0, 0] = jnp.where(
+                first_stop, step_idx, out_scal[0, 0, 0]
+            )
+            out_scal[0, 0, 1] = jnp.where(
+                first_stop, jnp.where(exit_hit, 1, 2), out_scal[0, 0, 1]
+            )
+            out_scal[0, 0, 2] = new_ddt
+            out_scal[0, 0, 3] = jnp.where(
+                stopped_now & (new_n_entries >= 2) & (out_scal[0, 0, 3] < 0),
+                new_n_entries - 2,
+                out_scal[0, 0, 3],
+            )
+
+            # ---- state update ----
+            st_i[_LV_POS] = new_lv_pos
+            st_i[_LV_FRAME] = new_lv_frame
+            st_i[_P1_FRAME] = new_p1_frame
+            st_i[_P1_POS] = new_p1_pos
+            st_i[_VL_OK] = new_vl_ok
+            st_i[_VP_OK] = new_vp_ok
+            st_i[_N_ENTRIES] = new_n_entries
+            st_i[_DDT] = new_ddt
+            st_i[_STOPPED] = jnp.where(stopped_now, 1, stopped)
+            st_f[_V_LATEST] = new_v_latest
+            st_f[_V_PREV] = new_v_prev
 
     return kernel
 
@@ -245,6 +255,7 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px):
         "search_window_px",
         "exit_margin_px",
         "interpret",
+        "frames_per_step",
     ),
 )
 def pallas_tracking_scan_batched(
@@ -264,16 +275,32 @@ def pallas_tracking_scan_batched(
     search_window_px: int = 100,
     exit_margin_px: int = 15,
     interpret: bool = False,
+    frames_per_step: int = 1,
 ) -> DeviceScanResult:
-    """Whole-batch tracking scan: one kernel, grid (V, M), state resets per
-    video. Result fields are (V, M) / (V,) — the same structure as
-    ``vmap(device_tracking_scan)``, to which it is bit-identical.
+    """Whole-batch tracking scan: one kernel, grid (V, ceil(M/K)), state
+    resets per video. Result fields are (V, M) / (V,) — the same structure
+    as ``vmap(device_tracking_scan)``, to which it is bit-identical.
+
+    ``frames_per_step`` (K) statically unrolls K frames per grid step to
+    amortize grid/DMA overhead; the frame axis pads to a K multiple with
+    inert (empty) rows, which never touch state.
     """
     n_videos, m, w = sobel_lines.shape
     if w != width:
         raise ValueError(f"width {width} != profile width {w}")
     if m == 0 or n_videos == 0:
         raise ValueError("empty scan (caller handles zero-size batches)")
+    K = int(frames_per_step)
+    m_pad = -(-m // K) * K
+    if m_pad != m:
+        pad = m_pad - m
+        frame_indices = jnp.pad(frame_indices, ((0, 0), (0, pad)))
+        sobel_lines = jnp.pad(sobel_lines, ((0, 0), (0, pad), (0, 0)))
+        gradient_lines = jnp.pad(gradient_lines, ((0, 0), (0, pad), (0, 0)))
+        # Inert padding: empty rows advance nothing in the state machine.
+        empty = jnp.pad(empty, ((0, 0), (0, pad)), constant_values=True)
+        has_prior = jnp.pad(has_prior, ((0, 0), (0, pad)),
+                            constant_values=True)
 
     params_f = jnp.stack([
         jnp.asarray(min_gradient_strength, jnp.float32),
@@ -289,29 +316,29 @@ def pallas_tracking_scan_batched(
     # (1, W) profile rows stream through VMEM with their blocks fully
     # covering the trailing two dims (the fused band kernel's pattern).
     # Validated by the cross-platform Mosaic lowering test (no chip needed).
-    fidx = frame_indices.astype(jnp.int32).reshape(n_videos, m, 1, 1)
-    empty_i = empty.astype(jnp.int32).reshape(n_videos, m, 1, 1)
-    prior_i = has_prior.astype(jnp.int32).reshape(n_videos, m, 1, 1)
-    sob4 = sobel_lines.reshape(n_videos, m, 1, w)
-    grad4 = gradient_lines.reshape(n_videos, m, 1, w)
+    fidx = frame_indices.astype(jnp.int32).reshape(n_videos, m_pad, 1, 1)
+    empty_i = empty.astype(jnp.int32).reshape(n_videos, m_pad, 1, 1)
+    prior_i = has_prior.astype(jnp.int32).reshape(n_videos, m_pad, 1, 1)
+    sob4 = sobel_lines.reshape(n_videos, m_pad, 1, w)
+    grad4 = gradient_lines.reshape(n_videos, m_pad, 1, w)
 
     kernel = _make_kernel(width, edge_margin_px, search_window_px,
-                          exit_margin_px)
+                          exit_margin_px, frames_per_step=K)
 
     # Lowering rules (enforced by Mosaic): blocks' last two dims must equal
     # the array's (or be 8/128-divisible), and scalar loads/stores must use
-    # SMEM — hence (V, M, 1, 1) scalar arrays with (1, 1, 1, 1) SMEM blocks.
-    smem_step = pl.BlockSpec((1, 1, 1, 1), lambda v, i, *pf: (v, i, 0, 0),
+    # SMEM — hence (V, M, 1, 1) scalar arrays with (1, K, 1, 1) SMEM blocks.
+    smem_step = pl.BlockSpec((1, K, 1, 1), lambda v, i, *pf: (v, i, 0, 0),
                              memory_space=pltpu.SMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # thresholds, calibration, frame_rate, max_disp
-        grid=(n_videos, m),
+        grid=(n_videos, m_pad // K),
         in_specs=[
             smem_step,  # frame_indices
             smem_step,  # empty
             smem_step,  # has_prior
-            pl.BlockSpec((1, 1, 1, w), lambda v, i, *pf: (v, i, 0, 0)),  # sobel
-            pl.BlockSpec((1, 1, 1, w), lambda v, i, *pf: (v, i, 0, 0)),  # gradient
+            pl.BlockSpec((1, K, 1, w), lambda v, i, *pf: (v, i, 0, 0)),  # sobel
+            pl.BlockSpec((1, K, 1, w), lambda v, i, *pf: (v, i, 0, 0)),  # gradient
         ],
         out_specs=[
             smem_step,  # final
@@ -333,21 +360,21 @@ def pallas_tracking_scan_batched(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_videos, m, 1, 1), i32),
-            jax.ShapeDtypeStruct((n_videos, m, 1, 1), i32),
-            jax.ShapeDtypeStruct((n_videos, m, 1, 1), i32),
-            jax.ShapeDtypeStruct((n_videos, m, 1, 1), i32),
-            jax.ShapeDtypeStruct((n_videos, m, 1, 1), i32),
+            jax.ShapeDtypeStruct((n_videos, m_pad, 1, 1), i32),
+            jax.ShapeDtypeStruct((n_videos, m_pad, 1, 1), i32),
+            jax.ShapeDtypeStruct((n_videos, m_pad, 1, 1), i32),
+            jax.ShapeDtypeStruct((n_videos, m_pad, 1, 1), i32),
+            jax.ShapeDtypeStruct((n_videos, m_pad, 1, 1), i32),
             jax.ShapeDtypeStruct((n_videos, 1, 4), i32),
         ],
         interpret=interpret,
     )(params_f, cal, fr, md, fidx, empty_i, prior_i, sob4, grad4)
 
-    finals = finals[:, :, 0, 0]
-    recs = recs[:, :, 0, 0]
-    posts = posts[:, :, 0, 0]
-    s0s = s0s[:, :, 0, 0]
-    s1s = s1s[:, :, 0, 0]
+    finals = finals[:, :m, 0, 0]
+    recs = recs[:, :m, 0, 0]
+    posts = posts[:, :m, 0, 0]
+    s0s = s0s[:, :m, 0, 0]
+    s1s = s1s[:, :m, 0, 0]
     scal = scal[:, 0, :]
     return DeviceScanResult(
         final_position=finals,

@@ -363,3 +363,63 @@ def test_mesh_pallas_scan_lowers_for_tpu():
     )
     low = f.trace(*args).lower(lowering_platforms=("tpu",))
     assert "tpu_custom_call" in low.as_text()
+
+
+@pytest.mark.parametrize("k_frames", [4, 8])
+def test_pallas_scan_frames_per_step_parity(k_frames):
+    """The K-frames-per-grid-step unroll (incl. inert tail padding when
+    K doesn't divide M) is bit-identical to the K=1 scan."""
+    from hsip_tpu.track.pallas_scan import pallas_tracking_scan_batched
+
+    p, empty = _video_profiles(
+        FlameSpec(x0=22.0, v0_px=7.0, accel_px=0.05, ignition_frame=2,
+                  seed=31),
+        n=38,  # not a multiple of 4 or 8 -> exercises the pad path
+    )
+    m = p.frame_indices.size
+    args = (
+        jnp.asarray(np.asarray(p.frame_indices, np.int32)[None]),
+        jnp.asarray(np.asarray(p.sobel_lines)[None]),
+        jnp.asarray(np.asarray(p.gradient_lines)[None]),
+        jnp.asarray(np.asarray(empty)[None]),
+        jnp.asarray(np.asarray(p.has_prior)[None]),
+    )
+    kw = dict(
+        width=p.width,
+        min_gradient_strength=np.float32(10.0),
+        sobel_threshold_fraction=np.float32(0.1),
+        ddt_velocity_jump=np.float32(1250.0),
+        calibration=jnp.full(1, 0.001, jnp.float32),
+        frame_rate=jnp.full(1, 1e5, jnp.float32),
+        max_displacement_px=jnp.full(1, 3, jnp.int32),
+        interpret=True,
+    )
+    base = pallas_tracking_scan_batched(*args, **kw)
+    unrolled = pallas_tracking_scan_batched(
+        *args, frames_per_step=k_frames, **kw
+    )
+    _assert_identical(base, unrolled)
+    assert base.final_position.shape == (1, m)
+
+
+def test_pallas_scan_frames_per_step_lowers_for_tpu():
+    from hsip_tpu.track.pallas_scan import pallas_tracking_scan_batched
+
+    V, M, W = 2, 40, 1024  # M not a multiple of 8
+    args = (
+        jnp.zeros((V, M), jnp.int32), jnp.zeros((V, M, W), jnp.float32),
+        jnp.zeros((V, M, W), jnp.float32), jnp.zeros((V, M), bool),
+        jnp.ones((V, M), bool),
+    )
+    kw = dict(
+        width=W, min_gradient_strength=jnp.float32(10.0),
+        sobel_threshold_fraction=jnp.float32(0.1),
+        ddt_velocity_jump=jnp.float32(1250.0),
+        calibration=jnp.ones(V, jnp.float32),
+        frame_rate=jnp.full(V, 1e5, jnp.float32),
+        max_displacement_px=jnp.full(V, 3, jnp.int32),
+        frames_per_step=8,
+    )
+    f = jax.jit(lambda *a: pallas_tracking_scan_batched(*a, **kw))
+    low = f.trace(*args).lower(lowering_platforms=("tpu",))
+    assert "tpu_custom_call" in low.as_text()
