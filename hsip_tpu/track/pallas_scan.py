@@ -355,6 +355,12 @@ def pallas_tracking_scan_batched(
             pltpu.SMEM((_N_F32,), jnp.float32),
         ],
     )
+    # Videos are independent (state resets at frame 0), so the V axis may
+    # split across Megacore TensorCores; the frame axis must stay
+    # sequential ('arbitrary') — it carries the tracker state.
+    compiler_params = pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary"),
+    )
     i32 = jnp.int32
     finals, recs, posts, s0s, s1s, scal = pl.pallas_call(
         kernel,
@@ -368,6 +374,7 @@ def pallas_tracking_scan_batched(
             jax.ShapeDtypeStruct((n_videos, 1, 4), i32),
         ],
         interpret=interpret,
+        compiler_params=compiler_params,
     )(params_f, cal, fr, md, fidx, empty_i, prior_i, sob4, grad4)
 
     finals = finals[:, :m, 0, 0]
