@@ -347,7 +347,11 @@ def _track_uniform_videos(
     # axis. Other methods/widths/backends use the vmapped lax.scan. All
     # paths are bit-identical by contract.
     from ..utils.backend import is_tpu_backend
-    from .pallas_scan import pallas_tracking_scan_batched, supports_pallas_scan
+    from .pallas_scan import (
+        default_frames_per_step,
+        pallas_tracking_scan_batched,
+        supports_pallas_scan,
+    )
 
     pallas_interpret = _PALLAS_MODE == "interpret"
     use_pallas = (
@@ -378,6 +382,7 @@ def _track_uniform_videos(
                 search_window_px=config.search_window_px,
                 exit_margin_px=config.exit_margin_px,
                 interpret=pallas_interpret,
+                frames_per_step=default_frames_per_step(),
             )
 
         try:

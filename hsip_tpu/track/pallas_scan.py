@@ -40,10 +40,28 @@ from jax.experimental.pallas import tpu as pltpu
 from .device_scan import DeviceScanResult
 
 __all__ = [
+    "default_frames_per_step",
     "pallas_tracking_scan",
     "pallas_tracking_scan_batched",
     "supports_pallas_scan",
 ]
+
+
+def default_frames_per_step() -> int:
+    """Frames unrolled per grid step (K) used by the pipeline call sites.
+
+    Tunable via ``HSIP_PALLAS_SCAN_K`` so ``tools/chip_autotune.py`` sweeps
+    can be replayed against the full pipeline without code edits. K=1 is
+    the measured-safe default until a chip sweep says otherwise; any K is
+    bit-identical by contract (padding rows are inert).
+    """
+    import os
+
+    try:
+        k = int(os.environ.get("HSIP_PALLAS_SCAN_K", "1"))
+    except ValueError:
+        return 1
+    return max(1, k)
 
 # numpy scalars (not jnp): jnp constants would be captured as traced
 # closure consts, which pallas_call rejects.
@@ -413,6 +431,7 @@ def pallas_tracking_scan(
     search_window_px: int = 100,
     exit_margin_px: int = 15,
     interpret: bool = False,
+    frames_per_step: int = 1,
 ) -> DeviceScanResult:
     """Single-video kernel scan ('combined' method), lax.scan-bit-identical.
 
@@ -441,6 +460,7 @@ def pallas_tracking_scan(
         search_window_px=search_window_px,
         exit_margin_px=exit_margin_px,
         interpret=interpret,
+        frames_per_step=frames_per_step,
     )
     return DeviceScanResult(
         final_position=res.final_position[0],

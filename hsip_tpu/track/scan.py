@@ -644,7 +644,11 @@ def run_tracking_scan_device(
 
     import jax
 
-    from .pallas_scan import pallas_tracking_scan, supports_pallas_scan
+    from .pallas_scan import (
+        default_frames_per_step,
+        pallas_tracking_scan,
+        supports_pallas_scan,
+    )
 
     if use_pallas_scan is None:
         from ..utils.backend import is_tpu_backend
@@ -673,6 +677,7 @@ def run_tracking_scan_device(
                 edge_margin_px=config.edge_margin_px,
                 search_window_px=config.search_window_px,
                 exit_margin_px=config.exit_margin_px,
+                frames_per_step=default_frames_per_step(),
             )
         except Exception as exc:  # noqa: BLE001 — bit-identical fallback
             # A Mosaic lowering/runtime failure must degrade to the

@@ -423,3 +423,51 @@ def test_pallas_scan_frames_per_step_lowers_for_tpu():
     f = jax.jit(lambda *a: pallas_tracking_scan_batched(*a, **kw))
     low = f.trace(*args).lower(lowering_platforms=("tpu",))
     assert "tpu_custom_call" in low.as_text()
+
+def test_default_frames_per_step_env_knob(monkeypatch):
+    """HSIP_PALLAS_SCAN_K drives the pipeline's unroll choice (clamped,
+    garbage-tolerant) — the replay contract for tools/chip_autotune.py."""
+    from hsip_tpu.track.pallas_scan import default_frames_per_step
+
+    monkeypatch.delenv("HSIP_PALLAS_SCAN_K", raising=False)
+    assert default_frames_per_step() == 1
+    monkeypatch.setenv("HSIP_PALLAS_SCAN_K", "8")
+    assert default_frames_per_step() == 8
+    monkeypatch.setenv("HSIP_PALLAS_SCAN_K", "0")
+    assert default_frames_per_step() == 1
+    monkeypatch.setenv("HSIP_PALLAS_SCAN_K", "banana")
+    assert default_frames_per_step() == 1
+
+
+def test_env_knob_reaches_single_video_scan(tmp_path, monkeypatch):
+    """run_tracking_scan_device honors HSIP_PALLAS_SCAN_K: with the Pallas
+    path forced on (interpret-mode capable CPU) and K=3, the rows still
+    byte-match the lax.scan backend."""
+    from unittest import mock
+
+    from hsip_tpu.track.scan import run_tracking_scan_device
+
+    p, _ = _video_profiles(
+        FlameSpec(x0=25, v0_px=8, ignition_frame=2, seed=21), n=30
+    )
+    monkeypatch.setenv("HSIP_PALLAS_SCAN_K", "3")
+    seen = {}
+    orig = pallas_tracking_scan
+
+    def spy(*args, **kw):
+        seen["k"] = kw.get("frames_per_step")
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    common = dict(
+        config=FlameDetectorConfig(), frame_rate=1e5,
+        calibration_m_per_px=0.001,
+    )
+    with mock.patch("hsip_tpu.track.pallas_scan.pallas_tracking_scan", spy):
+        out_pallas = run_tracking_scan_device(
+            p, use_pallas_scan=True, **common
+        )
+    assert seen["k"] == 3
+    out_lax = run_tracking_scan_device(p, use_pallas_scan=False, **common)
+    assert out_pallas.rows == out_lax.rows
+    assert len(out_pallas.rows) > 3

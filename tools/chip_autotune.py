@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Sweep the Pallas tracking-scan unroll factor (K) on the real chip.
+
+The kernel in ``hsip_tpu/track/pallas_scan.py`` processes K frames per
+sequential grid step; larger K amortizes per-step grid/DMA overhead at the
+cost of a longer unrolled body. The best K is hardware-dependent, so it is
+an env knob (``HSIP_PALLAS_SCAN_K``) rather than a constant. This tool
+
+1. verifies bit-identity against the ``lax.scan`` backend for every swept K
+   (any divergence disqualifies that K and fails the run), and
+2. times each (V, K) point and prints a table plus the recommended setting.
+
+Run on a reachable TPU backend (the tunnel, or real hardware):
+
+    python tools/chip_autotune.py [--frames 2048] [--width 1024]
+
+and export the recommendation it prints, e.g. ``export HSIP_PALLAS_SCAN_K=8``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _make_profiles(v, m, w, rng):
+    """Synthetic profile batch with a moving peak per video (exit-free)."""
+    pos = (10 + 0.35 * np.arange(m)).astype(int) % (w - 40)
+    sob = np.zeros((v, m, w), np.float32)
+    grad = np.zeros((v, m, w), np.float32)
+    for i in range(v):
+        jitter = rng.integers(0, 5, size=m)
+        p = np.clip(pos + jitter, 0, w - 41)
+        sob[i, np.arange(m), p] = 120.0
+        grad[i, np.arange(m), p] = -60.0
+    fi = np.broadcast_to(np.arange(m, dtype=np.int32), (v, m)).copy()
+    empty = np.zeros((v, m), bool)
+    hp = np.ones((v, m), bool)
+    hp[:, 0] = False
+    return fi, sob, grad, empty, hp
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2048)
+    ap.add_argument("--width", type=int, default=1024)
+    ap.add_argument("--videos", type=int, nargs="*", default=[1, 8])
+    ap.add_argument("--ks", type=int, nargs="*", default=[1, 2, 4, 8, 16, 32])
+    ap.add_argument("--repeats", type=int, default=6)
+    ap.add_argument("--allow-cpu", action="store_true",
+                    help="plumbing smoke test only; timings are meaningless")
+    ap.add_argument("--interpret", action="store_true",
+                    help="Pallas interpret mode (identity check off-chip)")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.allow_cpu:
+        # The shell presets JAX_PLATFORMS=axon (and an import hook rewrites
+        # env overrides), so off-chip smoke runs must force CPU via config
+        # before backend init — see tests/conftest.py for the same dance.
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    if not args.allow_cpu and jax.default_backend() not in ("tpu", "axon"):
+        print(f"ERROR: need a TPU backend, got {jax.default_backend()!r}",
+              file=sys.stderr)
+        return 2
+
+    from hsip_tpu.track.device_scan import device_tracking_scan
+    from hsip_tpu.track.pallas_scan import pallas_tracking_scan_batched
+    from hsip_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
+    m, w = args.frames, args.width
+    kw = dict(
+        width=w,
+        min_gradient_strength=np.float32(10.0),
+        sobel_threshold_fraction=np.float32(0.1),
+        ddt_velocity_jump=np.float32(1250.0),
+        edge_margin_px=10,
+        search_window_px=100,
+        exit_margin_px=15,
+    )
+    rng = np.random.default_rng(0)
+    best = {}
+    rows = []
+    for v in args.videos:
+        fi, sob, grad, empty, hp = _make_profiles(v, m, w, rng)
+        cal = np.full(v, 8.3e-4, np.float32)
+        fr = np.full(v, 1e5, np.float32)
+        md = np.full(v, 3, np.int32)
+        dev = [jnp.asarray(a) for a in (fi, sob, grad, empty, hp)]
+        jax.block_until_ready(dev)
+
+        # lax.scan reference: identity anchor + timing floor.
+        ref_fn = jax.jit(jax.vmap(
+            lambda a, b, c, d, e, f, g, h: device_tracking_scan(
+                a, b, c, d, e,
+                calibration=f, frame_rate=g, max_displacement_px=h, **kw),
+        ))
+        ref = ref_fn(*dev, jnp.asarray(cal), jnp.asarray(fr), jnp.asarray(md))
+        jax.block_until_ready(ref)
+        t_ref = _time(lambda: ref_fn(
+            *dev, jnp.asarray(cal), jnp.asarray(fr), jnp.asarray(md)),
+            args.repeats)
+        rows.append((v, "lax.scan", t_ref / m * 1e6, t_ref * 1e3))
+
+        for k in args.ks:
+            fn = jax.jit(lambda a, b, c, d, e, f, g, h, _k=k:
+                         pallas_tracking_scan_batched(
+                             a, b, c, d, e, calibration=f, frame_rate=g,
+                             max_displacement_px=h, frames_per_step=_k,
+                             interpret=args.interpret, **kw))
+            try:
+                out = fn(*dev, jnp.asarray(cal), jnp.asarray(fr),
+                         jnp.asarray(md))
+                jax.block_until_ready(out)
+            except Exception as exc:  # noqa: BLE001 — report, keep sweeping
+                rows.append((v, f"K={k} FAILED ({type(exc).__name__})",
+                             float("nan"), float("nan")))
+                continue
+            for name in ref._fields:
+                va = np.asarray(getattr(ref, name))
+                vb = np.asarray(getattr(out, name)).astype(va.dtype)
+                if not np.array_equal(va, vb):
+                    print(f"IDENTITY FAIL V={v} K={k} field={name}",
+                          file=sys.stderr)
+                    return 1
+            t = _time(lambda f=fn: f(*dev, jnp.asarray(cal), jnp.asarray(fr),
+                                     jnp.asarray(md)), args.repeats)
+            rows.append((v, f"K={k}", t / m * 1e6, t * 1e3))
+            if v not in best or t < best[v][1]:
+                best[v] = (k, t)
+
+    print(f"\nPallas scan sweep — M={m}, W={w} "
+          f"(per-step time is per frame per video batch)")
+    print(f"{'V':>3}  {'variant':<24} {'us/step':>9} {'total ms':>9}")
+    for v, label, us, ms in rows:
+        print(f"{v:>3}  {label:<24} {us:>9.2f} {ms:>9.2f}")
+    for v, (k, t) in sorted(best.items()):
+        print(f"\nbest for V={v}: K={k} ({t / m * 1e6:.2f} us/step)")
+    if best:
+        k_single = best.get(1, next(iter(best.values())))[0]
+        print(f"\nrecommend: export HSIP_PALLAS_SCAN_K={k_single}")
+    return 0
+
+
+def _time(fn, repeats):
+    import jax
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -19,3 +19,6 @@ HSIP_TPU_CHIP=1 python -m pytest tests/test_tpu_chip.py -v -rs
 
 echo "== bench.py (both modes) =="
 python bench.py
+
+echo "== Pallas scan unroll sweep (pick HSIP_PALLAS_SCAN_K) =="
+python tools/chip_autotune.py
