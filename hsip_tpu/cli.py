@@ -244,6 +244,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="capture a jax.profiler trace into this directory",
     )
     parser.add_argument(
+        "--platform",
+        default=None,
+        metavar="NAME",
+        help="force a JAX platform (e.g. 'cpu') instead of the environment "
+             "default. Lets runs proceed on the host when the accelerator "
+             "is unreachable; note env vars alone cannot override a "
+             "platform baked in at interpreter startup",
+    )
+    parser.add_argument(
         "--distributed",
         action="store_true",
         help="multi-process run (videos distributed across JAX processes)",
@@ -312,6 +321,26 @@ def _print_info(sources: List[VideoSourceConfig]) -> int:
 
 def main(argv: Optional[List[str]] = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.platform:
+        # Must land before ANY backend touch (distributed init, mesh
+        # construction, the first device op). jax.config.update is the only
+        # reliable override here: setting JAX_PLATFORMS in the environment
+        # is too late once the interpreter (or a launcher hook) has already
+        # pinned the platform list.
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", args.platform)
+            if not args.distributed:
+                # Surface a bad name as one clean exit, not a per-recording
+                # failure warning on every file. Under --distributed the
+                # probe must wait: backend init before
+                # jax.distributed.initialize would pin a local-only view.
+                jax.local_devices()
+        except Exception as exc:
+            print(f"--platform {args.platform}: {exc}", file=sys.stderr)
+            return 2
 
     # Repeat invocations skip XLA recompiles (per-process otherwise).
     from .utils import enable_persistent_compilation_cache

@@ -531,3 +531,38 @@ def test_cli_auto_backend_prefers_device_without_figures(videos, tmp_path,
         "--calibration", "0.001", "--no-sequences", "--quiet",
     ])
     assert rc == 0 and seen == ["tpu"]
+
+
+def test_cli_platform_flag_overrides_environment(videos):
+    """--platform must beat a platform pinned in the environment: with
+    JAX_PLATFORMS pointing at a backend that cannot initialize, the forced
+    'cpu' run still comes up (the rescue path for an unreachable chip)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="nonexistent_backend")
+    proc = subprocess.run(
+        [sys.executable, "-m", "hsip_tpu.cli", "--video-path", str(videos),
+         "--info", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=240, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr
+    assert "cli-run-1-a.cihx" in proc.stdout
+
+
+def test_cli_platform_unknown_name_exits_cleanly(videos, tmp_path):
+    """A bad platform name is one clean exit-2 diagnostic, not a swallowed
+    per-recording failure warning on every file."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "hsip_tpu.cli", "--video-path", str(videos),
+         "--output-dir", str(tmp_path / "o"), "--no-images", "--quiet",
+         "--platform", "definitely_not_a_backend"],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert proc.returncode == 2
+    assert "definitely_not_a_backend" in proc.stderr
+    assert "Could not process" not in proc.stdout
