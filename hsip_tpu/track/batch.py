@@ -342,10 +342,10 @@ def _track_uniform_videos(
 
     # --- one device scan over the whole video axis ---
     # On TPU the default tracker runs as a single batched Pallas kernel
-    # (grid (V, M), per-video state reset — track/pallas_scan.py); under a
-    # mesh the same kernel runs per device via shard_map over the video
-    # axis. Other methods/widths/backends use the vmapped lax.scan. All
-    # paths are bit-identical by contract.
+    # (grid (V, ceil(M/K)), per-video state reset — track/pallas_scan.py);
+    # under a mesh the same kernel runs per device via shard_map over the
+    # video axis. Other methods/widths/backends use the vmapped lax.scan.
+    # All paths are bit-identical by contract.
     from ..utils.backend import is_tpu_backend
     from .pallas_scan import (
         default_frames_per_step,

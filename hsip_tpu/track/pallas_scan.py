@@ -9,10 +9,12 @@ state lives in SMEM scratch (persistent across grid steps on TPU), each
 step's profile rows stream through VMEM blocks with the usual
 double-buffered DMA, and the whole scan is a single kernel launch.
 
-The grid is ``(V, M)`` — videos major, frames minor — so a whole library
-batch runs as ONE kernel too (state resets when the frame index wraps to
-0); the single-video entry is simply the V=1 case. Per-video calibration,
-frame rate and displacement caps ride in scalar-prefetch arrays.
+The grid is ``(V, ceil(M/K))`` — videos major, frame groups minor, with K
+frames unrolled per sequential grid step (``frames_per_step``) — so a
+whole library batch runs as ONE kernel too (state resets when the frame
+index wraps to 0); the single-video entry is simply the V=1 case.
+Per-video calibration, frame rate and displacement caps ride in
+scalar-prefetch arrays.
 
 Scope: the 'combined' detector (the reference tracker — min-gradient +
 rightmost-Sobel) on lane-aligned widths; named profile methods and other
@@ -61,7 +63,10 @@ def default_frames_per_step() -> int:
         k = int(os.environ.get("HSIP_PALLAS_SCAN_K", "1"))
     except ValueError:
         return 1
-    return max(1, k)
+    # Upper clamp: K statically unrolls the kernel body K times at trace
+    # time, so a typo'd huge value would stall every pipeline batch for
+    # minutes of tracing before the lax.scan fallback could even fire.
+    return min(max(1, k), 128)
 
 # numpy scalars (not jnp): jnp constants would be captured as traced
 # closure consts, which pallas_call rejects.

@@ -23,81 +23,29 @@ No reference code is copied — the module is loaded from its own checkout.
 
 from __future__ import annotations
 
-import importlib.util
 import os
-import sys
-import types
-from pathlib import Path
 
 import numpy as np
 import pytest
 
 from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
-
-REFERENCE_ROOT = Path(os.environ.get("HSIP_REFERENCE_ROOT", "/root/reference"))
-_REF_SCRIPT = REFERENCE_ROOT / "scripts" / "process_videos.py"
+from hsip_tpu.testing import load_reference_module, reference_script
 
 pytestmark = pytest.mark.skipif(
-    os.environ.get("HSIP_REFERENCE") != "1" or not _REF_SCRIPT.exists(),
+    os.environ.get("HSIP_REFERENCE") != "1" or not reference_script().exists(),
     reason="opt-in differential tier: set HSIP_REFERENCE=1 (needs the "
     "reference checkout and scipy/matplotlib)",
 )
 
 
-def _install_pymraw_shim() -> None:
-    """Provide ``pyMRAW.load_video`` from this framework's MRAW reader.
-
-    The reference's only hard dependency we don't ship is pyMRAW
-    (``src/photron/video.py:20-26``); its contract there is
-    ``load_video(path) -> (indexable frames, info dict)``.
-    """
-    if "pyMRAW" in sys.modules:
-        return
-    shim = types.ModuleType("pyMRAW")
-
-    def load_video(path):
-        from hsip_tpu.io.cihx import read_header
-        from hsip_tpu.io.mraw import MRAWReader, find_mraw_payload
-
-        info = read_header(path)
-        storage_bits = int(
-            info.get("Color Bit") or info.get("EffectiveBit Depth", 16)
-        )
-        reader = MRAWReader(
-            find_mraw_payload(path),
-            int(info["Image Width"]),
-            int(info["Image Height"]),
-            storage_bits,
-            total_frames=int(info["Total Frame"]) if "Total Frame" in info else None,
-        )
-        try:
-            images = reader.read_frames(slice(0, len(reader)))
-        finally:
-            reader.close()
-        return images, info
-
-    shim.load_video = load_video
-    sys.modules["pyMRAW"] = shim
-
-
 @pytest.fixture(scope="module")
 def ref():
-    """The reference ``scripts/process_videos.py`` as an imported module."""
-    import matplotlib
+    """The reference ``scripts/process_videos.py`` as an imported module.
 
-    matplotlib.use("Agg")
-    _install_pymraw_shim()
-    if str(REFERENCE_ROOT) not in sys.path:
-        sys.path.insert(0, str(REFERENCE_ROOT))
-    spec = importlib.util.spec_from_file_location("ref_process_videos", _REF_SCRIPT)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    # Tables-only comparison: per-frame figures dominate reference runtime
-    # and never feed back into positions/velocities/DDT.
-    mod.save_frame_image = lambda *a, **k: None
-    mod.generate_stacked_sequence = lambda *a, **k: None
-    mod.generate_stacked_sequence_single_column = lambda *a, **k: None
-    return mod
+    Tables-only comparison: figures are neutralized (they dominate
+    reference runtime and never feed back into positions/velocities/DDT).
+    """
+    return load_reference_module()
 
 
 # Three trajectories: plain propagation that exits the domain, a DDT jump

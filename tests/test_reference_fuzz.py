@@ -26,15 +26,14 @@ import numpy as np
 import pytest
 
 from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
+from hsip_tpu.testing import reference_script
 from tests.test_reference_differential import (
-    REFERENCE_ROOT,
-    _REF_SCRIPT,
     _tables,
     ref,  # noqa: F401  (module-scoped fixture, reused)
 )
 
 pytestmark = pytest.mark.skipif(
-    os.environ.get("HSIP_REFERENCE") != "1" or not _REF_SCRIPT.exists(),
+    os.environ.get("HSIP_REFERENCE") != "1" or not reference_script().exists(),
     reason="opt-in differential tier: set HSIP_REFERENCE=1 (needs the "
     "reference checkout and scipy/matplotlib)",
 )

@@ -22,15 +22,13 @@ import numpy as np
 import pytest
 
 from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
+from hsip_tpu.testing import REFERENCE_ROOT, install_pymraw_shim, reference_script
 from tests.test_reference_differential import (
-    REFERENCE_ROOT,
-    _REF_SCRIPT,
-    _install_pymraw_shim,
     ref,  # noqa: F401  (module-scoped fixture, reused for the script symbols)
 )
 
 pytestmark = pytest.mark.skipif(
-    os.environ.get("HSIP_REFERENCE") != "1" or not _REF_SCRIPT.exists(),
+    os.environ.get("HSIP_REFERENCE") != "1" or not reference_script().exists(),
     reason="opt-in differential tier: set HSIP_REFERENCE=1 (needs the "
     "reference checkout)",
 )
@@ -39,7 +37,7 @@ pytestmark = pytest.mark.skipif(
 @pytest.fixture(scope="module")
 def refpkg():
     """The reference's ``src.photron`` package, loaded from its checkout."""
-    _install_pymraw_shim()
+    install_pymraw_shim()
     if str(REFERENCE_ROOT) not in sys.path:
         sys.path.insert(0, str(REFERENCE_ROOT))
     import src.photron as refphotron

@@ -13,38 +13,23 @@ rendering entirely; this module is its visual counterpart.
 
 from __future__ import annotations
 
-import importlib.util
-import sys
-from pathlib import Path
-
 import numpy as np
 import pytest
 
-from test_reference_differential import (  # noqa: F401 — shared tier plumbing
-    REFERENCE_ROOT,
-    _REF_SCRIPT,
-    _install_pymraw_shim,
+from test_reference_differential import (  # noqa: F401 — shared tier gate
     pytestmark,
 )
 
 from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
+from hsip_tpu.testing import load_reference_module
 
 
 @pytest.fixture(scope="module")
 def ref_viz():
     """The reference module WITH its figure functions intact."""
-    import matplotlib
-
-    matplotlib.use("Agg")
-    _install_pymraw_shim()
-    if str(REFERENCE_ROOT) not in sys.path:
-        sys.path.insert(0, str(REFERENCE_ROOT))
-    spec = importlib.util.spec_from_file_location(
-        "ref_process_videos_viz", _REF_SCRIPT
+    return load_reference_module(
+        "ref_process_videos_viz", neutralize_figures=False
     )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
 
 
 @pytest.fixture(scope="module")

@@ -28,77 +28,28 @@ from __future__ import annotations
 
 import argparse
 import contextlib
-import importlib.util
 import io
 import json
-import os
 import shutil
 import sys
 import tempfile
 import time
-import types
 from pathlib import Path
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
-REFERENCE_ROOT = Path(os.environ.get("HSIP_REFERENCE_ROOT", "/root/reference"))
-
-
-def _install_pymraw_shim() -> None:
-    """``pyMRAW.load_video`` from this framework's reader (contract at
-    reference ``src/photron/video.py:20-26,332``)."""
-    if "pyMRAW" in sys.modules:
-        return
-    shim = types.ModuleType("pyMRAW")
-
-    def load_video(path):
-        from hsip_tpu.io.cihx import read_header
-        from hsip_tpu.io.mraw import MRAWReader, find_mraw_payload
-
-        info = read_header(path)
-        storage_bits = int(
-            info.get("Color Bit") or info.get("EffectiveBit Depth", 16)
-        )
-        reader = MRAWReader(
-            find_mraw_payload(path),
-            int(info["Image Width"]),
-            int(info["Image Height"]),
-            storage_bits,
-            total_frames=(
-                int(info["Total Frame"]) if "Total Frame" in info else None
-            ),
-        )
-        try:
-            images = reader.read_frames(slice(0, len(reader)))
-        finally:
-            reader.close()
-        return images, info
-
-    shim.load_video = load_video
-    sys.modules["pyMRAW"] = shim
 
 
 def _load_reference(with_figures: bool):
-    script = REFERENCE_ROOT / "scripts" / "process_videos.py"
-    if not script.exists():
+    from hsip_tpu.testing import load_reference_module
+
+    try:
+        return load_reference_module(neutralize_figures=not with_figures)
+    except FileNotFoundError as exc:
         print(json.dumps({
             "metric": "reference_serial_frames_per_sec",
-            "error": f"reference checkout not found at {REFERENCE_ROOT}",
+            "error": str(exc),
         }))
-        raise SystemExit(1)
-    import matplotlib
-
-    matplotlib.use("Agg")
-    _install_pymraw_shim()
-    if str(REFERENCE_ROOT) not in sys.path:
-        sys.path.insert(0, str(REFERENCE_ROOT))
-    spec = importlib.util.spec_from_file_location("ref_process_videos", script)
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    if not with_figures:
-        mod.save_frame_image = lambda *a, **k: None
-        mod.generate_stacked_sequence = lambda *a, **k: None
-        mod.generate_stacked_sequence_single_column = lambda *a, **k: None
-    return mod
+        raise SystemExit(1) from exc
 
 
 def main(argv=None) -> int:

@@ -62,11 +62,16 @@ def main(argv=None):
         # The shell presets JAX_PLATFORMS=axon (and an import hook rewrites
         # env overrides), so off-chip smoke runs must force CPU via config
         # before backend init — see tests/conftest.py for the same dance.
+        # Mosaic kernels cannot compile on CPU, so off-chip smoke runs must
+        # also go through the Pallas interpreter or every K point fails.
         jax.config.update("jax_platforms", "cpu")
+        args.interpret = True
 
     import jax.numpy as jnp
 
-    if not args.allow_cpu and jax.default_backend() not in ("tpu", "axon"):
+    from hsip_tpu.utils.backend import is_tpu_backend
+
+    if not args.allow_cpu and not is_tpu_backend():
         print(f"ERROR: need a TPU backend, got {jax.default_backend()!r}",
               file=sys.stderr)
         return 2
@@ -145,9 +150,14 @@ def main(argv=None):
         print(f"{v:>3}  {label:<24} {us:>9.2f} {ms:>9.2f}")
     for v, (k, t) in sorted(best.items()):
         print(f"\nbest for V={v}: K={k} ({t / m * 1e6:.2f} us/step)")
-    if best:
-        k_single = best.get(1, next(iter(best.values())))[0]
-        print(f"\nrecommend: export HSIP_PALLAS_SCAN_K={k_single}")
+    if not best:
+        # Every swept point failed to compile/run — the sweep measured
+        # nothing, so don't let wrappers (tools/chip_refresh.sh) go green.
+        print("ERROR: no K point succeeded; nothing to recommend",
+              file=sys.stderr)
+        return 1
+    k_single = best.get(1, next(iter(best.values())))[0]
+    print(f"\nrecommend: export HSIP_PALLAS_SCAN_K={k_single}")
     return 0
 
 
