@@ -7,8 +7,11 @@ and unpacks on-device with vectorized integer ops. Parity oracle:
 :func:`hsip_tpu.io.mraw.unpack_12bit` (host numpy) and the C++ decoder.
 
 The fused entry (:func:`packed_centerline_profiles`) goes straight from
-packed bytes to centerline profiles without ever materializing full decoded
-frames in HBM: only the band rows are decoded.
+packed bytes to centerline profiles without materializing full decoded
+frames in HBM: with byte-aligned rows only the band rows are decoded (the
+full-frame decode feeding the empty-frame counts fuses into the count
+reduction); rows that straddle byte boundaries gather the band from the
+flat full-frame decode instead.
 """
 
 from __future__ import annotations
@@ -83,6 +86,12 @@ def _unpack_rows(packed: jnp.ndarray, rows: jnp.ndarray, height: int,
     per_row = packed.reshape(n, height, row_nbytes)
     band_rows = per_row[:, rows, :]  # (N, B, row_nbytes)
     return _UNPACKERS[bit_depth](band_rows, out_dtype=jnp.float32)
+
+
+def rows_byte_aligned(width: int, bit_depth: int) -> bool:
+    """True when each image row spans a whole number of packed bytes (so a
+    row gather can happen on the byte axis before decoding)."""
+    return (width * bit_depth) % 8 == 0
 
 
 @partial(
@@ -161,7 +170,13 @@ def packed_centerline_profiles(
     sub_full = jnp.maximum(full - background_scalar, 0.0)
     counts = jnp.sum((sub_full > noise_threshold).astype(jnp.int32), axis=-1)
 
-    band_pixels = _unpack_rows(packed, rows, height, width, bit_depth)
+    if rows_byte_aligned(width, bit_depth):
+        band_pixels = _unpack_rows(packed, rows, height, width, bit_depth)
+    else:
+        # Rows straddle byte boundaries (e.g. odd-width 12-bit): the frame
+        # is still byte-aligned as a flat pixel stream, and the full decode
+        # above already exists for the counts — gather the band from it.
+        band_pixels = full.reshape(full.shape[0], height, width)[:, rows, :]
     band = jnp.maximum(band_pixels - background_scalar, 0.0)
     raw_center_lines = band[:, margin, :]
 

@@ -447,15 +447,14 @@ class PhotonVideo:
     @property
     def supports_packed_frames(self) -> bool:
         """True when full packed frames can decode ON-DEVICE: 10/12-bit
-        packing or raw 16-bit, with byte-aligned rows (width divisible by
-        4 for 10-bit, even for 12-bit). Payloads that are byte-aligned per
-        frame but not per row decode host-side."""
+        packing or raw 16-bit. Row alignment is NOT required — a frame
+        whose rows straddle byte boundaries (odd-width 12-bit, 10-bit
+        width % 4 != 0) still decodes as a flat pixel stream, with the
+        band gathered from the decoded frame; frame-level packing
+        granularity is guaranteed by the open reader (the constructor
+        rejects payloads that violate it)."""
         reader = self._reader
-        return (
-            reader is not None
-            and reader.bit_depth in (10, 12, 16)
-            and reader.row_nbytes is not None
-        )
+        return reader is not None and reader.bit_depth in (10, 12, 16)
 
     @property
     def supports_packed_band(self) -> bool:
@@ -498,7 +497,7 @@ class PhotonVideo:
         ``read_band``+``count_fn`` when only packed band rows need to cross
         to the device (10/12/16-bit, byte-aligned rows, native codec);
         ``read_packed`` when full packed frames can decode on-device
-        (10/12/16-bit, byte-aligned rows); all None → host decode via
+        (any 10/12/16-bit payload); all None → host decode via
         :meth:`read_batch`. Single source of truth for every map-phase
         caller — the gating rules must never be re-derived at call sites.
         """

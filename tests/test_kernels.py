@@ -257,10 +257,16 @@ def test_band_kernels_refuse_even_kernel_folding_band():
         )
 
 
-@pytest.mark.parametrize("bit_depth", [10, 16])
-def test_packed_full_frame_staging_parity(tmp_path, bit_depth):
-    """The full-frame packed staging ladder is not 12-bit-only: 10-bit
-    (5 bytes / 4 px) and raw 16-bit payloads decode on-device to profiles
+@pytest.mark.parametrize("bit_depth,width", [
+    (10, 256), (16, 256),
+    # Rows straddling byte boundaries: the band gathers from the flat
+    # full-frame decode instead of a byte-axis row gather.
+    (10, 250), (12, 255),
+])
+def test_packed_full_frame_staging_parity(tmp_path, bit_depth, width):
+    """The full-frame packed staging ladder is not 12-bit-only and not
+    row-aligned-only: 10-bit (5 bytes / 4 px), raw 16-bit, and payloads
+    whose rows are NOT byte-aligned all decode on-device to profiles
     identical to the host-decode path."""
     import numpy as np
 
@@ -270,13 +276,13 @@ def test_packed_full_frame_staging_parity(tmp_path, bit_depth):
     from hsip_tpu.track.scan import compute_profiles_batched
 
     frames, _ = synthesize_flame_video(
-        24, height=32, width=256,
+        24, height=32, width=width,
         flame=FlameSpec(x0=25.0, v0_px=7.0, ignition_frame=2, seed=5),
     )
     frames = np.minimum(frames, 2 ** bit_depth - 1).astype(np.uint16)
     meta = write_recording(
         tmp_path, f"pk{bit_depth}-run-1", frames,
-        spec=CihxSpec(width=256, height=32, total_frames=24,
+        spec=CihxSpec(width=width, height=32, total_frames=24,
                       record_rate=100_000, bit_depth=bit_depth),
     )
     config = FlameDetectorConfig()
@@ -299,9 +305,10 @@ def test_packed_full_frame_staging_parity(tmp_path, bit_depth):
     np.testing.assert_array_equal(packed.signal_counts, host.signal_counts)
 
 
-def test_packed_frames_gated_on_row_alignment(tmp_path):
+def test_packed_band_gated_on_row_alignment(tmp_path):
     """10-bit with width not divisible by 4 has no byte-aligned rows: the
-    packed ladder must gate off (host decode) rather than mis-slice."""
+    minimal-transfer BAND path (host-side byte row gather) must gate off,
+    while full-frame packed staging stays on (flat-stream decode)."""
     import numpy as np
 
     from hsip_tpu import open_video
@@ -314,7 +321,8 @@ def test_packed_frames_gated_on_row_alignment(tmp_path):
                       record_rate=1000, bit_depth=10),
     )
     with open_video(str(meta)) as v:
-        assert not v.supports_packed_frames
+        assert v.supports_packed_frames
+        assert not v.supports_packed_band
         read_packed, read_band, count_fn, depth = v.staging_paths()
-        assert read_packed is None and read_band is None
+        assert read_packed is not None and read_band is None
         np.testing.assert_array_equal(v[0], frames[0])

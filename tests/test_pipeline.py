@@ -292,11 +292,10 @@ def test_corrupt_recording_skipped_with_warning(tmp_path, capsys):
 
 
 def test_odd_width_12bit_matches_exact(tmp_path):
-    """Odd-width 12-bit payloads are byte-aligned per FRAME but not per row,
-    so neither the on-device packed decode nor the band path applies — the
-    pipeline must fall back to host decode and still match exactly
-    (regression: the packed staging path used to be keyed on bit depth
-    alone and crashed reshaping (n, frame_nbytes) to row-aligned rows)."""
+    """Odd-width 12-bit payloads are byte-aligned per FRAME but not per row:
+    the band path (host-side byte row gather) gates off, but full-frame
+    packed staging stays on via the flat-stream decode — and the whole
+    pipeline must still match the exact float64 host backend."""
     flame = FlameSpec(x0=25.0, v0_px=9.0, ignition_frame=2, seed=11)
     frames, _ = synthesize_flame_video(30, height=48, width=255, flame=flame)
     meta = write_recording(tmp_path, "odd-run-1-a", frames,
@@ -305,7 +304,7 @@ def test_odd_width_12bit_matches_exact(tmp_path):
     from hsip_tpu import open_video
 
     with open_video(str(meta)) as video:
-        assert not video.supports_packed_frames
+        assert video.supports_packed_frames
         assert not video.supports_packed_band
         np.testing.assert_array_equal(video[0], frames[0])  # exact round-trip
     cfg = VideoSourceConfig(name="T", save_frame_images=False,
