@@ -477,8 +477,8 @@ class PhotonVideo:
     def count_above(
         self, start: int, stop: int, background: float, threshold: float
     ) -> Optional[np.ndarray]:
-        """Per-frame above-noise counts from packed bytes (native 12-bit
-        path; None when unavailable)."""
+        """Per-frame above-noise counts from packed bytes (native
+        10/12/16-bit fast paths; None when unavailable)."""
         return self._require_reader().count_above(start, stop, background, threshold)
 
     def frame_bytes(self, start: int, stop: Optional[int] = None) -> np.ndarray:
