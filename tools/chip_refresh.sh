@@ -14,11 +14,13 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
+# Each step is time-bounded so an unattended run can't wedge on a tunnel
+# that drops mid-way (init hangs rather than fails when it's down).
 echo "== HSIP_TPU_CHIP tier =="
-HSIP_TPU_CHIP=1 python -m pytest tests/test_tpu_chip.py -v -rs
+timeout 1800 env HSIP_TPU_CHIP=1 python -m pytest tests/test_tpu_chip.py -v -rs
 
 echo "== bench.py (both modes) =="
-python bench.py
+timeout 1800 python bench.py
 
 echo "== Pallas scan unroll sweep (pick HSIP_PALLAS_SCAN_K) =="
-python tools/chip_autotune.py
+timeout 1800 python tools/chip_autotune.py
