@@ -17,9 +17,11 @@ Per-video calibration, frame rate and displacement caps ride in
 scalar-prefetch arrays.
 
 Scope: the 'combined' detector (the reference tracker — min-gradient +
-rightmost-Sobel) on lane-aligned widths; named profile methods and other
-widths keep the ``lax.scan`` backend, as does the mesh-sharded library
-path (a kernel under ``shard_map`` buys nothing extra there).
+rightmost-Sobel) at any width (profile rows pad to a lane multiple; the
+pad lanes sit outside every search window so the masked reductions never
+see them); named profile methods keep the ``lax.scan`` backend. The
+mesh-sharded library path runs this same kernel per device via
+``shard_map``.
 
 Bit-parity contract: every float32 compare and reduction mirrors
 ``device_tracking_scan``'s step function operation for operation (min/max
@@ -85,13 +87,25 @@ _N_F32 = 2
 
 
 def supports_pallas_scan(width: int, method: str) -> bool:
-    """The kernel covers the default tracker on lane-aligned widths."""
-    return method == "combined" and width % 128 == 0
+    """The kernel covers the default tracker at any width (profile rows
+    pad to a lane multiple; the padded lanes sit outside every search
+    window, so the masked reductions never see them)."""
+    return method == "combined"
+
+
+def _lane_width(width: int) -> int:
+    """Profile row width padded up to the TPU lane count (128)."""
+    return -(-width // 128) * 128
 
 
 def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
-                 frames_per_step=1):
+                 frames_per_step=1, lane_width=None):
+    # `w` (the LOGICAL width) drives every search/exit bound; the rows in
+    # VMEM are `wl` lanes wide, with pad lanes masked out by `in_window`
+    # (s1 <= w - edge_margin < w <= wl, so cols >= w never enter a
+    # window and never win a reduction).
     w = width
+    wl = lane_width if lane_width is not None else width
     K = frames_per_step
 
     def kernel(pf, cal_ref, fr_ref, md_ref,
@@ -125,7 +139,7 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
         calibration = cal_ref[v]
         frame_rate = fr_ref[v]
         max_disp = md_ref[v]
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (1, wl), 1)
 
         # K frames per grid step (statically unrolled): amortizes the
         # per-step grid + DMA overhead; K=1 is the plain per-frame scan.
@@ -324,6 +338,15 @@ def pallas_tracking_scan_batched(
         empty = jnp.pad(empty, ((0, 0), (0, pad)), constant_values=True)
         has_prior = jnp.pad(has_prior, ((0, 0), (0, pad)),
                             constant_values=True)
+    # Lane padding: rows widen to a 128 multiple so any width lowers; the
+    # pad lanes are outside every search window (masked by column index
+    # against the LOGICAL width's bounds), so reductions never see them.
+    wl = _lane_width(w)
+    if wl != w:
+        sobel_lines = jnp.pad(sobel_lines, ((0, 0), (0, 0), (0, wl - w)))
+        gradient_lines = jnp.pad(
+            gradient_lines, ((0, 0), (0, 0), (0, wl - w))
+        )
 
     params_f = jnp.stack([
         jnp.asarray(min_gradient_strength, jnp.float32),
@@ -342,11 +365,12 @@ def pallas_tracking_scan_batched(
     fidx = frame_indices.astype(jnp.int32).reshape(n_videos, m_pad, 1, 1)
     empty_i = empty.astype(jnp.int32).reshape(n_videos, m_pad, 1, 1)
     prior_i = has_prior.astype(jnp.int32).reshape(n_videos, m_pad, 1, 1)
-    sob4 = sobel_lines.reshape(n_videos, m_pad, 1, w)
-    grad4 = gradient_lines.reshape(n_videos, m_pad, 1, w)
+    sob4 = sobel_lines.reshape(n_videos, m_pad, 1, wl)
+    grad4 = gradient_lines.reshape(n_videos, m_pad, 1, wl)
 
     kernel = _make_kernel(width, edge_margin_px, search_window_px,
-                          exit_margin_px, frames_per_step=K)
+                          exit_margin_px, frames_per_step=K,
+                          lane_width=wl)
 
     # Lowering rules (enforced by Mosaic): blocks' last two dims must equal
     # the array's (or be 8/128-divisible), and scalar loads/stores must use
@@ -360,8 +384,8 @@ def pallas_tracking_scan_batched(
             smem_step,  # frame_indices
             smem_step,  # empty
             smem_step,  # has_prior
-            pl.BlockSpec((1, K, 1, w), lambda v, i, *pf: (v, i, 0, 0)),  # sobel
-            pl.BlockSpec((1, K, 1, w), lambda v, i, *pf: (v, i, 0, 0)),  # gradient
+            pl.BlockSpec((1, K, 1, wl), lambda v, i, *pf: (v, i, 0, 0)),  # sobel
+            pl.BlockSpec((1, K, 1, wl), lambda v, i, *pf: (v, i, 0, 0)),  # gradient
         ],
         out_specs=[
             smem_step,  # final

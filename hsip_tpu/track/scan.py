@@ -613,8 +613,8 @@ def run_tracking_scan_device(
 
     On TPU backends the default 'combined' tracker runs as a single Pallas
     kernel (state in SMEM, sequential grid over frames —
-    :mod:`hsip_tpu.track.pallas_scan`); named methods, non-lane-aligned
-    widths and CPU backends use the ``lax.scan`` implementation. Both are
+    :mod:`hsip_tpu.track.pallas_scan`); named methods and CPU backends
+    use the ``lax.scan`` implementation. Both are
     bit-identical by contract; ``use_pallas_scan`` overrides the gate.
     """
 

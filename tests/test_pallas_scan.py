@@ -50,8 +50,10 @@ _KW = dict(
 
 def test_pallas_scan_random_profiles():
     rng = np.random.default_rng(3)
-    for trial in range(4):
-        M, W = int(rng.integers(8, 80)), 256
+    # Aligned and non-aligned widths: the kernel pads rows to a lane
+    # multiple, so any W must match the lax.scan backend bit for bit.
+    for trial, W in enumerate((256, 250, 255, 100)):
+        M = int(rng.integers(8, 80))
         sob = rng.normal(0, 30, (M, W)).astype(np.float32)
         grad = rng.normal(0, 15, (M, W)).astype(np.float32)
         empty = rng.random(M) < 0.15
@@ -99,6 +101,21 @@ def test_pallas_scan_flame_scenarios(flame):
     assert int(np.sum(np.asarray(res.recorded))) > 3
 
 
+def test_pallas_scan_nonaligned_width_flame():
+    """A real flame trajectory at a width with no lane alignment (W=250):
+    map-phase profiles plus both scan backends, still bit-identical."""
+    p, empty = _video_profiles(
+        FlameSpec(x0=20.0, v0_px=7.0, ignition_frame=2, seed=17),
+        n=32, width=250,
+    )
+    res = _run_both(
+        np.asarray(p.frame_indices, np.int32),
+        np.asarray(p.sobel_lines), np.asarray(p.gradient_lines),
+        empty, p.has_prior, width=p.width, **_KW,
+    )
+    assert int(np.sum(np.asarray(res.recorded))) > 3
+
+
 def test_pallas_scan_zero_frame_rate():
     """frame_rate <= 0 records no velocity entries in either backend."""
     p, empty = _video_profiles(
@@ -114,7 +131,7 @@ def test_pallas_scan_zero_frame_rate():
 
 def test_pallas_scan_gate():
     assert supports_pallas_scan(1024, "combined")
-    assert not supports_pallas_scan(1000, "combined")   # lane misalignment
+    assert supports_pallas_scan(1000, "combined")       # pads to lanes
     assert not supports_pallas_scan(1024, "gradient")   # named methods
 
 
@@ -238,14 +255,16 @@ def test_pallas_failure_falls_back_to_lax_scan(tmp_path):
     assert out.rows == ref.rows and len(out.rows) > 3
 
 
-def test_pallas_scan_lowers_for_tpu():
+@pytest.mark.parametrize("W", [1024, 250])
+def test_pallas_scan_lowers_for_tpu(W):
     """Cross-platform Mosaic lowering: the kernel must pass the Pallas->TPU
     lowering rules (scalar I/O in SMEM, block layout constraints) WITHOUT a
     chip — this is what stands between interpret-mode parity and the real
-    hardware, and it caught scalar-store-to-VMEM and block-shape bugs."""
+    hardware, and it caught scalar-store-to-VMEM and block-shape bugs.
+    W=250 exercises the lane-padded (non-aligned-width) layout."""
     from hsip_tpu.track.pallas_scan import pallas_tracking_scan_batched
 
-    V, M, W = 2, 16, 1024
+    V, M = 2, 16
     args = (
         jnp.zeros((V, M), jnp.int32),
         jnp.zeros((V, M, W), jnp.float32),
