@@ -319,18 +319,22 @@ _CHIP_PALLAS_SCAN = textwrap.dedent(
     from hsip_tpu.track.pallas_scan import pallas_tracking_scan
     from hsip_tpu.track.scan import MIN_SIGNAL_FRACTION, compute_profiles_batched
 
-    # Bit-identity on realistic profiles (exit + DDT + late ignition).
+    # Bit-identity on realistic profiles (exit + DDT + late ignition),
+    # including a non-lane-aligned width (the padded-row layout).
     config = FlameDetectorConfig()
-    for flame in (
-        FlameSpec(x0=25.0, v0_px=9.0, accel_px=0.05, ignition_frame=2, seed=7),
-        FlameSpec(x0=20.0, v0_px=4.0, ddt_frame=18, v_jump_px=22.0,
-                  ignition_frame=3, seed=11),
-        FlameSpec(x0=30.0, v0_px=6.0, ignition_frame=12, seed=13),
+    for flame, w_img in (
+        (FlameSpec(x0=25.0, v0_px=9.0, accel_px=0.05, ignition_frame=2,
+                   seed=7), 256),
+        (FlameSpec(x0=20.0, v0_px=4.0, ddt_frame=18, v_jump_px=22.0,
+                   ignition_frame=3, seed=11), 256),
+        (FlameSpec(x0=30.0, v0_px=6.0, ignition_frame=12, seed=13), 250),
     ):
-        frames, _ = synthesize_flame_video(40, height=32, width=256, flame=flame)
+        frames, _ = synthesize_flame_video(40, height=32, width=w_img,
+                                           flame=flame)
         bg = float(frames[0].max())
         p = compute_profiles_batched(
-            lambda a, b: frames[a:b], 40, (32, 256), bg, config, chunk_size=16
+            lambda a, b: frames[a:b], 40, (32, w_img), bg, config,
+            chunk_size=16,
         )
         empty = p.signal_counts / p.total_pixels < MIN_SIGNAL_FRACTION
         kw = dict(width=p.width, min_gradient_strength=np.float32(10.0),
