@@ -363,7 +363,12 @@ def _track_uniform_videos(
     if use_pallas:
         import numpy as _np
 
-        def kernel_scan(fi_l, sob_l, grad_l, empty_l, hp_l,
+        kernel_fraction = _np.float32(
+            config.threshold_fraction if method == "threshold"
+            else config.half_maximum_fraction
+        )
+
+        def kernel_scan(fi_l, sob_l, grad_l, it_l, empty_l, hp_l,
                         cal_l, fps_l, md_l):
             return pallas_tracking_scan_batched(
                 fi_l, sob_l, grad_l, empty_l, hp_l,
@@ -383,11 +388,14 @@ def _track_uniform_videos(
                 exit_margin_px=config.exit_margin_px,
                 interpret=pallas_interpret,
                 frames_per_step=default_frames_per_step(),
+                method=method,
+                intensity_lines=it_l,
+                method_fraction=kernel_fraction,
             )
 
         try:
             kern_args = (
-                jnp.asarray(fi), sob, grad,
+                jnp.asarray(fi), sob, grad, intens,
                 jnp.asarray(empty), jnp.asarray(has_prior),
                 jnp.asarray(cals), jnp.asarray(fpss), jnp.asarray(max_disps),
             )
@@ -405,7 +413,7 @@ def _track_uniform_videos(
                 res = jax.jit(shard_map(
                     kernel_scan,
                     mesh=mesh,
-                    in_specs=(vm, vmw, vmw, vm, vm, vs, vs, vs),
+                    in_specs=(vm, vmw, vmw, vmw, vm, vm, vs, vs, vs),
                     out_specs=DeviceScanResult(
                         final_position=vm, recorded=vm, is_post_ddt=vm,
                         search_start=vm, search_end=vm,

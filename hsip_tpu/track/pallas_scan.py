@@ -16,12 +16,13 @@ index wraps to 0); the single-video entry is simply the V=1 case.
 Per-video calibration, frame rate and displacement caps ride in
 scalar-prefetch arrays.
 
-Scope: the 'combined' detector (the reference tracker — min-gradient +
-rightmost-Sobel) at any width (profile rows pad to a lane multiple; the
-pad lanes sit outside every search window so the masked reductions never
-see them); named profile methods keep the ``lax.scan`` backend. The
-mesh-sharded library path runs this same kernel per device via
-``shard_map``.
+Scope: all four detectors — 'combined' (the reference tracker —
+min-gradient + rightmost-Sobel) plus the three named profile methods
+('threshold' | 'half_maximum' | 'gradient', incl. the latter's TwoSum
+double-float tie-exactness) — at any width (profile rows pad to a lane
+multiple; the pad lanes sit outside every search window so the masked
+reductions never see them). The mesh-sharded library path runs this same
+kernel per device via ``shard_map``.
 
 Bit-parity contract: every float32 compare and reduction mirrors
 ``device_tracking_scan``'s step function operation for operation (min/max
@@ -87,10 +88,10 @@ _N_F32 = 2
 
 
 def supports_pallas_scan(width: int, method: str) -> bool:
-    """The kernel covers the default tracker at any width (profile rows
+    """The kernel covers all four detectors at any width (profile rows
     pad to a lane multiple; the padded lanes sit outside every search
     window, so the masked reductions never see them)."""
-    return method == "combined"
+    return method in ("combined", "threshold", "half_maximum", "gradient")
 
 
 def _lane_width(width: int) -> int:
@@ -98,8 +99,84 @@ def _lane_width(width: int) -> int:
     return -(-width // 128) * 128
 
 
+def _first_col(mask, cols):
+    """Smallest column index where ``mask`` holds (``_BIG_I`` when none)."""
+    return jnp.min(jnp.where(mask, cols, _BIG_I)).astype(jnp.int32)
+
+
+def _pl_threshold(prof, in_window, cols, fraction, min_intensity):
+    """Kernel twin of ``device_scan._detect_window_threshold`` (first-
+    occurrence argmax done as an index-encoded reduction)."""
+    masked = jnp.where(in_window, prof, _NEG)
+    peak = jnp.max(masked)
+    peak_idx = _first_col(masked == peak, cols)
+    below = jnp.logical_not(in_window & (prof >= fraction * peak))
+    first_below = _first_col((cols >= peak_idx) & below, cols)
+    window_end = jnp.max(jnp.where(in_window, cols, -1)).astype(jnp.int32)
+    edge = jnp.where(first_below > window_end, window_end, first_below - 1)
+    ok = (peak > min_intensity) & (edge >= peak_idx)
+    return jnp.where(ok, edge, jnp.int32(-1))
+
+
+def _pl_half_maximum(prof, in_window, cols, fraction, min_intensity):
+    """Kernel twin of ``device_scan._detect_window_half_maximum``."""
+    masked = jnp.where(in_window, prof, _NEG)
+    peak = jnp.max(masked)
+    peak_idx = _first_col(masked == peak, cols)
+    below = in_window & (cols >= peak_idx) & (prof < fraction * peak)
+    first_below = _first_col(below, cols)
+    window_end = jnp.max(jnp.where(in_window, cols, -1)).astype(jnp.int32)
+    edge = jnp.where(first_below > window_end, window_end, first_below - 1)
+    ok = (peak > min_intensity) & (edge >= peak_idx)
+    return jnp.where(ok, edge, jnp.int32(-1))
+
+
+def _pl_gradient(prof, in_window, cols, s0, s1, min_strength, width):
+    """Kernel twin of ``device_scan._detect_window_gradient``.
+
+    Same TwoSum double-float carry and lexicographic (hi, lo) argmin —
+    bit-equivalent to the host's float64 differences of f32 values. The
+    neighbor shifts use ``pltpu.roll`` (lane rotation): the wrapped lanes
+    land only at columns that are either outside every window or replaced
+    by the one-sided boundary differences, so the wraparound is inert.
+    Scalar profile reads at the window edges are one-hot masked sums
+    (exact: a single lane contributes).
+    """
+    from .device_scan import _two_sum
+
+    wl = prof.shape[1]
+    left = pltpu.roll(prof, 1, 1)        # lane i <- prof[i-1]
+    right = pltpu.roll(prof, wl - 1, 1)  # lane i <- prof[i+1]
+    c_hi, c_lo = _two_sum(right, -left)
+    c_hi, c_lo = c_hi * 0.5, c_lo * 0.5  # *0.5 is exact
+
+    def at(idx):
+        idx = jnp.clip(idx, 0, width - 1)
+        return jnp.sum(jnp.where(cols == idx, prof, 0.0))
+
+    l_hi, l_lo = _two_sum(at(s0 + 1), -at(s0))
+    r_hi, r_lo = _two_sum(at(s1 - 1), -at(s1 - 2))
+    g_hi = jnp.where(cols == s0, l_hi, c_hi)
+    g_lo = jnp.where(cols == s0, l_lo, c_lo)
+    g_hi = jnp.where(cols == s1 - 1, r_hi, g_hi)
+    g_lo = jnp.where(cols == s1 - 1, r_lo, g_lo)
+    g_hi = jnp.where(in_window, g_hi, _POS)
+    g_lo = jnp.where(in_window, g_lo, _POS)
+
+    m_hi = jnp.min(g_hi)
+    tie = g_hi == m_hi
+    m_lo = jnp.min(jnp.where(tie, g_lo, _POS))
+    pos = _first_col(tie & (g_lo == m_lo), cols)
+
+    def _lt(threshold):
+        return (m_hi < threshold) | ((m_hi == threshold) & (m_lo < 0))
+
+    ok = _lt(-min_strength) & _lt(jnp.float32(0.0)) & (s1 - s0 >= 2)
+    return jnp.where(ok, pos, jnp.int32(-1))
+
+
 def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
-                 frames_per_step=1, lane_width=None):
+                 frames_per_step=1, lane_width=None, method="combined"):
     # `w` (the LOGICAL width) drives every search/exit bound; the rows in
     # VMEM are `wl` lanes wide, with pad lanes masked out by `in_window`
     # (s1 <= w - edge_margin < w <= wl, so cols >= w never enter a
@@ -108,10 +185,15 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
     wl = lane_width if lane_width is not None else width
     K = frames_per_step
 
+    # 'combined' consumes two profile rows (sobel, gradient); the named
+    # methods consume one (intensity) — the kernel arity follows.
+    n_prof = 2 if method == "combined" else 1
+
     def kernel(pf, cal_ref, fr_ref, md_ref,
-               fidx_ref, empty_ref, prior_ref, sob_ref, grad_ref,
-               out_final, out_rec, out_post, out_s0, out_s1, out_scal,
-               st_i, st_f):
+               fidx_ref, empty_ref, prior_ref, *rest):
+        prof_refs = rest[:n_prof]
+        (out_final, out_rec, out_post, out_s0, out_s1, out_scal,
+         st_i, st_f) = rest[n_prof:]
         v = pl.program_id(0)
         i = pl.program_id(1)
 
@@ -136,6 +218,7 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
         min_grad = pf[0]
         sobel_frac = pf[1]
         ddt_jump = pf[2]
+        method_frac = pf[3]
         calibration = cal_ref[v]
         frame_rate = fr_ref[v]
         max_disp = md_ref[v]
@@ -168,28 +251,43 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
             )
             window_nonempty = s1 > s0
 
-            # ---- candidates (min-gradient + rightmost-Sobel) ----
+            # ---- candidates (method chosen statically at build time) ----
             in_window = (cols >= s0) & (cols < s1)
-            sob = sob_ref[0, j]    # (1, W)
-            grad = grad_ref[0, j]
+            if method == "combined":
+                sob = prof_refs[0][0, j]    # (1, W)
+                grad = prof_refs[1][0, j]
 
-            grad_m = jnp.where(in_window, grad, _POS)
-            gmin = jnp.min(grad_m)
-            # First-occurrence argmin as an index reduction (exact).
-            pos_g = jnp.min(
-                jnp.where(grad_m == gmin, cols, _BIG_I)
-            ).astype(jnp.int32)
-            g_ok = window_nonempty & (gmin < -min_grad)
+                grad_m = jnp.where(in_window, grad, _POS)
+                gmin = jnp.min(grad_m)
+                # First-occurrence argmin as an index reduction (exact).
+                pos_g = jnp.min(
+                    jnp.where(grad_m == gmin, cols, _BIG_I)
+                ).astype(jnp.int32)
+                g_ok = window_nonempty & (gmin < -min_grad)
 
-            abs_sob = jnp.where(in_window, jnp.abs(sob), _NEG)
-            smax = jnp.max(abs_sob)
-            above = in_window & (abs_sob > smax * sobel_frac)
-            pos_s = jnp.max(jnp.where(above, cols, -1)).astype(jnp.int32)
-            s_ok = window_nonempty & (smax > min_grad) & (pos_s >= 0)
+                abs_sob = jnp.where(in_window, jnp.abs(sob), _NEG)
+                smax = jnp.max(abs_sob)
+                above = in_window & (abs_sob > smax * sobel_frac)
+                pos_s = jnp.max(jnp.where(above, cols, -1)).astype(jnp.int32)
+                s_ok = window_nonempty & (smax > min_grad) & (pos_s >= 0)
 
-            final = jnp.maximum(
-                jnp.where(g_ok, pos_g, -1), jnp.where(s_ok, pos_s, -1)
-            )
+                final = jnp.maximum(
+                    jnp.where(g_ok, pos_g, -1), jnp.where(s_ok, pos_s, -1)
+                )
+            elif method == "threshold":
+                final = _pl_threshold(
+                    prof_refs[0][0, j], in_window, cols, method_frac, min_grad
+                )
+            elif method == "half_maximum":
+                final = _pl_half_maximum(
+                    prof_refs[0][0, j], in_window, cols, method_frac, min_grad
+                )
+            elif method == "gradient":
+                final = _pl_gradient(
+                    prof_refs[0][0, j], in_window, cols, s0, s1, min_grad, w
+                )
+            else:
+                raise ValueError(f"Unknown detection method: {method!r}")
             final = jnp.where(window_nonempty, final, -1)
             final = jnp.where(active & (prior_ok != 0), final, -1)
             detected = active & (final >= 0)
@@ -293,6 +391,7 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
         "exit_margin_px",
         "interpret",
         "frames_per_step",
+        "method",
     ),
 )
 def pallas_tracking_scan_batched(
@@ -313,10 +412,19 @@ def pallas_tracking_scan_batched(
     exit_margin_px: int = 15,
     interpret: bool = False,
     frames_per_step: int = 1,
+    method: str = "combined",
+    intensity_lines: jnp.ndarray = None,   # (V, M, W) f32 — named methods
+    method_fraction: jnp.ndarray = 0.5,    # threshold/half_maximum fraction
 ) -> DeviceScanResult:
     """Whole-batch tracking scan: one kernel, grid (V, ceil(M/K)), state
     resets per video. Result fields are (V, M) / (V,) — the same structure
     as ``vmap(device_tracking_scan)``, to which it is bit-identical.
+
+    ``method`` (static) selects the detector, mirroring
+    :func:`hsip_tpu.track.device_scan.device_tracking_scan`: 'combined'
+    consumes the sobel/gradient rows; the named profile methods
+    ('threshold' | 'half_maximum' | 'gradient') consume
+    ``intensity_lines`` and ignore the sobel/gradient arguments.
 
     ``frames_per_step`` (K) statically unrolls K frames per grid step to
     amortize grid/DMA overhead; the frame axis pads to a K multiple with
@@ -327,13 +435,18 @@ def pallas_tracking_scan_batched(
         raise ValueError(f"width {width} != profile width {w}")
     if m == 0 or n_videos == 0:
         raise ValueError("empty scan (caller handles zero-size batches)")
+    if method == "combined":
+        profiles = [sobel_lines, gradient_lines]
+    else:
+        if intensity_lines is None:
+            raise ValueError(f"method {method!r} requires intensity_lines")
+        profiles = [intensity_lines]
     K = int(frames_per_step)
     m_pad = -(-m // K) * K
     if m_pad != m:
         pad = m_pad - m
         frame_indices = jnp.pad(frame_indices, ((0, 0), (0, pad)))
-        sobel_lines = jnp.pad(sobel_lines, ((0, 0), (0, pad), (0, 0)))
-        gradient_lines = jnp.pad(gradient_lines, ((0, 0), (0, pad), (0, 0)))
+        profiles = [jnp.pad(p, ((0, 0), (0, pad), (0, 0))) for p in profiles]
         # Inert padding: empty rows advance nothing in the state machine.
         empty = jnp.pad(empty, ((0, 0), (0, pad)), constant_values=True)
         has_prior = jnp.pad(has_prior, ((0, 0), (0, pad)),
@@ -343,15 +456,15 @@ def pallas_tracking_scan_batched(
     # against the LOGICAL width's bounds), so reductions never see them.
     wl = _lane_width(w)
     if wl != w:
-        sobel_lines = jnp.pad(sobel_lines, ((0, 0), (0, 0), (0, wl - w)))
-        gradient_lines = jnp.pad(
-            gradient_lines, ((0, 0), (0, 0), (0, wl - w))
-        )
+        profiles = [
+            jnp.pad(p, ((0, 0), (0, 0), (0, wl - w))) for p in profiles
+        ]
 
     params_f = jnp.stack([
         jnp.asarray(min_gradient_strength, jnp.float32),
         jnp.asarray(sobel_threshold_fraction, jnp.float32),
         jnp.asarray(ddt_velocity_jump, jnp.float32),
+        jnp.asarray(method_fraction, jnp.float32),
     ])
     cal = jnp.asarray(calibration, jnp.float32).reshape(n_videos)
     fr = jnp.asarray(frame_rate, jnp.float32).reshape(n_videos)
@@ -365,12 +478,11 @@ def pallas_tracking_scan_batched(
     fidx = frame_indices.astype(jnp.int32).reshape(n_videos, m_pad, 1, 1)
     empty_i = empty.astype(jnp.int32).reshape(n_videos, m_pad, 1, 1)
     prior_i = has_prior.astype(jnp.int32).reshape(n_videos, m_pad, 1, 1)
-    sob4 = sobel_lines.reshape(n_videos, m_pad, 1, wl)
-    grad4 = gradient_lines.reshape(n_videos, m_pad, 1, wl)
+    prof4 = [p.reshape(n_videos, m_pad, 1, wl) for p in profiles]
 
     kernel = _make_kernel(width, edge_margin_px, search_window_px,
                           exit_margin_px, frames_per_step=K,
-                          lane_width=wl)
+                          lane_width=wl, method=method)
 
     # Lowering rules (enforced by Mosaic): blocks' last two dims must equal
     # the array's (or be 8/128-divisible), and scalar loads/stores must use
@@ -384,8 +496,10 @@ def pallas_tracking_scan_batched(
             smem_step,  # frame_indices
             smem_step,  # empty
             smem_step,  # has_prior
-            pl.BlockSpec((1, K, 1, wl), lambda v, i, *pf: (v, i, 0, 0)),  # sobel
-            pl.BlockSpec((1, K, 1, wl), lambda v, i, *pf: (v, i, 0, 0)),  # gradient
+        ] + [
+            # sobel+gradient ('combined') or intensity (named methods)
+            pl.BlockSpec((1, K, 1, wl), lambda v, i, *pf: (v, i, 0, 0))
+            for _ in prof4
         ],
         out_specs=[
             smem_step,  # final
@@ -422,7 +536,7 @@ def pallas_tracking_scan_batched(
         ],
         interpret=interpret,
         compiler_params=compiler_params,
-    )(params_f, cal, fr, md, fidx, empty_i, prior_i, sob4, grad4)
+    )(params_f, cal, fr, md, fidx, empty_i, prior_i, *prof4)
 
     finals = finals[:, :m, 0, 0]
     recs = recs[:, :m, 0, 0]
@@ -461,13 +575,16 @@ def pallas_tracking_scan(
     exit_margin_px: int = 15,
     interpret: bool = False,
     frames_per_step: int = 1,
+    method: str = "combined",
+    intensity_lines: jnp.ndarray = None,   # (M, W) f32 — named methods
+    method_fraction: jnp.ndarray = 0.5,
 ) -> DeviceScanResult:
-    """Single-video kernel scan ('combined' method), lax.scan-bit-identical.
+    """Single-video kernel scan, lax.scan-bit-identical.
 
     Same argument contract as :func:`hsip_tpu.track.device_scan.
-    device_tracking_scan` restricted to the combined detector — the V=1
-    case of :func:`pallas_tracking_scan_batched`. ``interpret`` runs the
-    kernel in Pallas interpret mode (CPU parity tests).
+    device_tracking_scan` (all four detectors) — the V=1 case of
+    :func:`pallas_tracking_scan_batched`. ``interpret`` runs the kernel in
+    Pallas interpret mode (CPU parity tests).
     """
     m = frame_indices.shape[0]
     res = pallas_tracking_scan_batched(
@@ -490,6 +607,11 @@ def pallas_tracking_scan(
         exit_margin_px=exit_margin_px,
         interpret=interpret,
         frames_per_step=frames_per_step,
+        method=method,
+        intensity_lines=(
+            None if intensity_lines is None else intensity_lines[None]
+        ),
+        method_fraction=method_fraction,
     )
     return DeviceScanResult(
         final_position=res.final_position[0],

@@ -611,10 +611,10 @@ def run_tracking_scan_device(
     float64 velocity columns are reconstructed from the integer positions.
     Proven row-identical to :func:`run_tracking_scan` (tests/test_device_scan).
 
-    On TPU backends the default 'combined' tracker runs as a single Pallas
-    kernel (state in SMEM, sequential grid over frames —
-    :mod:`hsip_tpu.track.pallas_scan`); named methods and CPU backends
-    use the ``lax.scan`` implementation. Both are
+    On TPU backends every detector ('combined' and the three named
+    profile methods) runs as a single Pallas kernel (state in SMEM,
+    sequential grid over frames — :mod:`hsip_tpu.track.pallas_scan`); CPU
+    backends use the ``lax.scan`` implementation. Both are
     bit-identical by contract; ``use_pallas_scan`` overrides the gate.
     """
 
@@ -678,6 +678,9 @@ def run_tracking_scan_device(
                 search_window_px=config.search_window_px,
                 exit_margin_px=config.exit_margin_px,
                 frames_per_step=default_frames_per_step(),
+                method=detection_method,
+                intensity_lines=intensity,
+                method_fraction=np.float32(fraction),
             )
         except Exception as exc:  # noqa: BLE001 — bit-identical fallback
             # A Mosaic lowering/runtime failure must degrade to the

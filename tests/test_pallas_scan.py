@@ -131,8 +131,9 @@ def test_pallas_scan_zero_frame_rate():
 
 def test_pallas_scan_gate():
     assert supports_pallas_scan(1024, "combined")
-    assert supports_pallas_scan(1000, "combined")       # pads to lanes
-    assert not supports_pallas_scan(1024, "gradient")   # named methods
+    assert supports_pallas_scan(1000, "combined")     # pads to lanes
+    assert supports_pallas_scan(1024, "gradient")     # named methods covered
+    assert not supports_pallas_scan(1024, "nonsense")
 
 
 def test_track_video_pallas_gate_off_on_cpu(tmp_path):
@@ -490,3 +491,129 @@ def test_env_knob_reaches_single_video_scan(tmp_path, monkeypatch):
     out_lax = run_tracking_scan_device(p, use_pallas_scan=False, **common)
     assert out_pallas.rows == out_lax.rows
     assert len(out_pallas.rows) > 3
+
+
+# ---- named profile methods (threshold / half_maximum / gradient) ----
+
+_NAMED = ["threshold", "half_maximum", "gradient"]
+
+
+def _run_both_named(fidx, sob, grad, intens, empty, prior, method, **kw):
+    kw = dict(kw, method=method, intensity_lines=jnp.asarray(intens),
+              method_fraction=np.float32(0.5))
+    a = device_tracking_scan(
+        fidx, sob, grad, jnp.asarray(empty), jnp.asarray(prior), **kw
+    )
+    b = pallas_tracking_scan(
+        fidx, sob, grad, jnp.asarray(empty), jnp.asarray(prior),
+        interpret=True, **kw,
+    )
+    _assert_identical(a, b)
+    return a
+
+
+@pytest.mark.parametrize("method", _NAMED)
+def test_pallas_scan_named_methods_random(method):
+    """Each named detector's kernel twin is bit-identical to the lax.scan
+    device twin — including the gradient method's TwoSum double-float tie
+    ordering — on noisy profiles at aligned and non-aligned widths."""
+    rng = np.random.default_rng(29)
+    for W in (256, 250):
+        M = 48
+        intens = np.abs(rng.normal(60, 40, (M, W))).astype(np.float32)
+        pos = (20 + 3 * np.arange(M)) % (W - 30)
+        for i in range(M):
+            intens[i, pos[i]:pos[i] + 8] += 400.0
+        zeros = np.zeros((M, W), np.float32)
+        empty = rng.random(M) < 0.1
+        prior = np.ones(M, bool)
+        fidx = np.arange(M, dtype=np.int32)
+        res = _run_both_named(
+            fidx, zeros, zeros, intens, empty, prior, method, width=W, **_KW
+        )
+        assert int((np.asarray(res.final_position) >= 0).sum()) > 5
+
+
+@pytest.mark.parametrize("method", _NAMED)
+def test_pallas_scan_named_methods_flame(method):
+    """Named methods over REAL pipeline profiles (select_intensity feed)."""
+    p, empty = _video_profiles(
+        FlameSpec(x0=25.0, v0_px=8.0, ignition_frame=2, seed=33), n=36
+    )
+    intens, has_prior = p.select_intensity(method, True)
+    res = _run_both_named(
+        np.asarray(p.frame_indices, np.int32),
+        np.asarray(p.sobel_lines), np.asarray(p.gradient_lines),
+        np.asarray(intens), empty, has_prior, method, width=p.width, **_KW,
+    )
+    assert int(np.sum(np.asarray(res.recorded))) > 3
+
+
+@pytest.mark.parametrize("method", _NAMED)
+def test_pallas_scan_named_lowers_for_tpu(method):
+    """Mosaic TPU lowering of the named-method kernels (the gradient
+    detector's pltpu.roll shifts included), aligned + padded widths."""
+    from hsip_tpu.track.pallas_scan import pallas_tracking_scan_batched
+
+    V, M = 2, 8
+    for W in (512, 250):
+        args = (
+            jnp.zeros((V, M), jnp.int32),
+            jnp.zeros((V, M, W), jnp.float32),
+            jnp.zeros((V, M, W), jnp.float32),
+            jnp.zeros((V, M), bool),
+            jnp.ones((V, M), bool),
+        )
+        kw = dict(
+            width=W, min_gradient_strength=jnp.float32(10.0),
+            sobel_threshold_fraction=jnp.float32(0.1),
+            ddt_velocity_jump=jnp.float32(1250.0),
+            calibration=jnp.ones(V, jnp.float32),
+            frame_rate=jnp.full(V, 1e5, jnp.float32),
+            max_displacement_px=jnp.full(V, 3, jnp.int32),
+            method=method,
+            intensity_lines=jnp.zeros((V, M, W), jnp.float32),
+            method_fraction=jnp.float32(0.5),
+        )
+        f = jax.jit(lambda *a: pallas_tracking_scan_batched(*a, **kw))
+        low = f.trace(*args).lower(lowering_platforms=("tpu",))
+        assert "tpu_custom_call" in low.as_text(), (method, W)
+
+
+@pytest.mark.parametrize("method", _NAMED)
+def test_pallas_library_named_methods(tmp_path, monkeypatch, method):
+    """Library mode with a named detector takes the kernel path and matches
+    the lax.scan library path row for row."""
+    import hsip_tpu.track.batch as batch_mod
+    from hsip_tpu import open_collection
+    from hsip_tpu.track.batch import track_collection_device
+    from hsip_tpu.track.config import VideoSourceConfig
+
+    for i in range(2):
+        frames, _ = synthesize_flame_video(
+            24, height=32, width=256,
+            flame=FlameSpec(x0=24.0 + i, v0_px=7.0, ignition_frame=2,
+                            seed=80 + i),
+        )
+        write_recording(tmp_path, f"nmk-run-{i + 1}-001", frames)
+
+    src = VideoSourceConfig(name="NMK", detection_method=method,
+                            calibration=0.0008,
+                            save_frame_images=False,
+                            save_stacked_sequences=False)
+    src.video_path = str(tmp_path)
+
+    def run():
+        with open_collection(str(tmp_path)) as coll:
+            return track_collection_device(
+                coll, FlameDetectorConfig(), source_config=src
+            )
+
+    monkeypatch.setattr(batch_mod, "_PALLAS_MODE", "interpret")
+    outs_pallas = run()
+    monkeypatch.setattr(batch_mod, "_PALLAS_MODE", "off")
+    outs_lax = run()
+    assert len(outs_pallas) == len(outs_lax) == 2
+    for a, b in zip(outs_pallas, outs_lax):
+        assert a.rows == b.rows and len(a.rows) > 3
+        assert a.break_reason == b.break_reason
