@@ -357,6 +357,35 @@ _CHIP_PALLAS_SCAN = textwrap.dedent(
             assert np.array_equal(va, vb), (name, va, vb)
     print("PALLAS_SCAN_IDENTICAL")
 
+    # Named detectors on-chip: same bit-identity contract (incl. the
+    # gradient method's TwoSum tie ordering through pltpu.roll shifts).
+    rng = np.random.default_rng(29)
+    for nm in ("threshold", "half_maximum", "gradient"):
+        mN, wN = 48, 250
+        intens = np.abs(rng.normal(60, 40, (mN, wN))).astype(np.float32)
+        posN = (20 + 3 * np.arange(mN)) % (wN - 30)
+        for i in range(mN):
+            intens[i, posN[i]:posN[i] + 8] += 400.0
+        zeros = np.zeros((mN, wN), np.float32)
+        emptyN = rng.random(mN) < 0.1
+        kwN = dict(width=wN, min_gradient_strength=np.float32(10.0),
+                   sobel_threshold_fraction=np.float32(0.1),
+                   ddt_velocity_jump=np.float32(1250.0),
+                   calibration=np.float32(8.3e-4),
+                   frame_rate=np.float32(1e5),
+                   max_displacement_px=np.int32(5),
+                   method=nm, intensity_lines=jnp.asarray(intens),
+                   method_fraction=np.float32(0.5))
+        argsN = (np.arange(mN, dtype=np.int32), zeros, zeros,
+                 jnp.asarray(emptyN), jnp.ones(mN, bool))
+        a = device_tracking_scan(*argsN, **kwN)
+        b = pallas_tracking_scan(*argsN, **kwN)
+        for name in a._fields:
+            va = np.asarray(getattr(a, name))
+            vb = np.asarray(getattr(b, name)).astype(va.dtype)
+            assert np.array_equal(va, vb), (nm, name, va, vb)
+    print("PALLAS_NAMED_IDENTICAL")
+
     # Latency: the single-kernel scan must beat the lax.scan path by >= 2x
     # (VERDICT r1 target: halve the 21 us/step).
     m, w = 2048, 1024
