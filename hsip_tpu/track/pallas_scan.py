@@ -45,11 +45,16 @@ from jax.experimental.pallas import tpu as pltpu
 from .device_scan import DeviceScanResult
 
 __all__ = [
+    "MAX_FRAMES_PER_STEP",
     "default_frames_per_step",
     "pallas_tracking_scan",
     "pallas_tracking_scan_batched",
     "supports_pallas_scan",
 ]
+
+# Largest K the env knob honors; sweeps (tools/chip_autotune.py) must not
+# recommend beyond it — the pipeline would silently clamp the replay.
+MAX_FRAMES_PER_STEP = 128
 
 
 def default_frames_per_step() -> int:
@@ -69,7 +74,7 @@ def default_frames_per_step() -> int:
     # Upper clamp: K statically unrolls the kernel body K times at trace
     # time, so a typo'd huge value would stall every pipeline batch for
     # minutes of tracing before the lax.scan fallback could even fire.
-    return min(max(1, k), 128)
+    return min(max(1, k), MAX_FRAMES_PER_STEP)
 
 # numpy scalars (not jnp): jnp constants would be captured as traced
 # closure consts, which pallas_call rejects.
@@ -90,7 +95,11 @@ _N_F32 = 2
 def supports_pallas_scan(width: int, method: str) -> bool:
     """The kernel covers all four detectors at any width (profile rows
     pad to a lane multiple; the padded lanes sit outside every search
-    window, so the masked reductions never see them)."""
+    window, so the masked reductions never see them). ``width`` no longer
+    affects the answer — the parameter stays so call sites keep stating
+    the geometry they're gating, should a layout constraint ever return.
+    """
+    del width
     return method in ("combined", "threshold", "half_maximum", "gradient")
 
 

@@ -66,10 +66,34 @@ def main(argv=None):
         # also go through the Pallas interpreter or every K point fails.
         jax.config.update("jax_platforms", "cpu")
         args.interpret = True
+        # Interpret mode runs the kernel in Python: chip-scale defaults
+        # would take tens of minutes on the one-CPU dev VM. Shrink any
+        # value the user left at its default to true smoke-test size.
+        if args.frames == ap.get_default("frames"):
+            args.frames = 64
+        if args.ks == ap.get_default("ks"):
+            args.ks = [1, 2]
+        if args.videos == ap.get_default("videos"):
+            args.videos = [1]
+        if args.repeats == ap.get_default("repeats"):
+            args.repeats = 1
 
     import jax.numpy as jnp
 
+    # (Imported after the platform forcing: pulling in the kernel module
+    # initializes the jax backend.)
+    from hsip_tpu.track.pallas_scan import MAX_FRAMES_PER_STEP
     from hsip_tpu.utils.backend import is_tpu_backend
+
+    too_big = [k for k in args.ks if k > MAX_FRAMES_PER_STEP]
+    if too_big:
+        # The HSIP_PALLAS_SCAN_K replay clamps at MAX_FRAMES_PER_STEP, so
+        # a recommendation beyond it could never reach the pipeline —
+        # refuse rather than sweep (and possibly pick) an unusable point.
+        print(f"ERROR: --ks {too_big} exceed the pipeline's replay clamp "
+              f"(HSIP_PALLAS_SCAN_K caps at {MAX_FRAMES_PER_STEP})",
+              file=sys.stderr)
+        return 2
 
     if not args.allow_cpu and not is_tpu_backend():
         print(f"ERROR: need a TPU backend, got {jax.default_backend()!r}",
