@@ -175,7 +175,8 @@ def test_random_library_matches_per_file(seed, tmp_path):
 @pytest.mark.parametrize("seed", range(max(3, N_CONFIGS // 3)))
 def test_random_pallas_scan_parity(seed):
     """Randomized configs through the Pallas scan kernel (interpret mode)
-    vs the lax.scan backend: every output field bit-identical."""
+    vs the lax.scan backend: every output field bit-identical. Fuzzes the
+    detection method (all four kernels) and non-lane-aligned widths."""
     import jax.numpy as jnp
 
     from hsip_tpu.track.device_scan import device_tracking_scan
@@ -192,8 +193,11 @@ def test_random_pallas_scan_parity(seed):
         edge_margin_px=int(rng.integers(3, 20)),
         exit_margin_px=int(rng.integers(8, 25)),
     )
+    method = str(rng.choice(
+        ["combined", "threshold", "half_maximum", "gradient"]
+    ))
     n = int(rng.integers(16, 48))
-    height, width = 32, int(rng.choice([256, 384, 512]))
+    height, width = 32, int(rng.choice([250, 255, 256, 384, 500, 512]))
     flame = FlameSpec(
         x0=float(rng.uniform(10, 40)),
         v0_px=float(rng.uniform(2, 12)),
@@ -220,9 +224,17 @@ def test_random_pallas_scan_parity(seed):
         search_window_px=det.search_window_px,
         exit_margin_px=det.exit_margin_px,
     )
+    has_prior = p.has_prior
+    if method != "combined":
+        intens, has_prior = p.select_intensity(method, True)
+        kw.update(
+            method=method,
+            intensity_lines=jnp.asarray(intens),
+            method_fraction=np.float32(rng.uniform(0.3, 0.7)),
+        )
     args = (np.asarray(p.frame_indices, np.int32), np.asarray(p.sobel_lines),
             np.asarray(p.gradient_lines), jnp.asarray(empty),
-            jnp.asarray(p.has_prior))
+            jnp.asarray(has_prior))
     a = device_tracking_scan(*args, **kw)
     b = pallas_tracking_scan(*args, interpret=True, **kw)
     for name in a._fields:
