@@ -617,3 +617,43 @@ def test_pallas_library_named_methods(tmp_path, monkeypatch, method):
     for a, b in zip(outs_pallas, outs_lax):
         assert a.rows == b.rows and len(a.rows) > 3
         assert a.break_reason == b.break_reason
+
+
+def test_pallas_named_method_under_mesh(tmp_path, monkeypatch):
+    """Named detector + mesh: the 9-arg shard_map'd kernel (intensity rows
+    ride along) matches the lax.scan mesh path row for row."""
+    import hsip_tpu.track.batch as batch_mod
+    from hsip_tpu import open_collection
+    from hsip_tpu.parallel import make_mesh
+    from hsip_tpu.track.batch import track_collection_device
+    from hsip_tpu.track.config import VideoSourceConfig
+
+    for i in range(2):
+        frames, _ = synthesize_flame_video(
+            20, height=32, width=256,
+            flame=FlameSpec(x0=23.0 + i, v0_px=7.0, ignition_frame=2,
+                            seed=90 + i),
+        )
+        write_recording(tmp_path, f"nmm-run-{i + 1}-001", frames)
+
+    src = VideoSourceConfig(name="NMM", detection_method="gradient",
+                            calibration=0.0008,
+                            save_frame_images=False,
+                            save_stacked_sequences=False)
+    src.video_path = str(tmp_path)
+    mesh = make_mesh("video", n_devices=2)
+
+    def run():
+        with open_collection(str(tmp_path)) as coll:
+            return track_collection_device(
+                coll, FlameDetectorConfig(), source_config=src, mesh=mesh
+            )
+
+    monkeypatch.setattr(batch_mod, "_PALLAS_MODE", "interpret")
+    outs_pallas = run()
+    monkeypatch.setattr(batch_mod, "_PALLAS_MODE", "off")
+    outs_lax = run()
+    assert len(outs_pallas) == len(outs_lax) == 2
+    for a, b in zip(outs_pallas, outs_lax):
+        assert a.rows == b.rows and len(a.rows) > 3
+        assert a.break_reason == b.break_reason
