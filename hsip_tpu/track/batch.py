@@ -306,8 +306,11 @@ def _track_uniform_videos(
         m = p.frame_indices.size
         fi[i, :m] = p.frame_indices
         fi[i, m:] = (p.frame_indices[-1] if m else 0) + np.arange(1, n_max - m + 1)
-        sob_parts.append(_pad_rows(p.sobel_lines, m))
-        grad_parts.append(_pad_rows(p.gradient_lines, m))
+        if method == "combined":
+            # Named methods never read sobel/gradient (the detector branch
+            # is static), so skip staging them — device zeros stand in.
+            sob_parts.append(_pad_rows(p.sobel_lines, m))
+            grad_parts.append(_pad_rows(p.gradient_lines, m))
         intens_i, has_prior_i = p.select_intensity(method, use_frame_diff)
         if intens_i is not None:
             intens_parts.append(_pad_rows(intens_i, m))
@@ -324,20 +327,23 @@ def _track_uniform_videos(
     # Inert pad videos (mesh alignment): all-empty frames, sane params.
     zero_lines = jnp.zeros((n_max, w), dtype=jnp.float32)
     for i in range(len(videos), V):
-        sob_parts.append(zero_lines)
-        grad_parts.append(zero_lines)
-        if method != "combined":
+        if method == "combined":
+            sob_parts.append(zero_lines)
+            grad_parts.append(zero_lines)
+        else:
             intens_parts.append(zero_lines)
         cals[i] = 1.0
         fpss[i] = 1.0
         max_disps[i] = 1
 
-    sob = jnp.stack(sob_parts)
-    grad = jnp.stack(grad_parts)
+    # The unused profile set rides as device-created zeros: both scan
+    # backends trace it but the statically-chosen detector branch never
+    # reads it, so no host bytes cross for it.
+    dev_zeros = jnp.zeros((V, n_max, w), dtype=jnp.float32)
+    sob = jnp.stack(sob_parts) if method == "combined" else dev_zeros
+    grad = jnp.stack(grad_parts) if method == "combined" else dev_zeros
     intens = (
-        jnp.stack(intens_parts)
-        if method != "combined"
-        else jnp.zeros((V, n_max, w), dtype=jnp.float32)
+        jnp.stack(intens_parts) if method != "combined" else dev_zeros
     )
 
     # --- one device scan over the whole video axis ---

@@ -631,8 +631,18 @@ def run_tracking_scan_device(
     intensity, has_prior = profiles.select_intensity(
         detection_method, use_frame_diff
     )
-    if intensity is None:  # combined: intensity unused by the device kernel
-        intensity = profiles.intensity_lines
+    # The detector branch is chosen statically, so the unused profile set
+    # never crosses to the device: 'combined' leaves intensity as None
+    # (the scan substitutes on-device zeros) and named methods send
+    # device-created zeros in place of sobel/gradient.
+    if detection_method == "combined":
+        sob_in, grad_in = profiles.sobel_lines, profiles.gradient_lines
+    else:
+        import jax.numpy as _jnp
+
+        sob_in = grad_in = _jnp.zeros(
+            (m, profiles.width), dtype=_jnp.float32
+        )
     fraction = (
         config.threshold_fraction
         if detection_method == "threshold"
@@ -661,8 +671,8 @@ def run_tracking_scan_device(
         try:
             res = pallas_tracking_scan(
                 np.asarray(profiles.frame_indices, dtype=np.int32),
-                profiles.sobel_lines,
-                profiles.gradient_lines,
+                sob_in,
+                grad_in,
                 empty,
                 has_prior,
                 width=profiles.width,
@@ -694,8 +704,8 @@ def run_tracking_scan_device(
     if res is None:
         res = device_tracking_scan(
             np.asarray(profiles.frame_indices, dtype=np.int32),
-            profiles.sobel_lines,
-            profiles.gradient_lines,
+            sob_in,
+            grad_in,
             empty,
             has_prior,
             width=profiles.width,
