@@ -108,6 +108,17 @@ class NativeDecoder:
             u8p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_float, ctypes.c_float, i32p,
         ]
+        try:
+            lib.count_above8.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_float, ctypes.c_float, i32p,
+            ]
+            self._has_count8 = True
+        except AttributeError:
+            # Stale cached .so predating the 8-bit count symbol (same
+            # archive-mtime caveat as curfit below): degrade the 8-bit
+            # band path to host counts, keep everything else.
+            self._has_count8 = False
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
         lib.gather_rows.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_int64,
@@ -249,6 +260,37 @@ class NativeDecoder:
             float(background), float(threshold), counts,
         )
         return counts
+
+    def count_above_8bit(
+        self,
+        packed: np.ndarray,
+        frame_nbytes: int,
+        background: float,
+        threshold: float,
+    ) -> np.ndarray:
+        """8-bit variant of :meth:`count_above_12bit` (bytes are pixels).
+
+        Raises ``RuntimeError`` on a stale cached library lacking the
+        symbol — callers gate on :attr:`has_count8`.
+        """
+        if not self._has_count8:
+            raise RuntimeError("native library lacks count_above8 "
+                               "(stale build)")
+        packed = np.ascontiguousarray(packed, dtype=np.uint8).reshape(-1)
+        if packed.size % frame_nbytes:
+            raise ValueError("packed size must be whole 8-bit frames")
+        n_frames = packed.size // frame_nbytes
+        counts = np.empty(n_frames, dtype=np.int32)
+        self._lib.count_above8(
+            packed, n_frames, frame_nbytes,
+            float(background), float(threshold), counts,
+        )
+        return counts
+
+    @property
+    def has_count8(self) -> bool:
+        """True when the loaded library exports the 8-bit count pass."""
+        return self._has_count8
 
     def curfit(self, x, y, w, k: int, s: float):
         """Native FITPACK curfit (UnivariateSpline-equivalent two-stage

@@ -181,6 +181,23 @@ void count_above16(const uint8_t* __restrict src, int64_t n_frames,
     }
 }
 
+// 8-bit variant of the fused count: payload bytes ARE the pixels.
+void count_above8(const uint8_t* __restrict src, int64_t n_frames,
+                  int64_t frame_nbytes, float background, float threshold,
+                  int32_t* __restrict counts) {
+#pragma omp parallel for schedule(static) num_threads(scan_threads())
+    for (int64_t f = 0; f < n_frames; ++f) {
+        const uint8_t* s = src + f * frame_nbytes;
+        int32_t c = 0;
+        for (int64_t i = 0; i < frame_nbytes; ++i) {
+            float v = (float)s[i] - background;
+            if (v < 0.0f) v = 0.0f;
+            c += (v > threshold);
+        }
+        counts[f] = c;
+    }
+}
+
 // Gather selected byte-aligned rows from every frame of a packed payload:
 // dst[f, r, :] = src[f * frame_nbytes + row_offsets[r] : + row_nbytes].
 // The band-staging hot path. The copy is memory-bandwidth bound, so the

@@ -160,7 +160,8 @@ class MRAWReader:
     width, height : frame geometry in pixels.
     bit_depth : 8, 10, 12 or 16.
     total_frames : frame count; inferred from file size when omitted.
-    use_native : prefer the C++ decoder for 12-bit unpack when available.
+    use_native : prefer the C++ codec (packed unpack, fused count pass,
+        band row gather) when available.
     """
 
     def __init__(
@@ -196,7 +197,7 @@ class MRAWReader:
         )
 
         self._native = None
-        if use_native and self.bit_depth in (10, 12, 16):
+        if use_native and self.bit_depth in (8, 10, 12, 16):
             try:
                 from hsip_tpu._native import native_decoder
 
@@ -284,11 +285,14 @@ class MRAWReader:
         self, start: int, stop: int, background: float, threshold: float
     ) -> Optional[np.ndarray]:
         """Per-frame above-noise pixel counts straight from packed bytes
-        (native 12/10-bit fast paths; None when unavailable)."""
-        if self._native is None or self.bit_depth not in (10, 12, 16):
+        (native 8/10/12/16-bit fast paths; None when unavailable)."""
+        if self._native is None or self.bit_depth not in (8, 10, 12, 16):
             return None
+        if self.bit_depth == 8 and not self._native.has_count8:
+            return None  # stale cached .so without the 8-bit symbol
         self._check_open()
         counter = {
+            8: self._native.count_above_8bit,
             10: self._native.count_above_10bit,
             12: self._native.count_above_12bit,
             16: self._native.count_above_16bit,

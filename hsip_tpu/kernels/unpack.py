@@ -33,6 +33,7 @@ __all__ = [
     "unpack_12bit_device",
     "unpack_10bit_device",
     "unpack_16bit_device",
+    "unpack_8bit_device",
     "packed_centerline_profiles",
     "packed_band_profiles",
 ]
@@ -54,6 +55,12 @@ def unpack_16bit_device(packed: jnp.ndarray, out_dtype=jnp.uint16) -> jnp.ndarra
     return out.astype(out_dtype)
 
 
+def unpack_8bit_device(packed: jnp.ndarray, out_dtype=jnp.uint16) -> jnp.ndarray:
+    """8-bit payload bytes ARE the pixels — a cast, but shipping uint8
+    halves the transfer vs decoded uint16 (quarters it vs float32)."""
+    return packed.astype(out_dtype)
+
+
 def unpack_10bit_device(packed: jnp.ndarray, out_dtype=jnp.uint16) -> jnp.ndarray:
     """Decode MSB-first 10-bit packed bytes (..., 5k) → pixels (..., 4k)."""
     b = packed.reshape(*packed.shape[:-1], -1, 5).astype(jnp.int32)
@@ -66,6 +73,7 @@ def unpack_10bit_device(packed: jnp.ndarray, out_dtype=jnp.uint16) -> jnp.ndarra
 
 
 _UNPACKERS = {
+    8: unpack_8bit_device,
     10: unpack_10bit_device,
     12: unpack_12bit_device,
     16: unpack_16bit_device,

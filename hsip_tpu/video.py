@@ -447,27 +447,32 @@ class PhotonVideo:
     @property
     def supports_packed_frames(self) -> bool:
         """True when full packed frames can decode ON-DEVICE: 10/12-bit
-        packing or raw 16-bit. Row alignment is NOT required — a frame
-        whose rows straddle byte boundaries (odd-width 12-bit, 10-bit
-        width % 4 != 0) still decodes as a flat pixel stream, with the
-        band gathered from the decoded frame; frame-level packing
-        granularity is guaranteed by the open reader (the constructor
-        rejects payloads that violate it)."""
+        packing or raw 8/16-bit (for 8-bit the bytes ARE the pixels, but
+        shipping them raw still halves the transfer vs decoded uint16).
+        Row alignment is NOT required — a frame whose rows straddle byte
+        boundaries (odd-width 12-bit, 10-bit width % 4 != 0) still
+        decodes as a flat pixel stream, with the band gathered from the
+        decoded frame; frame-level packing granularity is guaranteed by
+        the open reader (the constructor rejects payloads that violate
+        it)."""
         reader = self._reader
-        return reader is not None and reader.bit_depth in (10, 12, 16)
+        return reader is not None and reader.bit_depth in (8, 10, 12, 16)
 
     @property
     def supports_packed_band(self) -> bool:
-        """True when the minimal-transfer band path is available: 12-bit
-        packing with byte-aligned rows and the native codec built (the codec
-        computes empty-frame counts host-side so only band rows ship)."""
+        """True when the minimal-transfer band path is available:
+        8/10/12/16-bit with byte-aligned rows and the native codec built
+        (the codec computes empty-frame counts host-side so only band
+        rows ship)."""
         reader = self._reader
+        if reader is None or reader._native is None:
+            return False
+        if reader.bit_depth == 8:
+            return reader._native.has_count8  # stale-.so degradation
         return (
-            reader is not None
-            and reader.bit_depth in (10, 12, 16)
+            reader.bit_depth in (10, 12, 16)
             and reader.row_nbytes is not None
-            and reader._native is not None
-        )  # packed 10/12-bit and raw 16-bit containers
+        )
 
     def band_bytes(self, start: int, stop: int, rows: np.ndarray) -> np.ndarray:
         """Packed bytes of selected rows for frames [start, stop) — the

@@ -265,10 +265,17 @@ def test_band_bytes_and_count_above(tmp_path):
     ]
     np.testing.assert_array_equal(c16, expected16)
     assert r16.row_nbytes == 128
-    # 8-bit: no native fast path.
-    path8 = write_mraw(tmp_path / "b8.mraw", np.clip(frames, 0, 255), bit_depth=8)
+    # 8-bit: the bytes ARE the pixels, and the fused count covers them too.
+    frames8 = np.clip(frames, 0, 255)
+    path8 = write_mraw(tmp_path / "b8.mraw", frames8, bit_depth=8)
     r8 = MRAWReader(path8, width=64, height=32, bit_depth=8)
-    assert r8.count_above(0, 2, 0.0, 0.0) is None
+    c8 = r8.count_above(0, 2, background=20.0, threshold=30.0)
+    assert c8 is not None
+    expected8 = [
+        int((np.maximum(f.astype(np.float64) - 20.0, 0) > 30.0).sum())
+        for f in frames8[:2]
+    ]
+    np.testing.assert_array_equal(c8, expected8)
 
 
 def test_write_recording_packs_at_storage_depth(tmp_path):

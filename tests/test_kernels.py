@@ -258,7 +258,7 @@ def test_band_kernels_refuse_even_kernel_folding_band():
 
 
 @pytest.mark.parametrize("bit_depth,width", [
-    (10, 256), (16, 256),
+    (8, 256), (10, 256), (16, 256),
     # Rows straddling byte boundaries: the band gathers from the flat
     # full-frame decode instead of a byte-axis row gather.
     (10, 250), (12, 255),

@@ -642,3 +642,40 @@ def test_library_mode_survives_per_video_write_failure(library_dir, tmp_path,
     summary = _json.loads((out / "run-summary.json").read_text())
     assert [f["file"] for f in summary["failures"]] == ["nova-run-1-001.cihx"]
     assert len(summary["files"]) == 2
+
+
+def test_eight_bit_band_path_matches_exact(tmp_path):
+    """8-bit containers ride the minimal-transfer band path too: the bytes
+    are the pixels, the native count pass screens empty frames, and the
+    tracked output matches the exact float64 backend."""
+    from hsip_tpu import open_video
+
+    frames, _ = synthesize_flame_video(
+        30, height=48, width=384,
+        flame=FlameSpec(x0=30, v0_px=8, ignition_frame=2, flame_level=220,
+                        background_level=8, seed=3),
+    )
+    frames = np.clip(frames, 0, 255)
+    meta = write_recording(
+        tmp_path, "eight-run-1-a", frames,
+        spec=CihxSpec(width=384, height=48, total_frames=30,
+                      record_rate=50_000, bit_depth=8),
+    )
+    with open_video(str(meta)) as v:
+        assert v.supports_packed_frames
+        np.testing.assert_array_equal(v[0], frames[0])
+        if not v.supports_packed_band:
+            pytest.skip("native codec unavailable")
+        counts = v.count_above(0, 3, 10.0, 5.0)
+        dec = v.read_batch(0, 3).astype(np.float64)
+        ref = (np.maximum(dec - 10.0, 0.0) > 5.0).sum(axis=(1, 2))
+        np.testing.assert_array_equal(counts, ref.astype(np.int32))
+    cfg = VideoSourceConfig(name="E8", save_frame_images=False,
+                            save_stacked_sequences=False)
+    t = process_video_file(meta, cfg, backend="tpu", verbose=False,
+                           write_outputs=False)
+    e = process_video_file(meta, cfg, backend="exact", verbose=False,
+                           write_outputs=False)
+    assert len(t.rows) > 10
+    assert [r[:3] for r in t.rows] == [r[:3] for r in e.rows]
+    assert t.break_reason == e.break_reason
