@@ -67,6 +67,8 @@ _HEIGHT, _WIDTH = 64, 384
 
 @pytest.fixture(scope="module")
 def video_dir(tmp_path_factory):
+    import numpy as np
+
     d = tmp_path_factory.mktemp("refdiff-videos")
     spec = CihxSpec(
         width=_WIDTH, height=_HEIGHT, total_frames=_N_FRAMES,
@@ -77,6 +79,18 @@ def video_dir(tmp_path_factory):
             _N_FRAMES, height=_HEIGHT, width=_WIDTH, flame=flame
         )
         write_recording(d, stem, frames, spec=spec)
+    # One 8-bit container: its packed bytes ARE the pixels, exercising
+    # the 8-bit decode rung on both sides of the differential.
+    frames8, _ = synthesize_flame_video(
+        _N_FRAMES, height=_HEIGHT, width=_WIDTH,
+        flame=FlameSpec(x0=28.0, v0_px=7.0, ignition_frame=2,
+                        flame_level=230, background_level=8, seed=17),
+    )
+    write_recording(
+        d, "nova-run-4-050", np.clip(frames8, 0, 255),
+        spec=CihxSpec(width=_WIDTH, height=_HEIGHT, total_frames=_N_FRAMES,
+                      record_rate=100_000, bit_depth=8),
+    )
     return d
 
 
