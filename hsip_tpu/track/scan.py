@@ -136,7 +136,7 @@ def compute_profiles_batched(
             BAND bytes. With ``count_fn`` (native empty-frame counts on
             host), only the centerline band ever crosses to the device —
             the minimal-transfer path (~15 percent of the payload at H=128).
-            10/12/16-bit containers supported (``band_bit_depth``, the
+            8/10/12/16-bit containers supported (``band_bit_depth``, the
             storage depth — also used by the full-frame packed path).
         use_pallas: run the fused Mosaic kernel for the band chain (defaults
             to True on TPU backends, False elsewhere).

@@ -500,9 +500,9 @@ class PhotonVideo:
 
         Returns ``(read_packed, read_band, count_fn, storage_bit_depth)``:
         ``read_band``+``count_fn`` when only packed band rows need to cross
-        to the device (10/12/16-bit, byte-aligned rows, native codec);
+        to the device (8/10/12/16-bit, byte-aligned rows, native codec);
         ``read_packed`` when full packed frames can decode on-device
-        (any 10/12/16-bit payload); all None → host decode via
+        (any 8/10/12/16-bit payload); all None → host decode via
         :meth:`read_batch`. Single source of truth for every map-phase
         caller — the gating rules must never be re-derived at call sites.
         """

@@ -6,8 +6,9 @@ geometry, bit depth, and flame trajectory, then asserts the tpu, device, and
 exact backends emit identical position rows and truncation reasons — the
 whole-pipeline generalization of the fixed-seed parity tests in
 test_pipeline.py. Also fuzzes detection method, use_frame_diff, skip
-lists, metadata format (cihx/cih), odd/non-lane-multiple widths and
-Color Bit != effective depth containers. Last full run: 25/25 exact.
+lists, metadata format (cihx/cih), all container depths (8/10/12/16),
+odd/non-lane-multiple widths and Color Bit != effective depth
+containers. Last full run: 25/25 exact.
 """
 
 import os
@@ -53,7 +54,7 @@ def test_random_config_backend_parity(seed):
     # packed rows (odd width at 12-bit forces the host-decode fallback —
     # regression class: the packed staging path used to crash on them).
     width = int(rng.choice([255, 256, 330, 384, 500, 512]))
-    depth = int(rng.choice([10, 12, 16]))
+    depth = int(rng.choice([8, 10, 12, 16]))
     if depth == 10 and width % 4:
         width += 4 - width % 4  # 10-bit packing needs width % 4 == 0
     method = str(rng.choice(
@@ -72,15 +73,15 @@ def test_random_config_backend_parity(seed):
         ignition_frame=int(rng.integers(0, 6)),
         ddt_frame=int(rng.integers(15, 35)) if rng.random() < 0.5 else None,
         v_jump_px=float(rng.uniform(10, 40)),
-        flame_level=900 if depth == 10 else 3000,
-        background_level=20 if depth == 10 else 40,
+        flame_level={8: 220, 10: 900}.get(depth, 3000),
+        background_level={8: 8, 10: 20}.get(depth, 40),
         seed=seed,
     )
     n_frames = int(rng.integers(25, 70))
     frames, _ = synthesize_flame_video(n_frames, height=height, width=width,
                                        flame=flame)
-    if depth == 10:
-        frames = np.clip(frames, 0, 1023)
+    if depth in (8, 10):
+        frames = np.clip(frames, 0, 2 ** depth - 1)
 
     with tempfile.TemporaryDirectory() as tmp:
         meta = write_recording(
@@ -172,30 +173,33 @@ def test_random_library_matches_per_file(seed, tmp_path):
         assert lib_tables[name] == dev_tables[name], f"seed {seed}: {name}"
 
 
-@pytest.mark.parametrize("seed", range(max(3, N_CONFIGS // 3)))
-def test_random_pallas_scan_parity(seed):
+@pytest.mark.parametrize(
+    "method", ["combined", "threshold", "half_maximum", "gradient"]
+)
+@pytest.mark.parametrize("seed", range(max(1, N_CONFIGS // 10)))
+def test_random_pallas_scan_parity(seed, method):
     """Randomized configs through the Pallas scan kernel (interpret mode)
-    vs the lax.scan backend: every output field bit-identical. Fuzzes the
-    detection method (all four kernels) and non-lane-aligned widths."""
+    vs the lax.scan backend: every output field bit-identical. The method
+    is parametrized (not drawn) so every tier run deterministically covers
+    all four kernels; widths include non-lane-aligned values."""
     import jax.numpy as jnp
 
     from hsip_tpu.track.device_scan import device_tracking_scan
     from hsip_tpu.track.pallas_scan import pallas_tracking_scan
     from hsip_tpu.track.scan import MIN_SIGNAL_FRACTION, compute_profiles_batched
 
-    rng = np.random.default_rng(7000 + seed)
+    rng = np.random.default_rng(
+        7000 + 131 * seed + sum(map(ord, method))
+    )
     det = FlameDetectorConfig(
         frame_diff_threshold=float(rng.uniform(1, 12)),
         gaussian_sigma=float(rng.uniform(0.8, 2.5)),
         min_gradient_strength=float(rng.uniform(3, 20)),
         sobel_threshold_fraction=float(rng.uniform(0.05, 0.3)),
         search_window_px=int(rng.integers(40, 160)),
-        edge_margin_px=int(rng.integers(3, 20)),
+        edge_margin_px=int(rng.integers(0, 20)),
         exit_margin_px=int(rng.integers(8, 25)),
     )
-    method = str(rng.choice(
-        ["combined", "threshold", "half_maximum", "gradient"]
-    ))
     n = int(rng.integers(16, 48))
     height, width = 32, int(rng.choice([250, 255, 256, 384, 500, 512]))
     flame = FlameSpec(
@@ -241,3 +245,63 @@ def test_random_pallas_scan_parity(seed):
         va = np.asarray(getattr(a, name))
         vb = np.asarray(getattr(b, name)).astype(va.dtype)
         np.testing.assert_array_equal(va, vb, err_msg=name)
+
+
+@pytest.mark.parametrize(
+    "method", ["combined", "threshold", "half_maximum", "gradient"]
+)
+def test_adversarial_pallas_scan_soak(method):
+    """Adversarial value classes through the kernel at a hostile static
+    config: heavy ties, sparse spikes, flat plateaus, and noise — with
+    edge_margin 0 (the pltpu.roll wraparound lanes sit exactly at the
+    window boundaries there), scattered non-contiguous frame indices,
+    frame_rate 0 draws, and K=2 padding. Every field bit-identical."""
+    import jax.numpy as jnp
+
+    from hsip_tpu.track.device_scan import device_tracking_scan
+    from hsip_tpu.track.pallas_scan import pallas_tracking_scan
+
+    rng = np.random.default_rng(777 + sum(map(ord, method)))
+    W, M = 250, 24
+    for kind in range(4):
+        if kind == 0:
+            prof = np.abs(rng.normal(0, 50, (M, W))).astype(np.float32)
+        elif kind == 1:  # heavy ties
+            prof = (np.abs(rng.integers(-3, 4, (M, W))) * 10.0).astype(
+                np.float32
+            )
+        elif kind == 2:  # sparse spikes
+            prof = np.zeros((M, W), np.float32)
+            prof[:, rng.integers(0, W, 5)] = 100
+        else:  # flat plateau
+            prof = np.full((M, W), 50.0, np.float32)
+        sob = rng.normal(0, 30, (M, W)).astype(np.float32)
+        grad = rng.normal(0, 15, (M, W)).astype(np.float32)
+        empty = rng.random(M) < 0.2
+        prior = rng.random(M) < 0.9
+        fidx = np.sort(
+            rng.choice(np.arange(M * 2), M, replace=False)
+        ).astype(np.int32)
+        kw = dict(
+            width=W,
+            min_gradient_strength=np.float32(rng.uniform(1, 30)),
+            sobel_threshold_fraction=np.float32(rng.uniform(0.05, 0.4)),
+            ddt_velocity_jump=np.float32(rng.uniform(100, 3000)),
+            calibration=np.float32(rng.uniform(1e-4, 5e-3)),
+            frame_rate=np.float32(rng.choice([0.0, 1e5])),
+            max_displacement_px=np.int32(rng.integers(1, 9)),
+            edge_margin_px=0, search_window_px=60, exit_margin_px=5,
+        )
+        if method != "combined":
+            kw.update(method=method, intensity_lines=jnp.asarray(prof),
+                      method_fraction=np.float32(rng.uniform(0.2, 1.2)))
+        args = (fidx, sob, grad, jnp.asarray(empty), jnp.asarray(prior))
+        a = device_tracking_scan(*args, **kw)
+        b = pallas_tracking_scan(*args, interpret=True,
+                                 frames_per_step=2, **kw)
+        for name in a._fields:
+            va = np.asarray(getattr(a, name))
+            vb = np.asarray(getattr(b, name)).astype(va.dtype)
+            np.testing.assert_array_equal(
+                va, vb, err_msg=f"{method} kind={kind} {name}"
+            )

@@ -67,8 +67,6 @@ _HEIGHT, _WIDTH = 64, 384
 
 @pytest.fixture(scope="module")
 def video_dir(tmp_path_factory):
-    import numpy as np
-
     d = tmp_path_factory.mktemp("refdiff-videos")
     spec = CihxSpec(
         width=_WIDTH, height=_HEIGHT, total_frames=_N_FRAMES,
@@ -155,8 +153,9 @@ def reference_tables(ref, video_dir, tmp_path_factory):
     assert any("post-DDT" in name for name in tables), (
         "expected a post-DDT table from the DDT scenario"
     )
-    # ... and the main tables must carry real tracked rows with velocities.
-    for stem in _SCENARIOS:
+    # ... and the main tables must carry real tracked rows with velocities
+    # (incl. the 8-bit container, so its byte-identity isn't vacuous).
+    for stem in list(_SCENARIOS) + ["nova-run-4-050"]:
         rows = [
             line
             for line in tables[f"{stem}-flame-position.txt"].decode().splitlines()
