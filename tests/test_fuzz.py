@@ -255,7 +255,8 @@ def test_adversarial_pallas_scan_soak(method):
     config: heavy ties, sparse spikes, flat plateaus, and noise — with
     edge_margin 0 (the pltpu.roll wraparound lanes sit exactly at the
     window boundaries there), scattered non-contiguous frame indices,
-    frame_rate 0 draws, and K=2 padding. Every field bit-identical."""
+    frame_rate 0 draws, and K=3 (M=24 pads to 27, so the inert
+    padding rows are exercised too). Every field bit-identical."""
     import jax.numpy as jnp
 
     from hsip_tpu.track.device_scan import device_tracking_scan
@@ -298,7 +299,7 @@ def test_adversarial_pallas_scan_soak(method):
         args = (fidx, sob, grad, jnp.asarray(empty), jnp.asarray(prior))
         a = device_tracking_scan(*args, **kw)
         b = pallas_tracking_scan(*args, interpret=True,
-                                 frames_per_step=2, **kw)
+                                 frames_per_step=3, **kw)
         for name in a._fields:
             va = np.asarray(getattr(a, name))
             vb = np.asarray(getattr(b, name)).astype(va.dtype)
