@@ -19,8 +19,12 @@ cd "$(dirname "$0")/.."
 echo "== HSIP_TPU_CHIP tier =="
 timeout 1800 env HSIP_TPU_CHIP=1 python -m pytest tests/test_tpu_chip.py -v -rs
 
-echo "== bench.py (both modes) =="
-timeout 1800 python bench.py
-
 echo "== Pallas scan unroll sweep (pick HSIP_PALLAS_SCAN_K) =="
-timeout 1800 python tools/chip_autotune.py
+SWEEP_LOG=$(mktemp)
+timeout 1800 python tools/chip_autotune.py | tee "$SWEEP_LOG"
+K=$(grep -oE 'HSIP_PALLAS_SCAN_K=[0-9]+' "$SWEEP_LOG" | tail -1 | cut -d= -f2)
+K=${K:-1}
+rm -f "$SWEEP_LOG"
+
+echo "== bench.py (both modes, tuned K=$K) =="
+timeout 1800 env HSIP_PALLAS_SCAN_K="$K" python bench.py
