@@ -61,16 +61,19 @@ def default_frames_per_step() -> int:
     """Frames unrolled per grid step (K) used by the pipeline call sites.
 
     Tunable via ``HSIP_PALLAS_SCAN_K`` so ``tools/chip_autotune.py`` sweeps
-    can be replayed against the full pipeline without code edits. K=1 is
-    the measured-safe default until a chip sweep says otherwise; any K is
-    bit-identical by contract (padding rows are inert).
+    can be replayed against the full pipeline without code edits. The
+    default K=8 is a prior, not a measurement: it mirrors the lax.scan
+    unroll sweep (8x amortized that loop's per-step overhead, saturating
+    by 8) and batches 8 rows per VMEM block DMA; replace it with the
+    autotune pick once a chip sweep lands. Any K is bit-identical by
+    contract (padding rows are inert).
     """
     import os
 
     try:
-        k = int(os.environ.get("HSIP_PALLAS_SCAN_K", "1"))
+        k = int(os.environ.get("HSIP_PALLAS_SCAN_K", "8"))
     except ValueError:
-        return 1
+        return 8
     # Upper clamp: K statically unrolls the kernel body K times at trace
     # time, so a typo'd huge value would stall every pipeline batch for
     # minutes of tracing before the lax.scan fallback could even fire.

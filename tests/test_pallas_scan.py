@@ -450,13 +450,15 @@ def test_default_frames_per_step_env_knob(monkeypatch):
     from hsip_tpu.track.pallas_scan import default_frames_per_step
 
     monkeypatch.delenv("HSIP_PALLAS_SCAN_K", raising=False)
-    assert default_frames_per_step() == 1
-    monkeypatch.setenv("HSIP_PALLAS_SCAN_K", "8")
-    assert default_frames_per_step() == 8
+    assert default_frames_per_step() == 8  # the unset prior
+    monkeypatch.setenv("HSIP_PALLAS_SCAN_K", "4")
+    assert default_frames_per_step() == 4
     monkeypatch.setenv("HSIP_PALLAS_SCAN_K", "0")
-    assert default_frames_per_step() == 1
+    assert default_frames_per_step() == 1  # lower clamp
+    monkeypatch.setenv("HSIP_PALLAS_SCAN_K", "100000")
+    assert default_frames_per_step() == 128  # upper clamp
     monkeypatch.setenv("HSIP_PALLAS_SCAN_K", "banana")
-    assert default_frames_per_step() == 1
+    assert default_frames_per_step() == 8  # garbage -> prior
 
 
 def test_env_knob_reaches_single_video_scan(tmp_path, monkeypatch):
