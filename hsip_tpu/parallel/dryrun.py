@@ -196,10 +196,11 @@ def run_pipeline_dryrun(n_devices: int) -> int:
             write_recording(tmp / "v", f"dry-run-{i + 1}-001", frames,
                             spec=spec)
 
-        def run(out_name, use_mesh):
+        def run(out_name, use_mesh, method="combined"):
             cfg = VideoSourceConfig(
                 name="Dryrun", calibration=8.3e-4,
                 save_frame_images=False, save_stacked_sequences=False,
+                detection_method=method,
             )
             cfg.video_path = str(tmp / "v")
             cfg.output_dir = str(tmp / out_name)
@@ -209,18 +210,26 @@ def run_pipeline_dryrun(n_devices: int) -> int:
             )
             return outs
 
+        def compare(mesh_dir, single_dir):
+            mesh_tables = sorted((tmp / mesh_dir).glob("*.txt"))
+            single_tables = sorted((tmp / single_dir).glob("*.txt"))
+            assert mesh_tables, f"{mesh_dir}: mesh run wrote no tables"
+            assert [t.name for t in mesh_tables] == [
+                t.name for t in single_tables
+            ], (mesh_tables, single_tables)
+            for mt, st in zip(mesh_tables, single_tables):
+                assert mt.read_bytes() == st.read_bytes(), (
+                    f"sharded table differs: {mt.name}"
+                )
+
         outs = run("out-mesh", use_mesh=True)
         run("out-single", use_mesh=False)
-        mesh_tables = sorted((tmp / "out-mesh").glob("*.txt"))
-        single_tables = sorted((tmp / "out-single").glob("*.txt"))
-        assert mesh_tables, "mesh run wrote no tables"
-        assert [t.name for t in mesh_tables] == [
-            t.name for t in single_tables
-        ], (mesh_tables, single_tables)
-        for mt, st in zip(mesh_tables, single_tables):
-            assert mt.read_bytes() == st.read_bytes(), (
-                f"sharded table differs: {mt.name}"
-            )
+        compare("out-mesh", "out-single")
+        # Named-detector variant: the sharded kernel step carries the
+        # intensity rows (a different shard_map arity) — certify it too.
+        run("out-mesh-g", use_mesh=True, method="gradient")
+        run("out-single-g", use_mesh=False, method="gradient")
+        compare("out-mesh-g", "out-single-g")
         return len(outs)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
