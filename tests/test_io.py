@@ -270,10 +270,13 @@ def test_band_bytes_and_count_above(tmp_path):
     path8 = write_mraw(tmp_path / "b8.mraw", frames8, bit_depth=8)
     r8 = MRAWReader(path8, width=64, height=32, bit_depth=8)
     c8 = r8.count_above(0, 2, background=20.0, threshold=30.0)
-    if c8 is None:
+    if r8._native is not None and not r8._native.has_count8:
         # The documented stale-.so degradation: a cached library without
-        # the count_above8 symbol turns only this rung off.
+        # the count_above8 symbol turns only this rung off. Any OTHER
+        # reason for a missing count is a regression and must fail below.
+        assert c8 is None
         pytest.skip("native library lacks count_above8 (stale build)")
+    assert c8 is not None
     expected8 = [
         int((np.maximum(f.astype(np.float64) - 20.0, 0) > 30.0).sum())
         for f in frames8[:2]

@@ -21,10 +21,12 @@ timeout 1800 env HSIP_TPU_CHIP=1 python -m pytest tests/test_tpu_chip.py -v -rs
 
 echo "== Pallas scan unroll sweep (pick HSIP_PALLAS_SCAN_K) =="
 SWEEP_LOG=$(mktemp)
+trap 'rm -f "$SWEEP_LOG"' EXIT
 timeout 1800 python tools/chip_autotune.py | tee "$SWEEP_LOG"
-K=$(grep -oE 'HSIP_PALLAS_SCAN_K=[0-9]+' "$SWEEP_LOG" | tail -1 | cut -d= -f2)
-K=${K:-1}
-rm -f "$SWEEP_LOG"
+# `|| true`: under set -e a no-match grep (recommendation line reworded)
+# must fall through to the code default, not abort before the bench.
+K=$(grep -oE 'HSIP_PALLAS_SCAN_K=[0-9]+' "$SWEEP_LOG" | tail -1 | cut -d= -f2 || true)
+K=${K:-8}  # matches default_frames_per_step()'s unset prior
 
 echo "== bench.py (both modes, tuned K=$K) =="
 timeout 1800 env HSIP_PALLAS_SCAN_K="$K" python bench.py
