@@ -629,7 +629,13 @@ def test_host_scan_scales_linearly():
         assert len(out.rows) == n - 1 and out.break_reason is None
         return best
 
-    t4, t16 = run(4000), run(16000)
+    # One retry: a genuine complexity bug trips every measurement, while a
+    # busy shared host (parallel test jobs, background benches) can push a
+    # single best-of-2 pair past the bound.
+    for attempt in range(2):
+        t4, t16 = run(4000), run(16000)
+        if t16 / t4 < 10.0:
+            break
     assert t16 / t4 < 10.0, f"scan scaling regressed: {t16 / t4:.1f}x for 4x frames"
 
 
