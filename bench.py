@@ -226,7 +226,7 @@ def run_bench(args, config) -> dict:
     }
 
 
-def main() -> int:
+def _build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser()
     parser.add_argument("--frames", type=int, default=2048)
     parser.add_argument("--height", type=int, default=128)
@@ -257,28 +257,44 @@ def main() -> int:
         "--no-preflight", action="store_true",
         help="skip the subprocess backend probe (trusted-backend runs)",
     )
-    args = parser.parse_args()
-    if args.scan == "host" and args.mode != "single":
-        parser.error("--scan host applies to single-video mode only "
-                     "(library mode always runs the vmapped device scan)")
+    parser.add_argument(
+        "--child-timeout", type=float, default=1500.0,
+        help="seconds the measurement child may take before the parent "
+        "kills it and retries on the CPU backend (the tunnel can HANG "
+        "mid-run, not just at init)",
+    )
+    parser.add_argument(
+        "--force-cpu", action="store_true",
+        help="pin the CPU backend without probing (fallback-shape run: "
+        "shrunk default frame count, 'cpu-fallback' label in the JSON)",
+    )
+    parser.add_argument("--child", action="store_true", help=argparse.SUPPRESS)
+    return parser
 
-    backend = "default"
-    if not args.no_preflight:
-        backend = preflight_backend()
+
+def _error_json(msg: str) -> str:
+    return json.dumps(
+        {
+            "metric": "mraw_frames_per_sec_per_chip_decode_track",
+            "value": None,
+            "unit": "frames/s",
+            "vs_baseline": None,
+            "error": msg,
+        }
+    )
+
+
+def run_child(args, parser) -> int:
+    """Measure in-process and print the one JSON line (no backend probe)."""
     import jax
 
-    if backend == "cpu":
+    if args.force_cpu:
         # Tunnel-down fallback: pin the CPU backend (env vars alone cannot --
         # an import hook re-adds axon) and shrink the problem so the weak
         # dev host finishes; the JSON stays parseable and is LABELED.
         jax.config.update("jax_platforms", "cpu")
         if args.frames == parser.get_default("frames"):
             args.frames = 256
-        print(
-            "bench: TPU backend unreachable after retries -- falling back "
-            "to CPU (labeled in the JSON line)",
-            file=sys.stderr,
-        )
 
     from hsip_tpu.track import FlameDetectorConfig
     from hsip_tpu.utils import enable_persistent_compilation_cache
@@ -292,22 +308,95 @@ def main() -> int:
         import traceback
 
         traceback.print_exc(file=sys.stderr)
-        print(
-            json.dumps(
-                {
-                    "metric": "mraw_frames_per_sec_per_chip_decode_track",
-                    "value": None,
-                    "unit": "frames/s",
-                    "vs_baseline": None,
-                    "error": f"{type(exc).__name__}: {exc}",
-                }
-            )
-        )
+        print(_error_json(f"{type(exc).__name__}: {exc}"))
         return 1
-    if backend == "cpu":
+    if args.force_cpu:
         result["backend"] = "cpu-fallback"
     print(json.dumps(result))
     return 0
+
+
+def _spawn_child(extra_argv, timeout_s: float):
+    """Run the measurement child; return its parsed JSON line, or None.
+
+    stderr streams through; stdout is captured for the JSON contract. A
+    child that hangs (tunnel death mid-run blocks instead of raising) is
+    killed at the timeout so the caller can retry on CPU.
+    """
+    cmd = [sys.executable, __file__, "--child", *extra_argv]
+    try:
+        proc = subprocess.run(
+            cmd, stdout=subprocess.PIPE, text=True, timeout=timeout_s
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"bench: measurement child exceeded {timeout_s:.0f}s, killed",
+            file=sys.stderr,
+        )
+        return None
+    lines = [ln for ln in (proc.stdout or "").strip().splitlines() if ln]
+    for line in reversed(lines):
+        try:
+            parsed = json.loads(line)
+        except ValueError:
+            continue
+        if isinstance(parsed, dict) and "metric" in parsed:
+            if "error" in parsed or proc.returncode != 0:
+                print(
+                    f"bench: measurement child failed "
+                    f"(rc={proc.returncode}): "
+                    f"{parsed.get('error', 'no error field')}",
+                    file=sys.stderr,
+                )
+            return parsed
+    print(
+        f"bench: measurement child produced no JSON line "
+        f"(rc={proc.returncode})",
+        file=sys.stderr,
+    )
+    return None
+
+
+def main() -> int:
+    parser = _build_parser()
+    args = parser.parse_args()
+    if args.scan == "host" and args.mode != "single":
+        parser.error("--scan host applies to single-video mode only "
+                     "(library mode always runs the vmapped device scan)")
+    if args.child:
+        return run_child(args, parser)
+
+    force_cpu = args.force_cpu
+    if not force_cpu and not args.no_preflight:
+        if preflight_backend() == "cpu":
+            print(
+                "bench: TPU backend unreachable after retries -- falling "
+                "back to CPU (labeled in the JSON line)",
+                file=sys.stderr,
+            )
+            force_cpu = True
+
+    child_argv = [a for a in sys.argv[1:] if a != "--force-cpu"]
+    result = _spawn_child(
+        child_argv + (["--force-cpu"] if force_cpu else []),
+        args.child_timeout,
+    )
+    ok = result is not None and "error" not in result
+    if not ok and not force_cpu:
+        # The backend answered the preflight but died mid-measurement:
+        # land a labeled CPU number instead of an empty round.
+        print(
+            "bench: retrying the measurement on the CPU backend",
+            file=sys.stderr,
+        )
+        retry = _spawn_child(child_argv + ["--force-cpu"], args.child_timeout)
+        result = retry if retry is not None else result
+        ok = result is not None and "error" not in result
+    if result is None:
+        print(_error_json("measurement child failed on all backends"))
+        return 1
+    print(json.dumps(result))
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
