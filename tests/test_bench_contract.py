@@ -1,0 +1,62 @@
+"""Driver-contract tests for bench.py.
+
+The driver runs ``python bench.py`` at the end of every round and needs ONE
+parseable JSON line on stdout in every outcome: a measured number on a live
+backend, a labeled number on the CPU fallback, or an error object when every
+backend fails. These tests pin that contract so the round's headline
+artifact can't bitrot between captured runs.
+"""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+def _run_bench(*argv: str, timeout: float = 240.0):
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), *argv],
+        capture_output=True,
+        text=True,
+        timeout=timeout,
+        cwd=REPO,
+    )
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln]
+    assert lines, f"no stdout; stderr tail: {proc.stderr[-800:]}"
+    return proc.returncode, json.loads(lines[-1])
+
+
+def test_force_cpu_run_emits_labeled_json():
+    rc, result = _run_bench(
+        "--no-preflight", "--force-cpu",
+        "--frames", "16", "--videos", "2",
+        "--baseline-sample", "4", "--repeat", "1",
+    )
+    assert rc == 0
+    assert result["metric"] == "mraw_frames_per_sec_per_chip_decode_track"
+    assert result["unit"] == "frames/s"
+    assert result["value"] > 0
+    assert result["vs_baseline"] > 0
+    assert result["backend"] == "cpu-fallback"
+    assert result["single_video_fps"] > 0
+    assert result["library_fps"] > 0
+    assert "error" not in result
+
+
+def test_child_timeout_on_cpu_emits_error_json():
+    # A timeout shorter than interpreter start-up kills the measurement
+    # child; on the (already-fallback) CPU backend there is no further
+    # retry, so the contract is rc=1 plus a parseable error object.
+    rc, result = _run_bench(
+        "--no-preflight", "--force-cpu", "--child-timeout", "0.5",
+        "--frames", "16", "--videos", "2",
+        "--baseline-sample", "4", "--repeat", "1",
+    )
+    assert rc == 1
+    assert result["metric"] == "mraw_frames_per_sec_per_chip_decode_track"
+    assert result["value"] is None
+    assert "error" in result
