@@ -45,8 +45,15 @@ def preflight_backend(
     """Probe default-backend init in a killable subprocess.
 
     Returns the platform name ('tpu'/...) on success. After ``retries``
-    failed/hung attempts, returns 'cpu' — the caller then pins the CPU
+    failed attempts, returns 'cpu' — the caller then pins the CPU
     backend so the bench still lands a (labeled) number instead of rc=1.
+
+    A probe that *errors* (e.g. transient UNAVAILABLE) retries with
+    backoff; a probe that *hangs* falls back immediately — a dead
+    tunnel blocks inside backend init (observed >9 min in round 1)
+    while a healthy one initializes in 20-40 s, so one full timeout is
+    already a 4-7x margin and further retries only burn the driver's
+    wall-clock budget.
     """
     for attempt in range(retries):
         try:
@@ -66,10 +73,11 @@ def preflight_backend(
             )
         except subprocess.TimeoutExpired:
             print(
-                f"bench: backend probe attempt {attempt + 1}/{retries} hung "
-                f"(> {timeout_s:.0f}s), killed",
+                f"bench: backend probe hung (> {timeout_s:.0f}s), killed -- "
+                "treating the backend as down",
                 file=sys.stderr,
             )
+            return "cpu"
         if attempt + 1 < retries:
             time.sleep(backoff_s)
     return "cpu"
