@@ -48,8 +48,14 @@ def ref():
     return load_reference_module()
 
 
-# Three trajectories: plain propagation that exits the domain, a DDT jump
-# (pre/post split + velocity merge), and late ignition (empty-frame skips).
+# Four trajectories: plain propagation that exits the domain, a DDT jump
+# (pre/post split + velocity merge), late ignition (empty-frame skips), and
+# a sudden slowdown (8 -> 1 px/frame with a sharp 1 px edge: v1 drops
+# 400 -> 100 m/s = 75% on the default calibration, hitting the
+# velocity-drop break + the retroactive central-difference invalidation,
+# reference process_videos.py:1496-1509, without latching DDT since the
+# jump is negative; a softer 2 px edge smears the transition across frames
+# and never exceeds the 50% single-step threshold).
 _SCENARIOS = {
     "nova-run-1-005": FlameSpec(
         x0=25.0, v0_px=9.0, accel_px=0.05, ignition_frame=2, seed=7
@@ -59,6 +65,10 @@ _SCENARIOS = {
     ),
     "nova-run-3-021": FlameSpec(
         x0=30.0, v0_px=6.0, ignition_frame=12, seed=13
+    ),
+    "nova-run-5-033": FlameSpec(
+        x0=22.0, v0_px=8.0, ddt_frame=26, v_jump_px=-7.0, ignition_frame=2,
+        edge_width_px=1.0, seed=19,
     ),
 }
 _N_FRAMES = 48
@@ -165,6 +175,19 @@ def reference_tables(ref, video_dir, tmp_path_factory):
         assert any(len(r.split()) == 7 for r in rows), (
             f"{stem}: no row carries all three velocity columns"
         )
+    # The slowdown scenario must actually hit the velocity-drop break, or
+    # its anchor is vacuous: its last recorded frame stays well short of
+    # the recording end (the exit margin is never reached at ~220 px).
+    rows5 = [
+        line
+        for line in tables["nova-run-5-033-flame-position.txt"]
+        .decode()
+        .splitlines()
+        if line and not line.startswith("#")
+    ]
+    assert int(rows5[-1].split()[0]) < _N_FRAMES - 10, (
+        "expected the velocity-drop break to truncate nova-run-5-033"
+    )
     return tables
 
 
