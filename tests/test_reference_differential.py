@@ -116,7 +116,7 @@ def _file_calibrations(mod):
     ]
 
 
-def _run_reference(ref, video_dir: Path, out_dir: Path) -> None:
+def _run_reference(ref, video_dir: Path, out_dir: Path, **overrides) -> None:
     config = ref.VideoSourceConfig(
         name="diff",
         enabled=True,
@@ -124,13 +124,14 @@ def _run_reference(ref, video_dir: Path, out_dir: Path) -> None:
         position_offset=0.25,
         skip_frames=[5],
         file_calibrations=_file_calibrations(ref),
+        **overrides,
     )
     config.video_path = str(video_dir)   # absolute: setter passes through
     config.output_dir = str(out_dir)
     ref.process_video_source(config, processor=None)
 
 
-def _run_ours(video_dir: Path, out_dir: Path, backend: str) -> None:
+def _run_ours(video_dir: Path, out_dir: Path, backend: str, **overrides) -> None:
     import hsip_tpu.track.config as cfg
     from hsip_tpu.pipeline import process_video_source
 
@@ -143,6 +144,7 @@ def _run_ours(video_dir: Path, out_dir: Path, backend: str) -> None:
         file_calibrations=_file_calibrations(cfg),
         save_frame_images=False,
         save_stacked_sequences=False,
+        **overrides,
     )
     config.video_path = str(video_dir)
     config.output_dir = str(out_dir)
@@ -231,4 +233,36 @@ def test_tables_byte_identical_via_pallas_kernel(
     for name in sorted(reference_tables):
         assert ours[name] == reference_tables[name], (
             f"{name} differs from the reference output (pallas kernel)"
+        )
+
+
+def test_trigger_relative_time_matches_reference(ref, video_dir, tmp_path):
+    """``use_absolute_time=False`` with an explicit trigger frame switches
+    the Time_s column to trigger-relative values (negative before the
+    trigger, reference video.py:211-220) — a branch the main corpus never
+    takes since the reference defaults to absolute PFV4 time."""
+    ref_out = tmp_path / "ref-trig"
+    _run_reference(
+        ref, video_dir, ref_out, use_absolute_time=False, trigger_frame=9
+    )
+    reference_tables = _tables(ref_out)
+    assert len(reference_tables) >= len(_SCENARIOS)
+    # Vacuity guard: pre-trigger rows must really carry negative times.
+    sample = reference_tables["nova-run-1-005-flame-position.txt"].decode()
+    assert any(
+        line.split()[1].startswith("-")
+        for line in sample.splitlines()
+        if line and not line.startswith("#")
+    ), "expected negative trigger-relative times before the trigger frame"
+
+    ours_dir = tmp_path / "ours-trig"
+    _run_ours(
+        video_dir, ours_dir, "device",
+        use_absolute_time=False, trigger_frame=9,
+    )
+    ours = _tables(ours_dir)
+    assert set(ours) == set(reference_tables)
+    for name in sorted(reference_tables):
+        assert ours[name] == reference_tables[name], (
+            f"{name} differs from the reference output (trigger-relative)"
         )
