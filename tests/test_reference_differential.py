@@ -99,6 +99,18 @@ def video_dir(tmp_path_factory):
         spec=CihxSpec(width=_WIDTH, height=_HEIGHT, total_frames=_N_FRAMES,
                       record_rate=100_000, bit_depth=8),
     )
+    # ... and one 10-bit container (5 bytes -> 4 pixels) so the remaining
+    # packed decode rung is differentially exercised through the pipeline.
+    frames10, _ = synthesize_flame_video(
+        _N_FRAMES, height=_HEIGHT, width=_WIDTH,
+        flame=FlameSpec(x0=26.0, v0_px=7.5, ignition_frame=2,
+                        flame_level=900, seed=23),
+    )
+    write_recording(
+        d, "nova-run-6-044", np.clip(frames10, 0, 1023),
+        spec=CihxSpec(width=_WIDTH, height=_HEIGHT, total_frames=_N_FRAMES,
+                      record_rate=100_000, bit_depth=10),
+    )
     return d
 
 
@@ -166,8 +178,8 @@ def reference_tables(ref, video_dir, tmp_path_factory):
         "expected a post-DDT table from the DDT scenario"
     )
     # ... and the main tables must carry real tracked rows with velocities
-    # (incl. the 8-bit container, so its byte-identity isn't vacuous).
-    for stem in list(_SCENARIOS) + ["nova-run-4-050"]:
+    # (incl. the 8/10-bit containers, so their byte-identity isn't vacuous).
+    for stem in list(_SCENARIOS) + ["nova-run-4-050", "nova-run-6-044"]:
         rows = [
             line
             for line in tables[f"{stem}-flame-position.txt"].decode().splitlines()
