@@ -46,18 +46,36 @@ def _draw(rng: np.random.Generator):
     width = int(rng.choice([256, 384, 512]))
     n_frames = int(rng.integers(28, 56))
     ignition = int(rng.integers(1, 6))
-    has_ddt = bool(rng.random() < 0.5)
+    bit_depth = int(rng.choice([8, 10, 12, 16]))
+    record_rate = int(rng.choice([20_000, 50_000, 100_000]))
+    full_scale = 2**bit_depth - 1
+    # Jump mode: none / DDT speed-up / sudden slowdown. The slowdown case
+    # fuzzes the >50% velocity-drop break (+ its retroactive central-diff
+    # invalidation); whether the break actually fires depends on the drawn
+    # calibration and record rate — both sides must agree either way. The
+    # post-jump speed stays positive so the rightward-monotone search
+    # bounds remain valid, and the sharp edge keeps the drop in one step.
+    mode = rng.choice(["none", "ddt", "slowdown"], p=[0.35, 0.4, 0.25])
+    v0 = float(rng.uniform(5.0, 9.0)) if mode == "slowdown" \
+        else float(rng.uniform(2.5, 9.0))
     flame = FlameSpec(
         x0=float(rng.uniform(10, 40)),
-        v0_px=float(rng.uniform(2.5, 9.0)),
-        accel_px=float(rng.uniform(0.0, 0.12)),
-        ddt_frame=int(rng.integers(12, 24)) if has_ddt else None,
-        v_jump_px=float(rng.uniform(16, 28)) if has_ddt else 0.0,
+        v0_px=v0,
+        accel_px=0.0 if mode == "slowdown" else float(rng.uniform(0.0, 0.12)),
+        ddt_frame=int(rng.integers(12, 24)) if mode != "none" else None,
+        v_jump_px=(
+            float(rng.uniform(16, 28)) if mode == "ddt"
+            else -(v0 - float(rng.uniform(0.5, 1.5))) if mode == "slowdown"
+            else 0.0
+        ),
         ignition_frame=ignition,
         background_level=int(rng.integers(20, 70)),
         background_noise=int(rng.integers(2, 10)),
-        flame_level=int(rng.integers(1500, 3800)),
-        edge_width_px=float(rng.uniform(1.2, 3.5)),
+        flame_level=int(float(rng.uniform(0.55, 0.95)) * full_scale),
+        edge_width_px=(
+            float(rng.uniform(0.8, 1.5)) if mode == "slowdown"
+            else float(rng.uniform(1.2, 3.5))
+        ),
         seed=int(rng.integers(0, 2**31)),
     )
     detector = dict(
@@ -83,7 +101,7 @@ def _draw(rng: np.random.Generator):
             for i in rng.choice(n_frames, size=rng.integers(0, 3), replace=False)
         ),
     )
-    return height, width, n_frames, flame, detector, source
+    return height, width, n_frames, bit_depth, record_rate, flame, detector, source
 
 
 def _run_reference(ref, video_dir, out_dir, detector_kwargs, source_kwargs):
@@ -128,7 +146,8 @@ def _run_ours(video_dir, out_dir, detector_kwargs, source_kwargs, backend):
 def test_randomized_differential_sweep(ref, tmp_path):  # noqa: F811
     rng = np.random.default_rng(20260816)
     for trial in range(_TRIALS):
-        height, width, n_frames, flame, detector_kwargs, source_kwargs = _draw(rng)
+        (height, width, n_frames, bit_depth, record_rate, flame,
+         detector_kwargs, source_kwargs) = _draw(rng)
         vdir = tmp_path / f"t{trial}" / "videos"
         frames, _ = synthesize_flame_video(
             n_frames, height=height, width=width, flame=flame
@@ -136,10 +155,10 @@ def test_randomized_differential_sweep(ref, tmp_path):  # noqa: F811
         write_recording(
             vdir,
             f"fuzz-run-{trial}-{trial + 1:03d}",
-            frames,
+            np.clip(frames, 0, 2**bit_depth - 1),
             spec=CihxSpec(
                 width=width, height=height, total_frames=n_frames,
-                record_rate=100_000, bit_depth=12,
+                record_rate=record_rate, bit_depth=bit_depth,
             ),
         )
         ref_out = tmp_path / f"t{trial}" / "ref"
@@ -151,6 +170,7 @@ def test_randomized_differential_sweep(ref, tmp_path):  # noqa: F811
             ours = _tables(ours_out)
             ctx = (
                 f"trial {trial} backend={backend} {height}x{width}x{n_frames} "
+                f"{bit_depth}-bit @{record_rate}fps "
                 f"detector={detector_kwargs} source={source_kwargs}"
             )
             assert set(ours) == set(expected), ctx
