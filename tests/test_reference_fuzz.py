@@ -43,7 +43,10 @@ _TRIALS = int(os.environ.get("HSIP_REFERENCE_TRIALS", "6"))
 
 def _draw(rng: np.random.Generator):
     height = int(rng.choice([32, 48, 64, 96]))
-    width = int(rng.choice([256, 384, 512]))
+    # 250/255 are deliberately not lane multiples: the Pallas scan pads
+    # profile rows to 128 lanes, and this anchors that layout on the
+    # actual reference (not just the internal backend-parity suites).
+    width = int(rng.choice([250, 255, 256, 384, 512]))
     n_frames = int(rng.integers(28, 56))
     ignition = int(rng.integers(1, 6))
     bit_depth = int(rng.choice([8, 10, 12, 16]))
@@ -88,6 +91,12 @@ def _draw(rng: np.random.Generator):
         ddt_velocity_jump_m_s=float(rng.choice([900.0, 1250.0])),
         search_window_px=int(rng.choice([60, 100, 160])),
         exit_margin_px=int(rng.choice([10, 15, 25])),
+        edge_margin_px=int(rng.choice([0, 4, 10, 20])),
+        # Plot-only by contract — drawn to prove tables stay identical
+        # whichever way the spline knobs fall.
+        use_spline_estimator=bool(rng.random() < 0.7),
+        spline_smoothing=float(rng.choice([0.2, 0.5, 1.0])),
+        min_points_for_spline=int(rng.choice([4, 5, 8])),
     )
     source = dict(
         calibration=float(rng.choice([0.0005, 0.000833333, 0.000869565])),
