@@ -5,7 +5,11 @@ detection methods (mirroring the reference's experimental setup), writes a
 TOML run config, and invokes the CLI — the complete switchover path for a
 user of the reference pipeline.
 
-    python examples/demo.py [workdir]
+    python examples/demo.py [workdir] [extra CLI flags...]
+
+Flags after the workdir are forwarded to the ``hsip`` CLI verbatim — e.g.
+``--platform cpu`` to run without the environment's accelerator, or
+``--backend host`` for the float64 host scan.
 """
 
 import sys
@@ -74,9 +78,13 @@ position_offset = 0.050237
 
 
 if __name__ == "__main__":
-    root = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("./hsip-demo")
+    args = sys.argv[1:]
+    if args and not args[0].startswith("-"):
+        root, extra = Path(args[0]), args[1:]
+    else:
+        root, extra = Path("./hsip-demo"), args
     root.mkdir(parents=True, exist_ok=True)
     build_dataset(root)
     cfg = root / "run.toml"
     cfg.write_text(CONFIG.format(root=root.resolve()))
-    raise SystemExit(main(["--config", str(cfg)]))
+    raise SystemExit(main(["--config", str(cfg), *extra]))

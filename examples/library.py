@@ -11,11 +11,21 @@ this shows the pure Python API a pipeline embeds:
   more than one visible device, e.g. JAX_PLATFORMS=cpu
   XLA_FLAGS=--xla_force_host_platform_device_count=8).
 
-    python examples/library.py [workdir] [--mesh]
+    python examples/library.py [workdir] [--mesh] [--platform NAME]
+
+``--platform cpu`` forces a JAX platform before backend initialization —
+the escape hatch when the environment pins an unreachable accelerator.
 """
 
 import sys
 from pathlib import Path
+
+if "--platform" in sys.argv:
+    import jax
+
+    # Must land before anything imports a Pallas-using module (backend
+    # init freezes the platform list).
+    jax.config.update("jax_platforms", sys.argv[sys.argv.index("--platform") + 1])
 
 try:
     from hsip_tpu import open_collection
@@ -25,7 +35,6 @@ except ModuleNotFoundError:  # running from a checkout without pip install
 
 from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
 from hsip_tpu.track import FileCalibration, FlameDetectorConfig, VideoSourceConfig
-from hsip_tpu.track.batch import track_collection_device
 
 
 def build_library(root: Path) -> None:
@@ -42,7 +51,13 @@ def build_library(root: Path) -> None:
 
 
 def main() -> int:
-    root = Path(sys.argv[1]) if len(sys.argv) > 1 else Path("./hsip-library-demo")
+    from hsip_tpu.track.batch import track_collection_device
+
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    if "--platform" in sys.argv:  # drop the flag's value operand too
+        args = [a for a in args
+                if a != sys.argv[sys.argv.index("--platform") + 1]]
+    root = Path(args[0]) if args else Path("./hsip-library-demo")
     use_mesh = "--mesh" in sys.argv
     build_library(root)
 
