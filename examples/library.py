@@ -20,12 +20,40 @@ the escape hatch when the environment pins an unreachable accelerator.
 import sys
 from pathlib import Path
 
-if "--platform" in sys.argv:
+
+def _parse_argv(argv):
+    """Split argv into (platform, use_mesh, positionals).
+
+    Accepts both ``--platform NAME`` and ``--platform=NAME``; a missing
+    value is a usage error (exit 2), not a silent fall-through onto the
+    very backend the flag exists to escape.
+    """
+    platform, use_mesh, positionals = None, False, []
+    it = iter(argv)
+    for arg in it:
+        if arg == "--platform":
+            platform = next(it, None)
+            if platform is None or platform.startswith("-"):
+                print("--platform requires a value (e.g. --platform cpu)",
+                      file=sys.stderr)
+                raise SystemExit(2)
+        elif arg.startswith("--platform="):
+            platform = arg.split("=", 1)[1]
+        elif arg == "--mesh":
+            use_mesh = True
+        else:
+            positionals.append(arg)
+    return platform, use_mesh, positionals
+
+
+_PLATFORM, _USE_MESH, _POSITIONALS = _parse_argv(sys.argv[1:])
+
+if _PLATFORM:
     import jax
 
     # Must land before anything imports a Pallas-using module (backend
     # init freezes the platform list).
-    jax.config.update("jax_platforms", sys.argv[sys.argv.index("--platform") + 1])
+    jax.config.update("jax_platforms", _PLATFORM)
 
 try:
     from hsip_tpu import open_collection
@@ -53,12 +81,9 @@ def build_library(root: Path) -> None:
 def main() -> int:
     from hsip_tpu.track.batch import track_collection_device
 
-    args = [a for a in sys.argv[1:] if not a.startswith("-")]
-    if "--platform" in sys.argv:  # drop the flag's value operand too
-        args = [a for a in args
-                if a != sys.argv[sys.argv.index("--platform") + 1]]
-    root = Path(args[0]) if args else Path("./hsip-library-demo")
-    use_mesh = "--mesh" in sys.argv
+    root = (Path(_POSITIONALS[0]) if _POSITIONALS
+            else Path("./hsip-library-demo"))
+    use_mesh = _USE_MESH
     build_library(root)
 
     src = VideoSourceConfig(name="Library", save_frame_images=False,

@@ -29,4 +29,8 @@ K=$(grep -oE 'HSIP_PALLAS_SCAN_K=[0-9]+' "$SWEEP_LOG" | tail -1 | cut -d= -f2 ||
 K=${K:-8}  # matches default_frames_per_step()'s unset prior
 
 echo "== bench.py (both modes, tuned K=$K) =="
-timeout 1800 env HSIP_PALLAS_SCAN_K="$K" python bench.py
+# The outer bound must cover bench's worst case: preflight (~150 s) plus
+# one TPU child AND one labeled CPU retry, each capped at --child-timeout
+# (a tunnel that answers the preflight and dies mid-run burns the full
+# child budget before the retry starts). 150 + 2*600 < 3600.
+timeout 3600 env HSIP_PALLAS_SCAN_K="$K" python bench.py --child-timeout 600

@@ -19,11 +19,16 @@ REFRESH_LOG=${REFRESH_LOG:-/tmp/chip_refresh.log}
 start=$(date +%s)
 while (( $(date +%s) - start < MAX_S )); do
     if timeout "$PROBE_TIMEOUT_S" python -c "
+import sys
 import jax
 d = jax.devices()
 x = jax.numpy.ones((128, 128))
 (x @ x).block_until_ready()
-print('tunnel up:', d[0].platform, len(d), 'device(s)')
+print('probe backend:', d[0].platform, len(d), 'device(s)')
+# A dead tunnel can fail FAST (connection refused) instead of hanging,
+# in which case jax silently initializes the cpu fallback platform —
+# exit 0 must mean the accelerator itself answered.
+sys.exit(0 if d[0].platform == 'axon' else 4)
 "; then
         echo "== tunnel answered; running chip_refresh (log: $REFRESH_LOG) =="
         bash tools/chip_refresh.sh 2>&1 | tee "$REFRESH_LOG"
