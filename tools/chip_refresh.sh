@@ -32,5 +32,6 @@ echo "== bench.py (both modes, tuned K=$K) =="
 # The outer bound must cover bench's worst case: preflight (~150 s) plus
 # one TPU child AND one labeled CPU retry, each capped at --child-timeout
 # (a tunnel that answers the preflight and dies mid-run burns the full
-# child budget before the retry starts). 150 + 2*600 < 3600.
-timeout 3600 env HSIP_PALLAS_SCAN_K="$K" python bench.py --child-timeout 600
+# child budget before the retry starts). 150 + 2*900 < 3600, and 900 s
+# still fits a healthy chip run with tunnel-slowed first compiles.
+timeout 3600 env HSIP_PALLAS_SCAN_K="$K" python bench.py --child-timeout 900
