@@ -51,6 +51,12 @@ def _draw(rng: np.random.Generator):
     ignition = int(rng.integers(1, 6))
     bit_depth = int(rng.choice([8, 10, 12, 16]))
     record_rate = int(rng.choice([20_000, 50_000, 100_000]))
+    # PFV4 absolute time is (start_frame + i*skip_frame)/fps — both fields
+    # come from the CIHX XML on both sides, and skip_frame scales every dt
+    # (so all velocity columns, the DDT latch, and the velocity-drop break
+    # shift with it). Negative start_frame = pre-trigger recording start.
+    start_frame = int(rng.choice([-12, 0, 0, 7]))
+    skip_frame = int(rng.choice([1, 1, 2, 4]))
     full_scale = 2**bit_depth - 1
     # Jump mode: none / DDT speed-up / sudden slowdown. The slowdown case
     # fuzzes the >50% velocity-drop break (+ its retroactive central-diff
@@ -110,7 +116,8 @@ def _draw(rng: np.random.Generator):
             for i in rng.choice(n_frames, size=rng.integers(0, 3), replace=False)
         ),
     )
-    return height, width, n_frames, bit_depth, record_rate, flame, detector, source
+    return (height, width, n_frames, bit_depth, record_rate,
+            start_frame, skip_frame, flame, detector, source)
 
 
 def _run_reference(ref, video_dir, out_dir, detector_kwargs, source_kwargs):
@@ -155,8 +162,8 @@ def _run_ours(video_dir, out_dir, detector_kwargs, source_kwargs, backend):
 def test_randomized_differential_sweep(ref, tmp_path):  # noqa: F811
     rng = np.random.default_rng(20260816)
     for trial in range(_TRIALS):
-        (height, width, n_frames, bit_depth, record_rate, flame,
-         detector_kwargs, source_kwargs) = _draw(rng)
+        (height, width, n_frames, bit_depth, record_rate, start_frame,
+         skip_frame, flame, detector_kwargs, source_kwargs) = _draw(rng)
         vdir = tmp_path / f"t{trial}" / "videos"
         frames, _ = synthesize_flame_video(
             n_frames, height=height, width=width, flame=flame
@@ -168,6 +175,7 @@ def test_randomized_differential_sweep(ref, tmp_path):  # noqa: F811
             spec=CihxSpec(
                 width=width, height=height, total_frames=n_frames,
                 record_rate=record_rate, bit_depth=bit_depth,
+                start_frame=start_frame, skip_frame=skip_frame,
             ),
         )
         ref_out = tmp_path / f"t{trial}" / "ref"
@@ -180,6 +188,7 @@ def test_randomized_differential_sweep(ref, tmp_path):  # noqa: F811
             ctx = (
                 f"trial {trial} backend={backend} {height}x{width}x{n_frames} "
                 f"{bit_depth}-bit @{record_rate}fps "
+                f"start={start_frame} skip={skip_frame} "
                 f"detector={detector_kwargs} source={source_kwargs}"
             )
             assert set(ours) == set(expected), ctx
