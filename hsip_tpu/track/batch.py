@@ -83,25 +83,13 @@ class ScanHistory:
         return [e for e in self.get_velocity_history() if e[0] >= self._ddt]
 
 
-def _checked_stop(stop: int, m: int) -> int:
-    """A device-scan stop step must land on a real step (padding is inert)."""
-    if stop >= m:
-        raise AssertionError(
-            f"device scan stopped at padded step {stop} (video has {m})"
-        )
-    return stop
-
-
 def build_device_scan_output(
     frame_indices,
     empty,
     finals,
-    recorded,
-    is_post,
-    stop_step: int,
-    stop_reason: int,
-    clear_vc_entry: int,
-    ddt_frame: int,
+    width: int,
+    exit_margin_px: int,
+    ddt_velocity_jump: float,
     frame_rate: float,
     calibration: float,
     position_offset: float,
@@ -109,30 +97,78 @@ def build_device_scan_output(
     total_frames: int,
 ) -> TrackingOutput:
     """Reconstruct a TrackingOutput from device-scan arrays (shared by the
-    single-video device scan and the vmapped collection path): truncation at
-    the stop step, exact float64 velocity columns from integer positions."""
-    reason_map = {0: None, 1: "exit", 2: "velocity_drop"}
-    m = len(frame_indices)
-    limit = m if stop_step < 0 else min(m, stop_step + 1)
+    single-video device scan and the vmapped collection path).
 
-    entries = []
+    The scan emits integer positions only as far as decisions go: the
+    exit/velocity-drop truncation, the DDT latch, and the row labels are
+    recomputed HERE in float64, exactly as the host scan and the reference
+    loop (``process_videos.py:1486-1516``) decide them. The kernels' own
+    f32 stop/DDT latches are advisory — an f32-computed v1 can land on the
+    other side of the reference's strict ``prev_v1 > 100`` gate than the
+    float64 value (e.g. 100.00001 vs exactly 100.0), which is why the
+    kernels keep tracking past their own stop and the truth is derived
+    from the integer positions, which are exact on every backend.
+    """
+    m = len(frame_indices)
+
+    entries = []          # (frame, pos|None) per non-empty step, in order
+    vel1 = []             # f64 first-order velocities, same append rule as
+                          # velocity_entries_from_positions (ordinals align)
     rows = []
     n_empty = 0
-    for j in range(limit):
+    stop_step = -1
+    stop_reason = None
+    clear_vc_entry = -1
+    ddt_frame = -1
+    for j in range(m):
         if empty[j]:
             n_empty += 1
             continue
         frame = int(frame_indices[j])
         pos = int(finals[j]) if finals[j] >= 0 else None
+        prev = entries[-1] if entries else (None, None)
         entries.append((frame, pos))
-        if recorded[j]:
+        detected = pos is not None
+
+        # Velocity entry (float64) — conditions mirror
+        # FlameTracker._update_velocities / velocity_entries_from_positions.
+        if detected and prev[1] is not None and frame_rate > 0:
+            dt = (frame - prev[0]) / frame_rate
+            if dt > 0:
+                v1 = (pos - prev[1]) * calibration / dt
+                # DDT latch: first v1 jump above threshold, judged against
+                # the PREVIOUS appended entry (reference detect() order).
+                if ddt_frame < 0 and vel1 and v1 - vel1[-1] > ddt_velocity_jump:
+                    ddt_frame = frame
+                vel1.append(v1)
+
+        # Exit check BEFORE recording (reference :1486-1494).
+        if detected and pos >= width - exit_margin_px:
+            stop_step, stop_reason = j, "exit"
+        # Sudden >50% velocity drop, from >100 m/s (reference :1496-1509;
+        # thresholds hard-coded there). Judged on the last two appended
+        # velocity entries, fresh or stale — exactly the reference's
+        # vel_history[-2]/last_velocity pair.
+        elif (
+            len(vel1) >= 2
+            and vel1[-2] > 100
+            and (vel1[-2] - vel1[-1]) / vel1[-2] > 0.5
+        ):
+            stop_step, stop_reason = j, "velocity_drop"
+        if stop_step >= 0:
+            # clear_last_central_difference targets entry[-2] (ordinal).
+            if len(vel1) >= 2:
+                clear_vc_entry = len(vel1) - 2
+            break
+
+        if detected:
             rows.append(
                 (
                     frame,
                     time_fn(frame),
                     pos,
                     pos * calibration + position_offset,
-                    bool(is_post[j]),
+                    ddt_frame >= 0 and frame >= ddt_frame,
                 )
             )
     vel = velocities_from_positions(
@@ -144,7 +180,7 @@ def build_device_scan_output(
         tracker=history,
         empty_frame_count=n_empty,
         break_frame=int(frame_indices[stop_step]) if stop_step >= 0 else None,
-        break_reason=reason_map[stop_reason],
+        break_reason=stop_reason,
         total_frames=total_frames,
     )
 
@@ -434,8 +470,8 @@ def _track_uniform_videos(
             # Degrade to the vmapped lax.scan (identical outputs) rather
             # than abort a whole library batch on a kernel failure. ONLY
             # the kernel call is guarded: host-side reconstruction guards
-            # (e.g. _checked_stop's padding-region parity check) must
-            # still fail loudly, not be mislabeled as kernel issues.
+            # (e.g. velocities_from_positions' entry-count parity check)
+            # must still fail loudly, not be mislabeled as kernel issues.
             from ..utils.logging import get_logger
 
             get_logger("track").warning(
@@ -444,7 +480,8 @@ def _track_uniform_videos(
             )
         else:
             return _outputs_from_scan(
-                res, videos, profiles, fi, empty, calibs, use_absolute_time
+                res, videos, profiles, fi, empty, calibs, use_absolute_time,
+                config,
             )
 
     fraction = (config.threshold_fraction if method == "threshold"
@@ -493,42 +530,32 @@ def _track_uniform_videos(
         )
 
     return _outputs_from_scan(
-        res, videos, profiles, fi, empty, calibs, use_absolute_time
+        res, videos, profiles, fi, empty, calibs, use_absolute_time, config
     )
 
 
 def _outputs_from_scan(res, videos, profiles, fi, empty, calibs,
-                       use_absolute_time) -> List[TrackingOutput]:
+                       use_absolute_time,
+                       config: FlameDetectorConfig) -> List[TrackingOutput]:
     """Host reconstruction shared by the Pallas and vmapped-lax.scan paths:
-    rows + exact float64 velocities per video from batched scan arrays."""
-    # ONE device->host round-trip for every scan output (per-field fetches
-    # block on separate transfers — expensive over a high-latency link).
+    rows, float64 velocities, and the authoritative float64
+    truncation/DDT decisions per video — the scans emit integer positions
+    (their f32 stop latches are advisory; see build_device_scan_output)."""
     outputs: List[TrackingOutput] = []
-    (finals, recs, posts, stop_steps, stop_reasons, ddt_frames,
-     clear_entries) = jax.device_get(
-        (res.final_position, res.recorded, res.is_post_ddt, res.stop_step,
-         res.stop_reason, res.ddt_frame, res.clear_vc_entry)
-    )
+    finals = jax.device_get(res.final_position)
 
     for i, (video, p) in enumerate(zip(videos, profiles)):
         m = p.frame_indices.size
         cal, off = calibs[i]
         time_fn = video.get_absolute_time if use_absolute_time else video.get_time
-        stop = int(stop_steps[i])
         outputs.append(
             build_device_scan_output(
                 fi[i, :m],
                 empty[i, :m],
                 finals[i, :m],
-                recs[i, :m],
-                posts[i, :m],
-                # Stops can only latch on active non-empty steps, and every
-                # padded step [m, n_max) is inert (empty=True) — fail loudly
-                # rather than mislabel a padding-region stop as frame m-1.
-                stop_step=_checked_stop(stop, m),
-                stop_reason=int(stop_reasons[i]),
-                clear_vc_entry=int(clear_entries[i]),
-                ddt_frame=int(ddt_frames[i]),
+                width=p.width,
+                exit_margin_px=config.exit_margin_px,
+                ddt_velocity_jump=config.ddt_velocity_jump_m_s,
                 frame_rate=video.frame_rate,
                 calibration=cal,
                 position_offset=off,

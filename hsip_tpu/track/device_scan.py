@@ -240,7 +240,15 @@ def device_tracking_scan(
 
     def step(state: S, inputs):
         step_idx, frame, sob, grad, intens, is_empty, prior_ok = inputs
-        active = jnp.logical_not(state.stopped) & jnp.logical_not(is_empty)
+        # Tracking continues past the f32 stop decision: the authoritative
+        # exit/velocity-drop truncation is recomputed on host in float64
+        # from the emitted integer positions (build_device_scan_output), and
+        # the two can disagree at exact compare boundaries (e.g. a v1 that
+        # is 100.0 in f64 but 100.00001 in f32 flips the strict `> 100`
+        # velocity-drop gate). The in-scan stop/DDT latches below are
+        # advisory only; freezing the scan on them would lose the rows the
+        # f64 decision still needs.
+        active = jnp.logical_not(is_empty)
 
         # ---- search bounds (velocity-constrained, monotone rightward) ----
         no_hist = state.lv_pos < 0
@@ -353,9 +361,11 @@ def device_tracking_scan(
         )
 
         stopped_now = exit_hit | vdrop_hit
-        # clear_last_central_difference targets velocity entry[-2] (ordinal).
+        first_stop = stopped_now & jnp.logical_not(state.stopped)
+        # clear_last_central_difference targets velocity entry[-2] (ordinal);
+        # latch at the FIRST stop only (the scan keeps running afterwards).
         clear_entry = jnp.where(
-            stopped_now & (new_n_entries >= 2),
+            first_stop & (new_n_entries >= 2),
             new_n_entries - 2,
             state.clear_vc_entry,
         )
@@ -374,13 +384,9 @@ def device_tracking_scan(
             prev_entry_step=new_prev_entry_step,
             ddt_frame=new_ddt,
             stopped=state.stopped | stopped_now,
-            stop_step=jnp.where(
-                stopped_now & (state.stop_step < 0), step_idx, state.stop_step
-            ),
+            stop_step=jnp.where(first_stop, step_idx, state.stop_step),
             stop_reason=jnp.where(
-                stopped_now & (state.stop_reason == 0),
-                jnp.where(exit_hit, 1, 2),
-                state.stop_reason,
+                first_stop, jnp.where(exit_hit, 1, 2), state.stop_reason
             ),
             clear_vc_entry=clear_entry,
         )

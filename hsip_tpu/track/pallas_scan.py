@@ -245,7 +245,12 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
             prior_ok = prior_ref[0, j, 0, 0]
 
             stopped = st_i[_STOPPED]
-            active = (stopped == 0) & (is_empty == 0)
+            # Tracking continues past the f32 stop decision (advisory only):
+            # the authoritative exit/velocity-drop truncation is recomputed
+            # on host in float64 from the integer positions — the f32 and
+            # f64 gates can disagree at exact compare boundaries, and a
+            # frozen scan would lose the rows the f64 decision still needs.
+            active = is_empty == 0
 
             # ---- search bounds (velocity-constrained, monotone right) ----
             lv_pos = st_i[_LV_POS]
@@ -373,7 +378,7 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
             )
             out_scal[0, 0, 2] = new_ddt
             out_scal[0, 0, 3] = jnp.where(
-                stopped_now & (new_n_entries >= 2) & (out_scal[0, 0, 3] < 0),
+                first_stop & (new_n_entries >= 2),
                 new_n_entries - 2,
                 out_scal[0, 0, 3],
             )

@@ -725,26 +725,20 @@ def run_tracking_scan_device(
             method_fraction=np.float32(fraction),
         )
 
-    # ONE device->host round-trip for all scan outputs: per-field fetches
-    # each block on a separate transfer (4 of them scalars), which costs
-    # ~0.2s through a high-latency link.
-
+    # Only the integer positions come back: the truncation/DDT decisions
+    # are recomputed in float64 on host (the in-scan f32 latches are
+    # advisory — see build_device_scan_output). ONE transfer, not
+    # per-field fetches (each blocks separately on a high-latency link).
     import jax
 
-    finals, recs, posts, stop_step, stop_reason, clear_vc, ddt = jax.device_get(
-        (res.final_position, res.recorded, res.is_post_ddt,
-         res.stop_step, res.stop_reason, res.clear_vc_entry, res.ddt_frame)
-    )
+    finals = jax.device_get(res.final_position)
     out = build_device_scan_output(
         np.asarray(profiles.frame_indices),
         empty,
         finals,
-        recs,
-        posts,
-        stop_step=int(stop_step),
-        stop_reason=int(stop_reason),
-        clear_vc_entry=int(clear_vc),
-        ddt_frame=int(ddt),
+        width=profiles.width,
+        exit_margin_px=config.exit_margin_px,
+        ddt_velocity_jump=config.ddt_velocity_jump_m_s,
         frame_rate=frame_rate,
         calibration=calibration_m_per_px,
         position_offset=position_offset_m,

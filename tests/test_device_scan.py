@@ -502,3 +502,47 @@ def test_device_scan_matches_host_when_frame_rate_zero(tmp_path):
     assert [r[:3] for r in dev.rows] == [r[:3] for r in host.rows]
     assert dev.tracker.get_velocity_history() == host.tracker.get_velocity_history() == []
     assert dev.break_reason == host.break_reason
+
+
+def test_velocity_drop_gate_is_float64_exact(tmp_path):
+    """The reference's velocity-drop gate is a strict float64 compare
+    (``prev_v1 > 100``, process_videos.py:1502). At 10 px/frame, 20k fps,
+    0.0005 m/px the float64 v1 is exactly 100.0 (no break) while the f32
+    chain in the device kernels computes 100.00001 (break) — so the
+    authoritative decision must come from the float64 host recompute over
+    integer positions, with the in-scan f32 stop latch advisory only.
+    Regression: the lax.scan backend used to FREEZE at its f32 stop and
+    lose every row the reference still produces (found by the reference
+    fuzz; the pipeline-level flip was a missing-tail pre-DDT table)."""
+    from hsip_tpu import open_video
+    from hsip_tpu.track.scan import track_video
+
+    h, w, n = 48, 640, 24
+    drop_at = 12
+    # Frame 0 is background-only (it sets the background scalar).
+    edges = [40 + 10 * i for i in range(drop_at)]       # v1 = 100.0 exactly
+    # 4 px/frame = 40.0 m/s: a 0.6 drop ratio (>0.5) whose 4-px diff
+    # strip survives the 3x3 opening (a 2-px strip would be eroded).
+    edges += [edges[-1] + 4 * (i + 1) for i in range(n - 1 - drop_at)]
+    frames = np.full((n, h, w), 50, dtype=np.uint16)
+    for i, e in enumerate(edges):
+        frames[i + 1, :, :e] = 3000
+    meta = write_recording(
+        tmp_path, "vdrop-run-1-001", frames,
+        spec=CihxSpec(width=w, height=h, total_frames=n, record_rate=20_000),
+    )
+    with open_video(str(meta)) as video:
+        host = track_video(video, FlameDetectorConfig(), 0.0005, 0.0,
+                           scan="host")
+        dev = track_video(video, FlameDetectorConfig(), 0.0005, 0.0,
+                          scan="device")
+
+    # Premise guard: the exact boundary value really occurred, and the
+    # >50% drop really followed it (only the >100 gate held the break off).
+    v1s = [e[1] for e in host.tracker.get_velocity_history()]
+    assert 100.0 in v1s and 40.0 in v1s
+    # No backend may break; the post-drop rows must exist on both.
+    assert host.break_reason is None
+    assert dev.break_reason is None
+    assert [r[:4] for r in dev.rows] == [r[:4] for r in host.rows]
+    assert dev.rows[-1][0] >= n - 2  # tracked well past the drop frame

@@ -12,7 +12,11 @@ Covers branches the fixed-scenario differential can't: even morphology
 kernels (the band-fold host fallback), non-default sigma/thresholds, short
 frames where the centerline band folds over the image edge, trigger-relative
 time (``use_absolute_time=False``), explicit trigger frames, random
-skip_frames, and videos that never ignite (no tables on either side).
+skip_frames, videos that never ignite (no tables on either side), 8/10/12/
+16-bit containers, non-lane-multiple widths, CIHX start/skip-frame timing,
+sudden-slowdown trajectories (the velocity-drop break), and per-file
+calibration routing (substring + "A:B" last-integer range patterns,
+first-match-wins, over two recordings per trial).
 
 ``HSIP_REFERENCE_TRIALS`` overrides the trial count (default 6, ~2s each).
 """
@@ -104,6 +108,19 @@ def _draw(rng: np.random.Generator):
         spline_smoothing=float(rng.choice([0.2, 0.5, 1.0])),
         min_points_for_spline=int(rng.choice([4, 5, 8])),
     )
+    # Per-file calibration rules: substring and "A:B" range patterns
+    # (ranges compare the LAST integer in the filename — the trailing
+    # 001/002 here), first match wins, default calibration as fallback.
+    # Entries may match one file, both, or neither.
+    pattern_pool = ["-001", "-002", "1:1", "2:2", "1:2", "no-such-run"]
+    file_cals = [
+        dict(
+            calibration=float(rng.choice([0.0004, 0.00075, 0.0009])),
+            position_offset=float(rng.uniform(0.0, 2.0)),
+            files=[str(rng.choice(pattern_pool))],
+        )
+        for _ in range(int(rng.integers(0, 3)))
+    ]
     source = dict(
         calibration=float(rng.choice([0.0005, 0.000833333, 0.000869565])),
         position_offset=float(rng.uniform(0.0, 1.5)),
@@ -117,11 +134,16 @@ def _draw(rng: np.random.Generator):
         ),
     )
     return (height, width, n_frames, bit_depth, record_rate,
-            start_frame, skip_frame, flame, detector, source)
+            start_frame, skip_frame, flame, detector, source, file_cals)
 
 
-def _run_reference(ref, video_dir, out_dir, detector_kwargs, source_kwargs):
-    config = ref.VideoSourceConfig(name="fuzz", enabled=True, **source_kwargs)
+def _run_reference(ref, video_dir, out_dir, detector_kwargs, source_kwargs,
+                   file_cals=()):
+    config = ref.VideoSourceConfig(
+        name="fuzz", enabled=True,
+        file_calibrations=[ref.FileCalibration(**fc) for fc in file_cals],
+        **source_kwargs,
+    )
     config.video_path = str(video_dir)
     config.output_dir = str(out_dir)
     real_cls = ref.FlameDetectorConfig
@@ -138,7 +160,8 @@ def _run_reference(ref, video_dir, out_dir, detector_kwargs, source_kwargs):
         ref.FlameDetectorConfig = real_cls
 
 
-def _run_ours(video_dir, out_dir, detector_kwargs, source_kwargs, backend):
+def _run_ours(video_dir, out_dir, detector_kwargs, source_kwargs, backend,
+              file_cals=()):
     import hsip_tpu.track.config as cfg
     from hsip_tpu.pipeline import process_video_source
 
@@ -147,6 +170,7 @@ def _run_ours(video_dir, out_dir, detector_kwargs, source_kwargs, backend):
         enabled=True,
         save_frame_images=False,
         save_stacked_sequences=False,
+        file_calibrations=[cfg.FileCalibration(**fc) for fc in file_cals],
         **source_kwargs,
     )
     config.video_path = str(video_dir)
@@ -163,33 +187,38 @@ def test_randomized_differential_sweep(ref, tmp_path):  # noqa: F811
     rng = np.random.default_rng(20260816)
     for trial in range(_TRIALS):
         (height, width, n_frames, bit_depth, record_rate, start_frame,
-         skip_frame, flame, detector_kwargs, source_kwargs) = _draw(rng)
+         skip_frame, flame, detector_kwargs, source_kwargs,
+         file_cals) = _draw(rng)
         vdir = tmp_path / f"t{trial}" / "videos"
         frames, _ = synthesize_flame_video(
             n_frames, height=height, width=width, flame=flame
         )
-        write_recording(
-            vdir,
-            f"fuzz-run-{trial}-{trial + 1:03d}",
-            np.clip(frames, 0, 2**bit_depth - 1),
-            spec=CihxSpec(
-                width=width, height=height, total_frames=n_frames,
-                record_rate=record_rate, bit_depth=bit_depth,
-                start_frame=start_frame, skip_frame=skip_frame,
-            ),
+        spec = CihxSpec(
+            width=width, height=height, total_frames=n_frames,
+            record_rate=record_rate, bit_depth=bit_depth,
+            start_frame=start_frame, skip_frame=skip_frame,
         )
+        clipped = np.clip(frames, 0, 2**bit_depth - 1)
+        # Two recordings whose trailing integers (1, 2) the drawn
+        # calibration patterns key on; same pixels, so any table
+        # difference between them is purely calibration routing.
+        write_recording(vdir, f"fuzz-run-{trial}-001", clipped, spec=spec)
+        write_recording(vdir, f"fuzz-run-{trial}-002", clipped, spec=spec)
         ref_out = tmp_path / f"t{trial}" / "ref"
-        _run_reference(ref, vdir, ref_out, detector_kwargs, source_kwargs)
+        _run_reference(ref, vdir, ref_out, detector_kwargs, source_kwargs,
+                       file_cals)
         expected = _tables(ref_out)
         for backend in ("tpu", "device"):
             ours_out = tmp_path / f"t{trial}" / f"ours-{backend}"
-            _run_ours(vdir, ours_out, detector_kwargs, source_kwargs, backend)
+            _run_ours(vdir, ours_out, detector_kwargs, source_kwargs, backend,
+                      file_cals)
             ours = _tables(ours_out)
             ctx = (
                 f"trial {trial} backend={backend} {height}x{width}x{n_frames} "
                 f"{bit_depth}-bit @{record_rate}fps "
                 f"start={start_frame} skip={skip_frame} "
-                f"detector={detector_kwargs} source={source_kwargs}"
+                f"detector={detector_kwargs} source={source_kwargs} "
+                f"file_cals={file_cals}"
             )
             assert set(ours) == set(expected), ctx
             for name in sorted(expected):
