@@ -46,7 +46,11 @@ _TRIALS = int(os.environ.get("HSIP_REFERENCE_TRIALS", "6"))
 
 
 def _draw(rng: np.random.Generator):
-    height = int(rng.choice([32, 48, 64, 96]))
+    # 12/16/24 fold the centerline band over the image edge for every
+    # drawn sigma/kernel combo (band_margin 5-15), driving the reflect
+    # row-gather — and, with even kernels, the float64 host fallback —
+    # through the actual-reference anchor.
+    height = int(rng.choice([12, 16, 24, 32, 48, 64, 96]))
     # 250/255 are deliberately not lane multiples: the Pallas scan pads
     # profile rows to 128 lanes, and this anchors that layout on the
     # actual reference (not just the internal backend-parity suites).
