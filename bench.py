@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import subprocess
 import sys
 import tempfile
@@ -300,6 +301,11 @@ def run_child(args, parser) -> int:
         # Tunnel-down fallback: pin the CPU backend (env vars alone cannot --
         # an import hook re-adds axon) and shrink the problem so the weak
         # dev host finishes; the JSON stays parseable and is LABELED.
+        # Cap CPU codegen at AVX2: the sandbox VM masks CPUID features LLVM
+        # still emits for (amx/avx512fp16), which can SIGILL mid-measurement.
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "--xla_cpu_max_isa" not in flags:
+            os.environ["XLA_FLAGS"] = (flags + " --xla_cpu_max_isa=AVX2").strip()
         jax.config.update("jax_platforms", "cpu")
         if args.frames == parser.get_default("frames"):
             args.frames = 256

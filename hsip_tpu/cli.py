@@ -330,6 +330,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         # pinned the platform list.
         import jax
 
+        if args.platform == "cpu":
+            # Cap CPU codegen at AVX2: sandboxed VMs can mask CPUID
+            # features LLVM still emits for (amx/avx512fp16), which
+            # SIGILLs mid-run. XLA parses the flags at backend init, so
+            # this is early enough.
+            import os
+
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "--xla_cpu_max_isa" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + " --xla_cpu_max_isa=AVX2"
+                ).strip()
         try:
             jax.config.update("jax_platforms", args.platform)
             if not args.distributed:

@@ -20,7 +20,12 @@ import jax
 import numpy as np
 
 from .config import FlameDetectorConfig, VideoSourceConfig
-from .device_scan import device_tracking_scan, velocities_from_positions
+from .device_scan import device_tracking_scan
+from .velocity import (
+    ddt_frame_from_velocities,
+    velocities_from_positions,
+    velocity_entries_from_positions,
+)
 from .scan import (
     MIN_SIGNAL_FRACTION,
     FrameProfiles,
@@ -109,39 +114,32 @@ def build_device_scan_output(
     kernels keep tracking past their own stop and the truth is derived
     from the integer positions, which are exact on every backend.
     """
-    m = len(frame_indices)
+    # Pass 1: the per-step history exactly as the kernels append it (every
+    # non-empty step), then the authoritative float64 v1 sequence from the
+    # ONE shared implementation of the velocity-append rule. A velocity
+    # entry's frame marks the step it was appended at, which is all pass 2
+    # needs to replay the decisions incrementally.
+    steps = []  # (step_idx, frame, pos|None) per non-empty step
+    for j in range(len(frame_indices)):
+        if not empty[j]:
+            pos = int(finals[j]) if finals[j] >= 0 else None
+            steps.append((j, int(frame_indices[j]), pos))
+    vel_all = velocity_entries_from_positions(
+        [(frame, pos) for _, frame, pos in steps], frame_rate, calibration
+    )
 
-    entries = []          # (frame, pos|None) per non-empty step, in order
-    vel1 = []             # f64 first-order velocities, same append rule as
-                          # velocity_entries_from_positions (ordinals align)
+    # Pass 2: replay the reference loop's decisions over the steps.
     rows = []
-    n_empty = 0
     stop_step = -1
     stop_reason = None
     clear_vc_entry = -1
-    ddt_frame = -1
-    for j in range(m):
-        if empty[j]:
-            n_empty += 1
-            continue
-        frame = int(frame_indices[j])
-        pos = int(finals[j]) if finals[j] >= 0 else None
-        prev = entries[-1] if entries else (None, None)
-        entries.append((frame, pos))
+    n_hist = 0  # steps whose history entry the tracker keeps (stop incl.)
+    k = 0       # velocity entries appended at or before the current step
+    for j, frame, pos in steps:
+        n_hist += 1
+        if k < len(vel_all) and vel_all[k][0] == frame:
+            k += 1
         detected = pos is not None
-
-        # Velocity entry (float64) — conditions mirror
-        # FlameTracker._update_velocities / velocity_entries_from_positions.
-        if detected and prev[1] is not None and frame_rate > 0:
-            dt = (frame - prev[0]) / frame_rate
-            if dt > 0:
-                v1 = (pos - prev[1]) * calibration / dt
-                # DDT latch: first v1 jump above threshold, judged against
-                # the PREVIOUS appended entry (reference detect() order).
-                if ddt_frame < 0 and vel1 and v1 - vel1[-1] > ddt_velocity_jump:
-                    ddt_frame = frame
-                vel1.append(v1)
-
         # Exit check BEFORE recording (reference :1486-1494).
         if detected and pos >= width - exit_margin_px:
             stop_step, stop_reason = j, "exit"
@@ -150,31 +148,40 @@ def build_device_scan_output(
         # velocity entries, fresh or stale — exactly the reference's
         # vel_history[-2]/last_velocity pair.
         elif (
-            len(vel1) >= 2
-            and vel1[-2] > 100
-            and (vel1[-2] - vel1[-1]) / vel1[-2] > 0.5
+            k >= 2
+            and vel_all[k - 2][1] > 100
+            and (vel_all[k - 2][1] - vel_all[k - 1][1]) / vel_all[k - 2][1]
+            > 0.5
         ):
             stop_step, stop_reason = j, "velocity_drop"
         if stop_step >= 0:
             # clear_last_central_difference targets entry[-2] (ordinal).
-            if len(vel1) >= 2:
-                clear_vc_entry = len(vel1) - 2
+            if k >= 2:
+                clear_vc_entry = k - 2
             break
-
         if detected:
-            rows.append(
-                (
-                    frame,
-                    time_fn(frame),
-                    pos,
-                    pos * calibration + position_offset,
-                    ddt_frame >= 0 and frame >= ddt_frame,
-                )
-            )
+            rows.append((frame, time_fn(frame), pos,
+                         pos * calibration + position_offset))
+
+    # DDT latches inside detect() BEFORE the break checks, so the stop
+    # step's own velocity entry participates; a row is post-DDT iff its
+    # frame is at or past the first above-threshold v1 jump (rows before
+    # the latch frame are False either way).
+    ddt_frame = ddt_frame_from_velocities(vel_all[:k], ddt_velocity_jump)
+    rows = [
+        (frame, t, pos, pos_m,
+         ddt_frame is not None and frame >= ddt_frame)
+        for frame, t, pos, pos_m in rows
+    ]
+    entries = [(frame, pos) for _, frame, pos in steps[:n_hist]]
+    # Empty-frame count stops where the reference loop breaks.
+    last_j = steps[n_hist - 1][0] if n_hist else len(frame_indices)
+    n_empty = sum(bool(empty[j]) for j in range(last_j)) if stop_step >= 0 \
+        else sum(bool(e) for e in empty)
     vel = velocities_from_positions(
         entries, frame_rate, calibration, clear_vc_entry=clear_vc_entry
     )
-    history = ScanHistory(entries, vel, ddt_frame if ddt_frame >= 0 else None)
+    history = ScanHistory(entries, vel, ddt_frame)
     return TrackingOutput(
         rows=rows,
         tracker=history,
@@ -469,9 +476,8 @@ def _track_uniform_videos(
         except Exception as exc:  # noqa: BLE001 — bit-identical fallback
             # Degrade to the vmapped lax.scan (identical outputs) rather
             # than abort a whole library batch on a kernel failure. ONLY
-            # the kernel call is guarded: host-side reconstruction guards
-            # (e.g. velocities_from_positions' entry-count parity check)
-            # must still fail loudly, not be mislabeled as kernel issues.
+            # the kernel call is guarded: a host-side reconstruction bug
+            # must still fail loudly, not be mislabeled as a kernel issue.
             from ..utils.logging import get_logger
 
             get_logger("track").warning(

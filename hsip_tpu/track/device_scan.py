@@ -143,18 +143,27 @@ def _detect_window_gradient(profile, in_window, cols, s0, s1, min_strength):
 
 
 class DeviceScanResult(NamedTuple):
-    """Per-frame outputs of the device scan (arrays of length M)."""
+    """Per-frame outputs of the device scan (arrays of length M).
+
+    Only ``final_position`` feeds the results tables: truncation, DDT and
+    row labels are recomputed in float64 from the integer positions on
+    host (``build_device_scan_output``). Everything below the positions is
+    an ADVISORY f32 latch kept for kernel-vs-kernel bit-identity tests —
+    an f32 v1 can sit on the other side of the reference's strict
+    ``prev_v1 > 100`` gate than the float64 value, so reconstructing
+    tables from these fields reintroduces exactly that boundary bug.
+    """
 
     final_position: jnp.ndarray   # int32, -1 = no detection
-    recorded: jnp.ndarray         # bool — row enters the results table
-    is_post_ddt: jnp.ndarray      # bool — at record time
+    recorded: jnp.ndarray         # bool — advisory (f32 stop gate)
+    is_post_ddt: jnp.ndarray      # bool — advisory (f32 DDT latch)
     search_start: jnp.ndarray     # int32
     search_end: jnp.ndarray       # int32
-    stop_step: jnp.ndarray        # int32 scalar, -1 = ran to completion
-    stop_reason: jnp.ndarray      # int32 scalar: 0 none, 1 exit, 2 velocity drop
-    ddt_frame: jnp.ndarray        # int32 scalar, -1 = none
-    clear_vc_entry: jnp.ndarray   # int32 scalar: velocity-entry ordinal whose
-                                  # central difference was invalidated (-1 none)
+    stop_step: jnp.ndarray        # int32 scalar, -1 = none latched; advisory
+    stop_reason: jnp.ndarray      # int32 scalar: 0/1 exit/2 vdrop; advisory
+    ddt_frame: jnp.ndarray        # int32 scalar, -1 = none; advisory
+    clear_vc_entry: jnp.ndarray   # int32 scalar: velocity-entry ordinal at
+                                  # the first advisory stop (-1 none)
 
 
 @partial(

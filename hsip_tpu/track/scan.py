@@ -729,8 +729,6 @@ def run_tracking_scan_device(
     # are recomputed in float64 on host (the in-scan f32 latches are
     # advisory — see build_device_scan_output). ONE transfer, not
     # per-field fetches (each blocks separately on a high-latency link).
-    import jax
-
     finals = jax.device_get(res.final_position)
     out = build_device_scan_output(
         np.asarray(profiles.frame_indices),

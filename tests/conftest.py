@@ -18,9 +18,15 @@ import re as _re
 flags = os.environ.get("XLA_FLAGS", "")
 # Force EXACTLY 8 virtual devices, replacing any preset count.
 flags = _re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
-os.environ["XLA_FLAGS"] = (
-    flags + " --xla_force_host_platform_device_count=8"
-).strip()
+flags += " --xla_force_host_platform_device_count=8"
+# Cap XLA:CPU codegen at AVX2: the sandbox VM masks CPUID features that
+# LLVM's native detection still reports (amx/avx512fp16 & co), and the
+# resulting executables can hit SIGILL/segfaults — one killed a 500-trial
+# reference soak mid-run. The cap also silences the per-compile
+# cpu_aot_loader machine-feature-mismatch errors.
+if "--xla_cpu_max_isa" not in flags:
+    flags += " --xla_cpu_max_isa=AVX2"
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax  # noqa: E402
 
