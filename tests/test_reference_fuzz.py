@@ -19,6 +19,13 @@ calibration routing (substring + "A:B" last-integer range patterns,
 first-match-wins, over two recordings per trial).
 
 ``HSIP_REFERENCE_TRIALS`` overrides the trial count (default 6, ~2s each).
+``HSIP_REFERENCE_SEED`` re-seeds the sweep so long soaks can run as many
+independent batches: the sandbox VM's XLA:CPU compiler segfaults rarely but
+fatally (observed twice across two 500-trial soaks, once mid-execution and
+once inside ``backend_compile_and_load``), and a monolithic soak loses every
+completed trial to one crash. Each trial also logs its ordinal and drawn
+geometry to stderr (visible under ``pytest -s``) so a crash is attributable
+to a specific draw.
 """
 
 from __future__ import annotations
@@ -43,6 +50,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 _TRIALS = int(os.environ.get("HSIP_REFERENCE_TRIALS", "6"))
+_SEED = int(os.environ.get("HSIP_REFERENCE_SEED", "20260816"))
 
 
 def _draw(rng: np.random.Generator):
@@ -188,11 +196,19 @@ def _run_ours(video_dir, out_dir, detector_kwargs, source_kwargs, backend,
 
 
 def test_randomized_differential_sweep(ref, tmp_path):  # noqa: F811
-    rng = np.random.default_rng(20260816)
+    import sys
+
+    rng = np.random.default_rng(_SEED)
     for trial in range(_TRIALS):
         (height, width, n_frames, bit_depth, record_rate, start_frame,
          skip_frame, flame, detector_kwargs, source_kwargs,
          file_cals) = _draw(rng)
+        print(
+            f"fuzz seed={_SEED} trial={trial}/{_TRIALS} "
+            f"{height}x{width}x{n_frames} {bit_depth}-bit @{record_rate} "
+            f"start={start_frame} skip={skip_frame}",
+            file=sys.stderr, flush=True,
+        )
         vdir = tmp_path / f"t{trial}" / "videos"
         frames, _ = synthesize_flame_video(
             n_frames, height=height, width=width, flame=flame
