@@ -36,6 +36,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 from pathlib import Path
 from typing import Any, Dict, List, Optional
@@ -330,17 +331,18 @@ def main(argv: Optional[List[str]] = None) -> int:
         # pinned the platform list.
         import jax
 
-        if args.platform == "cpu":
-            # Cap CPU codegen at AVX2: sandboxed VMs can mask CPUID
-            # features LLVM still emits for (amx/avx512fp16), which
-            # SIGILLs mid-run. XLA parses the flags at backend init, so
-            # this is early enough.
-            import os
-
+        if args.platform == "cpu" and os.environ.get("HSIP_CPU_MAX_ISA"):
+            # Opt-in ISA cap for hosts whose CPUID is masked below what
+            # LLVM's native detection reports (sandboxed VMs; executables
+            # SIGILL mid-run otherwise): HSIP_CPU_MAX_ISA=AVX2 caps XLA:CPU
+            # codegen. Opt-in because silently capping ISA would slow every
+            # healthy machine; XLA parses the flags at backend init, so
+            # mutating them here is early enough.
             flags = os.environ.get("XLA_FLAGS", "")
             if "--xla_cpu_max_isa" not in flags:
                 os.environ["XLA_FLAGS"] = (
-                    flags + " --xla_cpu_max_isa=AVX2"
+                    f"{flags} --xla_cpu_max_isa="
+                    f"{os.environ['HSIP_CPU_MAX_ISA']}"
                 ).strip()
         try:
             jax.config.update("jax_platforms", args.platform)

@@ -24,7 +24,7 @@ from .device_scan import device_tracking_scan
 from .velocity import (
     ddt_frame_from_velocities,
     velocities_from_positions,
-    velocity_entries_from_positions,
+    iter_velocity_entries,
 )
 from .scan import (
     MIN_SIGNAL_FRACTION,
@@ -114,31 +114,31 @@ def build_device_scan_output(
     kernels keep tracking past their own stop and the truth is derived
     from the integer positions, which are exact on every backend.
     """
-    # Pass 1: the per-step history exactly as the kernels append it (every
-    # non-empty step), then the authoritative float64 v1 sequence from the
-    # ONE shared implementation of the velocity-append rule. A velocity
-    # entry's frame marks the step it was appended at, which is all pass 2
-    # needs to replay the decisions incrementally.
+    # The per-step history exactly as the kernels append it (every
+    # non-empty step), with the authoritative float64 v1 sequence produced
+    # lazily by the ONE shared implementation of the velocity-append rule
+    # (iter_velocity_entries yields the growing entry list in lockstep with
+    # the steps), so replaying the reference loop's decisions stops paying
+    # for velocities the moment it breaks — the kernels track past their
+    # advisory stops, so an early-exit video has a long discarded tail.
     steps = []  # (step_idx, frame, pos|None) per non-empty step
     for j in range(len(frame_indices)):
         if not empty[j]:
             pos = int(finals[j]) if finals[j] >= 0 else None
             steps.append((j, int(frame_indices[j]), pos))
-    vel_all = velocity_entries_from_positions(
-        [(frame, pos) for _, frame, pos in steps], frame_rate, calibration
-    )
 
-    # Pass 2: replay the reference loop's decisions over the steps.
     rows = []
     stop_step = -1
     stop_reason = None
     clear_vc_entry = -1
     n_hist = 0  # steps whose history entry the tracker keeps (stop incl.)
-    k = 0       # velocity entries appended at or before the current step
-    for j, frame, pos in steps:
+    vel_all = []  # the generator's (single, growing) velocity-entry list
+    vel_gen = iter_velocity_entries(
+        ((frame, pos) for _, frame, pos in steps), frame_rate, calibration
+    )
+    for (j, frame, pos), vel_all in zip(steps, vel_gen):
         n_hist += 1
-        if k < len(vel_all) and vel_all[k][0] == frame:
-            k += 1
+        k = len(vel_all)  # velocity entries appended at or before this step
         detected = pos is not None
         # Exit check BEFORE recording (reference :1486-1494).
         if detected and pos >= width - exit_margin_px:
@@ -166,8 +166,9 @@ def build_device_scan_output(
     # DDT latches inside detect() BEFORE the break checks, so the stop
     # step's own velocity entry participates; a row is post-DDT iff its
     # frame is at or past the first above-threshold v1 jump (rows before
-    # the latch frame are False either way).
-    ddt_frame = ddt_frame_from_velocities(vel_all[:k], ddt_velocity_jump)
+    # the latch frame are False either way). At loop exit vel_all holds
+    # exactly the entries appended at or before the last replayed step.
+    ddt_frame = ddt_frame_from_velocities(vel_all, ddt_velocity_jump)
     rows = [
         (frame, t, pos, pos_m,
          ddt_frame is not None and frame >= ddt_frame)

@@ -85,11 +85,12 @@ _NEG = np.float32(-3.0e38)
 _POS = np.float32(3.0e38)
 _BIG_I = np.int32(2**30)
 
-# SMEM int32 state slots.
+# SMEM int32 state slots. (No "stopped" slot: the kernel never freezes —
+# tracking runs past the advisory f32 stop, and the write-once event
+# latches key off out_scal's stop_step staying -1 instead.)
 _LV_POS, _LV_FRAME, _P1_FRAME, _P1_POS = 0, 1, 2, 3
 _VL_OK, _VP_OK, _N_ENTRIES, _DDT = 4, 5, 6, 7
-_STOPPED = 8
-_N_I32 = 9
+_N_I32 = 8
 # SMEM f32 state slots.
 _V_LATEST, _V_PREV = 0, 1
 _N_F32 = 2
@@ -219,7 +220,6 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
             st_i[_VP_OK] = 0
             st_i[_N_ENTRIES] = 0
             st_i[_DDT] = -1
-            st_i[_STOPPED] = 0
             st_f[_V_LATEST] = 0.0
             st_f[_V_PREV] = 0.0
             out_scal[0, 0, 0] = -1  # stop_step
@@ -244,7 +244,6 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
             is_empty = empty_ref[0, j, 0, 0]
             prior_ok = prior_ref[0, j, 0, 0]
 
-            stopped = st_i[_STOPPED]
             # Tracking continues past the f32 stop decision (advisory only):
             # the authoritative exit/velocity-drop truncation is recomputed
             # on host in float64 from the integer positions — the f32 and
@@ -392,7 +391,6 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
             st_i[_VP_OK] = new_vp_ok
             st_i[_N_ENTRIES] = new_n_entries
             st_i[_DDT] = new_ddt
-            st_i[_STOPPED] = jnp.where(stopped_now, 1, stopped)
             st_f[_V_LATEST] = new_v_latest
             st_f[_V_PREV] = new_v_prev
 

@@ -9,10 +9,50 @@ three finite-difference stencils with the central-difference retro-fill.
 from __future__ import annotations
 
 __all__ = [
+    "iter_velocity_entries",
     "velocity_entries_from_positions",
     "ddt_frame_from_velocities",
     "velocities_from_positions",
 ]
+
+_NO_ENTRY = object()  # "no history entry yet" (distinct from pos=None)
+
+
+def iter_velocity_entries(entries, frame_rate: float, calibration: float):
+    """Incrementally apply the tracker's velocity-append rule.
+
+    ``entries`` is an iterable of ``(frame_idx, pos_or_None)`` history
+    entries in step order. After consuming each one, yields the growing
+    velocity-entry list ``[[frame, v1, v2, vc], ...]`` — the SAME list
+    object every time (the central-difference retro-fill mutates the
+    previous entry in place). Lazy so a caller replaying per-step stop
+    decisions can break without paying for the discarded tail: the kernels
+    deliberately track past their advisory stop latches, and an early-exit
+    video would otherwise compute float64 stencils over thousands of
+    post-stop steps on the (slow) host.
+    """
+    vel = []  # [frame, v1, v2, vc]
+    prev2 = prev1 = _NO_ENTRY
+    for frame, pos in entries:
+        if (
+            pos is not None
+            and prev1 is not _NO_ENTRY
+            and prev1[1] is not None
+            and frame_rate > 0
+        ):
+            dt = (frame - prev1[0]) / frame_rate
+            if dt > 0:
+                v1 = (pos - prev1[1]) * calibration / dt
+                v2 = None
+                if prev2 is not _NO_ENTRY and prev2[1] is not None:
+                    p1, p2 = prev1[1], prev2[1]
+                    v2 = (3 * pos - 4 * p1 + p2) * calibration / (2 * dt)
+                    vc = (pos - p2) * calibration / (2 * dt)
+                    if vel:
+                        vel[-1][3] = vc
+                vel.append([frame, v1, v2, None])
+        prev2, prev1 = prev1, (frame, pos)
+        yield vel
 
 
 def velocity_entries_from_positions(entries, frame_rate: float, calibration: float):
@@ -24,27 +64,9 @@ def velocity_entries_from_positions(entries, frame_rate: float, calibration: flo
     :meth:`FlameTracker.get_velocity_history`, including the
     central-difference retro-fill.
     """
-    vel = []  # [frame, v1, v2, vc]
-    for i in range(len(entries)):
-        frame, pos = entries[i]
-        if pos is None or i < 1:
-            continue
-        prev_frame, prev_pos = entries[i - 1]
-        if prev_pos is None or frame_rate <= 0:
-            continue
-        dt = (frame - prev_frame) / frame_rate
-        if dt <= 0:
-            continue
-        v1 = (pos - prev_pos) * calibration / dt
-        v2 = vc = None
-        if i >= 2:
-            _, p2 = entries[i - 2]
-            if p2 is not None:
-                v2 = (3 * pos - 4 * prev_pos + p2) * calibration / (2 * dt)
-                vc = (pos - p2) * calibration / (2 * dt)
-                if vel:
-                    vel[-1][3] = vc
-        vel.append([frame, v1, v2, None])
+    vel = []
+    for vel in iter_velocity_entries(entries, frame_rate, calibration):
+        pass
     return vel
 
 

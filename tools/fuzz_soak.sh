@@ -24,7 +24,9 @@ for ((b = 0; b < BATCHES; b++)); do
     rc=$?
     if [ $rc -eq 0 ]; then
         pass=$((pass + 1)); status=ok
-    elif [ $rc -ge 128 ] || grep -q "Segmentation fault" "$log"; then
+    elif [ $rc -eq 124 ] || [ $rc -ge 128 ] \
+            || grep -q "Segmentation fault" "$log"; then
+        # 124 = the timeout(1) cap fired (slow batch, not a mismatch).
         crash=$((crash + 1)); status="CRASH(rc=$rc)"
     else
         fail=$((fail + 1)); status="FAIL(rc=$rc)"
