@@ -672,3 +672,48 @@ def test_native_and_python_curfit_agree():
         nk1 = tn.size - k - 1
         np.testing.assert_allclose(cn[:nk1], cp[:nk1], rtol=1e-9, atol=1e-9)
         assert iern == ierp
+
+
+# ---------------------------------------------------------------------------
+# iter_velocity_entries lockstep contract
+# ---------------------------------------------------------------------------
+
+
+def test_iter_velocity_entries_prefix_property():
+    """After consuming any prefix of the history, the generator's list
+    equals the full reconstruction of that prefix — the lockstep contract
+    ``build_device_scan_output`` relies on to stop replaying at the
+    truncation step without computing the discarded tail. Also pins that
+    every yield hands back the SAME list object (the central-difference
+    retro-fill mutates in place), and that the tracker agrees."""
+    import numpy as np
+
+    from hsip_tpu.track.velocity import (
+        iter_velocity_entries,
+        velocity_entries_from_positions,
+    )
+
+    rng = np.random.default_rng(20260818)
+    for trial in range(40):
+        n = int(rng.integers(0, 24))
+        frame = 0
+        entries = []
+        for _ in range(n):
+            frame += int(rng.integers(1, 4))  # gaps (skip frames)
+            pos = None if rng.random() < 0.3 else int(rng.integers(0, 500))
+            entries.append((frame, pos))
+        frame_rate = float(rng.choice([0.0, 20_000.0, 100_000.0]))
+        calibration = float(rng.choice([0.0005, 0.000833333]))
+
+        gen = iter_velocity_entries(entries, frame_rate, calibration)
+        seen = None
+        for i, vel in enumerate(gen, start=1):
+            assert seen is None or vel is seen, "yields must alias one list"
+            seen = vel
+            expect = velocity_entries_from_positions(
+                entries[:i], frame_rate, calibration
+            )
+            assert vel == expect, (
+                f"trial {trial} prefix {i}/{n}: {vel} != {expect} "
+                f"(entries={entries[:i]}, fps={frame_rate})"
+            )
