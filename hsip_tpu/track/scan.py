@@ -375,30 +375,38 @@ def compute_profiles_batched(
                 width=w,
                 total_pixels=h * w,
             )
+        # ``local`` is a contiguous arange by construction (head prior +
+        # processed rows), so row selection is a STATIC slice — an
+        # integer-array index would lower to a device gather per chunk
+        # per array (index buffer upload + gather dispatch), which
+        # dominated the whole library map phase on slow-dispatch backends.
         sel = [
-            (jnp.asarray(local), sob, grad, intens, rawc)
+            (int(local[0]), int(local[-1]) + 1, sob, grad, intens, rawc)
             for pos, stop, local, sob, grad, intens, rawc, counts in pending
         ]
-        sobel_lines = jnp.concatenate([s[l] for l, s, g, i, r in sel])
-        gradient_lines = jnp.concatenate([g[l] for l, s, g, i, r in sel])
-        intensity_lines = jnp.concatenate([i[l] for l, s, g, i, r in sel])
-        raw_center_lines = jnp.concatenate([r[l] for l, s, g, i, r in sel])
+        sobel_lines = jnp.concatenate([s[a:b] for a, b, s, g, i, r in sel])
+        gradient_lines = jnp.concatenate([g[a:b] for a, b, s, g, i, r in sel])
+        intensity_lines = jnp.concatenate([i[a:b] for a, b, s, g, i, r in sel])
+        raw_center_lines = jnp.concatenate([r[a:b] for a, b, s, g, i, r in sel])
         cnt = np.zeros(m, dtype=np.int64)
         for pos, stop, local, _s, _g, _i, _r, counts in pending:
-            cnt[pos:stop] = np.asarray(_counts_of(counts))[local]
+            cnt[pos:stop] = np.asarray(_counts_of(counts))[local[0]:local[-1] + 1]
         signal_counts = cnt
     else:
         for pos, stop, local, sob, grad, intens, rawc, counts in pending:
             # The kernel computed profiles for every batch row; keep the
-            # processed ones. Skip device->host fetches the caller's
-            # detection method never reads.
-            sobel_lines[pos:stop] = np.asarray(sob)[local]
-            gradient_lines[pos:stop] = np.asarray(grad)[local]
+            # processed ones (a contiguous slice — a fancy-index here would
+            # mint an extra full-chunk copy on the bandwidth-starved host).
+            # Skip device->host fetches the caller's detection method
+            # never reads.
+            a, b = int(local[0]), int(local[-1]) + 1
+            sobel_lines[pos:stop] = np.asarray(sob)[a:b]
+            gradient_lines[pos:stop] = np.asarray(grad)[a:b]
             if need_intensity:
-                intensity_lines[pos:stop] = np.asarray(intens)[local]
+                intensity_lines[pos:stop] = np.asarray(intens)[a:b]
             if need_raw:
-                raw_center_lines[pos:stop] = np.asarray(rawc)[local]
-            signal_counts[pos:stop] = np.asarray(_counts_of(counts))[local]
+                raw_center_lines[pos:stop] = np.asarray(rawc)[a:b]
+            signal_counts[pos:stop] = np.asarray(_counts_of(counts))[a:b]
 
     has_prior = np.ones(m, dtype=bool)
     if m:
