@@ -65,6 +65,15 @@ def _window_bounds(k: int, dilation: bool) -> tuple:
     return left, right
 
 
+def _axis_slice(arr: np.ndarray, start: int, stop: int, axis: int) -> np.ndarray:
+    """Contiguous-range view along one axis (no copy — window taps over a
+    padded array would otherwise duplicate the whole frame per tap, which
+    is pure memory traffic on a bandwidth-starved host)."""
+    sl = [slice(None)] * arr.ndim
+    sl[axis] = slice(start, stop)
+    return arr[tuple(sl)]
+
+
 def _sliding_extremum_1d(img: np.ndarray, k: int, axis: int, op, dilation: bool) -> np.ndarray:
     """Running min/max along one axis with reflect boundary."""
     if k <= 1:
@@ -74,9 +83,9 @@ def _sliding_extremum_1d(img: np.ndarray, k: int, axis: int, op, dilation: bool)
     pad[axis] = (left, right)
     padded = reflect_pad(img, tuple(pad))
     n = img.shape[axis]
-    out = np.take(padded, np.arange(0, n), axis=axis)
+    out = _axis_slice(padded, 0, n, axis).copy()
     for off in range(1, k):
-        out = op(out, np.take(padded, np.arange(off, off + n), axis=axis))
+        op(out, _axis_slice(padded, off, off + n, axis), out=out)
     return out
 
 
@@ -122,7 +131,7 @@ def correlate1d_reflect(img: np.ndarray, kernel: np.ndarray, axis: int) -> np.nd
     n = img.shape[axis]
     out = np.zeros(img.shape, dtype=np.float64)
     for j in range(k):
-        out += kernel[j] * np.take(padded, np.arange(j, j + n), axis=axis)
+        out += kernel[j] * _axis_slice(padded, j, j + n, axis)
     return out
 
 
