@@ -232,8 +232,14 @@ def test_frame_figure_randomized_parity(ref_viz, monkeypatch, tmp_path):
     from hsip_tpu import open_video, viz
     from hsip_tpu.track import FlameDetector, FlameDetectorConfig
 
-    rng = np.random.default_rng(20260818)
-    for trial in range(4):
+    import os
+
+    # Soakable with the same knobs as the table fuzz; figures cost ~6x a
+    # table trial, so scale the count down accordingly (default 4 trials).
+    n_trials = max(1, int(os.environ.get("HSIP_REFERENCE_TRIALS", "24")) // 6)
+    seed = int(os.environ.get("HSIP_REFERENCE_SEED", "20260818"))
+    rng = np.random.default_rng(seed)
+    for trial in range(n_trials):
         height = int(rng.choice([24, 48, 64]))
         width = int(rng.choice([192, 256, 320]))
         n_frames = int(rng.integers(12, 20))
