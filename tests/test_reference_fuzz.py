@@ -74,23 +74,29 @@ def _draw(rng: np.random.Generator):
     start_frame = int(rng.choice([-12, 0, 0, 7]))
     skip_frame = int(rng.choice([1, 1, 2, 4]))
     full_scale = 2**bit_depth - 1
-    # Jump mode: none / DDT speed-up / sudden slowdown. The slowdown case
-    # fuzzes the >50% velocity-drop break (+ its retroactive central-diff
-    # invalidation); whether the break actually fires depends on the drawn
-    # calibration and record rate — both sides must agree either way. The
-    # post-jump speed stays positive so the rightward-monotone search
-    # bounds remain valid, and the sharp edge keeps the drop in one step.
-    mode = rng.choice(["none", "ddt", "slowdown"], p=[0.35, 0.4, 0.25])
-    v0 = float(rng.uniform(5.0, 9.0)) if mode == "slowdown" \
+    # Jump mode: none / DDT speed-up / sudden slowdown / full stall. The
+    # slowdown case fuzzes the >50% velocity-drop break (+ its retroactive
+    # central-diff invalidation); whether the break actually fires depends
+    # on the drawn calibration and record rate — both sides must agree
+    # either way. The post-jump speed stays positive (slowdown) or exactly
+    # zero (stall: v1 == 0.0 for every later step, the falsy-velocity
+    # regime that crashes the reference's own figure renderer and drives
+    # the drop ratio to exactly 1.0) — both are rightward-monotone so the
+    # search bounds stay valid; the sharp edge keeps the drop in one step.
+    mode = rng.choice(["none", "ddt", "slowdown", "stall"],
+                      p=[0.3, 0.35, 0.2, 0.15])
+    v0 = float(rng.uniform(5.0, 9.0)) if mode in ("slowdown", "stall") \
         else float(rng.uniform(2.5, 9.0))
     flame = FlameSpec(
         x0=float(rng.uniform(10, 40)),
         v0_px=v0,
-        accel_px=0.0 if mode == "slowdown" else float(rng.uniform(0.0, 0.12)),
+        accel_px=(0.0 if mode in ("slowdown", "stall")
+                  else float(rng.uniform(0.0, 0.12))),
         ddt_frame=int(rng.integers(12, 24)) if mode != "none" else None,
         v_jump_px=(
             float(rng.uniform(16, 28)) if mode == "ddt"
             else -(v0 - float(rng.uniform(0.5, 1.5))) if mode == "slowdown"
+            else -v0 if mode == "stall"
             else 0.0
         ),
         ignition_frame=ignition,
@@ -98,7 +104,7 @@ def _draw(rng: np.random.Generator):
         background_noise=int(rng.integers(2, 10)),
         flame_level=int(float(rng.uniform(0.55, 0.95)) * full_scale),
         edge_width_px=(
-            float(rng.uniform(0.8, 1.5)) if mode == "slowdown"
+            float(rng.uniform(0.8, 1.5)) if mode in ("slowdown", "stall")
             else float(rng.uniform(1.2, 3.5))
         ),
         seed=int(rng.integers(0, 2**31)),
