@@ -181,6 +181,15 @@ def test_enable_persistent_compilation_cache(tmp_path, monkeypatch):
         )
         got2 = enable_persistent_compilation_cache()
         assert got2 == str(tmp_path / "env-cache")
+        # The DEFAULT path partitions by the CPU ISA cap: capped and
+        # uncapped processes must never exchange cached executables (a
+        # capped process loading cached AVX-512 code is the SIGILL class
+        # the cap exists to prevent).
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+        monkeypatch.setenv("XLA_FLAGS", "--xla_cpu_max_isa=AVX2")
+        assert enable_persistent_compilation_cache().endswith("isa-AVX2")
+        monkeypatch.setenv("XLA_FLAGS", "")
+        assert enable_persistent_compilation_cache().endswith("isa-native")
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
 
