@@ -210,7 +210,7 @@ def compute_profiles_batched(
     # batch, so a long skip run can neither blow up host/transfer footprint
     # nor mint a novel bucket shape (a fresh shape costs a remote compile).
     # Row j's differencing prior is row j-1 by construction.
-    chunks = []  # (pos, stop, needed, local, prior_index_full)
+    chunks = []  # (pos, stop, needed, row0, row1, prior_index_full)
     pos = 0
     while pos < m:
         # Interior chunks take chunk_size-1 NEW frames: with the one-frame
@@ -227,10 +227,12 @@ def compute_profiles_batched(
             needed = processed[pos:stop].copy()
             offset = 0
         n_rows = needed.size
-        # Positions of this chunk's processed frames within the batch.
-        local = np.arange(offset, n_rows, dtype=np.int64)
+        # This chunk's processed frames sit at batch rows [row0, row1):
+        # everything after the optional head prior. Carried as explicit
+        # slice bounds so the drain selects rows structurally (no index
+        # arrays to keep contiguous by convention).
         prior_index_full = np.arange(-1, n_rows - 1, dtype=np.int32)
-        chunks.append((pos, stop, needed, local, prior_index_full))
+        chunks.append((pos, stop, needed, offset, n_rows, prior_index_full))
         pos = stop
 
     def _multi_read(read, needed):
@@ -268,13 +270,14 @@ def compute_profiles_batched(
             np.concatenate([prior, np.full(b - n, -1, dtype=np.int32)]),
         )
 
-    pending = []  # (pos, stop, local, sob, grad, intens, rawc, counts)
+    pending = []  # (pos, stop, row0, row1, sob, grad, intens, rawc, counts)
 
     from concurrent.futures import ThreadPoolExecutor
 
     count_pool = ThreadPoolExecutor(max_workers=1) if use_band else None
     try:
-        for ci, (pos, stop, needed, local, prior_index_full) in enumerate(chunks):
+        for ci, (pos, stop, needed, row0, row1,
+                 prior_index_full) in enumerate(chunks):
             if use_band:
                 # Minimal-transfer path: counts on host (C++ fused pass over the
                 # memmap, releases the GIL) run CONCURRENTLY with band gathering
@@ -303,7 +306,8 @@ def compute_profiles_batched(
                 del dev, host
                 # counts is a Future: resolved in the drain loop so chunk i's
                 # host count pass overlaps chunk i+1's gather/transfer.
-                pending.append((pos, stop, local, sob, grad, intens, rawc, counts))
+                pending.append((pos, stop, row0, row1, sob, grad, intens, rawc,
+                                counts))
                 if progress is not None:
                     progress(stop, m)
                 continue
@@ -340,7 +344,8 @@ def compute_profiles_batched(
                     use_pallas=use_pallas,
                 )
             del dev, host
-            pending.append((pos, stop, local, sob, grad, intens, rawc, counts))
+            pending.append((pos, stop, row0, row1, sob, grad, intens, rawc,
+                                counts))
             if progress is not None:
                 progress(stop, m)
 
@@ -375,31 +380,30 @@ def compute_profiles_batched(
                 width=w,
                 total_pixels=h * w,
             )
-        # ``local`` is a contiguous arange by construction (head prior +
-        # processed rows), so row selection is a STATIC slice — an
-        # integer-array index would lower to a device gather per chunk
-        # per array (index buffer upload + gather dispatch), which
-        # dominated the whole library map phase on slow-dispatch backends.
+        # Row selection is a STATIC slice — an integer-array index would
+        # lower to a device gather per chunk per array (index buffer
+        # upload + gather dispatch), which dominated the whole library
+        # map phase on slow-dispatch backends.
         sel = [
-            (int(local[0]), int(local[-1]) + 1, sob, grad, intens, rawc)
-            for pos, stop, local, sob, grad, intens, rawc, counts in pending
+            (row0, row1, sob, grad, intens, rawc)
+            for pos, stop, row0, row1, sob, grad, intens, rawc, counts
+            in pending
         ]
         sobel_lines = jnp.concatenate([s[a:b] for a, b, s, g, i, r in sel])
         gradient_lines = jnp.concatenate([g[a:b] for a, b, s, g, i, r in sel])
         intensity_lines = jnp.concatenate([i[a:b] for a, b, s, g, i, r in sel])
         raw_center_lines = jnp.concatenate([r[a:b] for a, b, s, g, i, r in sel])
         cnt = np.zeros(m, dtype=np.int64)
-        for pos, stop, local, _s, _g, _i, _r, counts in pending:
-            cnt[pos:stop] = np.asarray(_counts_of(counts))[local[0]:local[-1] + 1]
+        for pos, stop, row0, row1, _s, _g, _i, _r, counts in pending:
+            cnt[pos:stop] = np.asarray(_counts_of(counts))[row0:row1]
         signal_counts = cnt
     else:
-        for pos, stop, local, sob, grad, intens, rawc, counts in pending:
+        for pos, stop, a, b, sob, grad, intens, rawc, counts in pending:
             # The kernel computed profiles for every batch row; keep the
             # processed ones (a contiguous slice — a fancy-index here would
             # mint an extra full-chunk copy on the bandwidth-starved host).
             # Skip device->host fetches the caller's detection method
             # never reads.
-            a, b = int(local[0]), int(local[-1]) + 1
             sobel_lines[pos:stop] = np.asarray(sob)[a:b]
             gradient_lines[pos:stop] = np.asarray(grad)[a:b]
             if need_intensity:

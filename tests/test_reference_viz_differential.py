@@ -70,17 +70,28 @@ def _structure(fig):
 
 
 def _render_captured(monkeypatch, render):
-    """Run ``render()`` with savefig/close intercepted; returns the figure."""
+    """Run ``render()`` with savefig/close intercepted; returns the figure.
+
+    The captured figure is deregistered from pyplot (its artists remain
+    readable) so repeated renders — the randomized sweep opens four per
+    trial — don't accumulate open figures for the whole soak.
+    """
     import matplotlib.pyplot as plt
 
+    real_close = getattr(plt.close, "_hsip_real", plt.close)
     captured = []
+
+    def _capture(fig=None):
+        captured.append(fig)
+
+    _capture._hsip_real = real_close
     monkeypatch.setattr(plt, "savefig", lambda *a, **k: None)
-    monkeypatch.setattr(
-        plt, "close", lambda fig=None: captured.append(fig)
-    )
+    monkeypatch.setattr(plt, "close", _capture)
     render()
     assert captured, "figure function did not close a figure"
-    return captured[-1]
+    fig = captured[-1]
+    real_close(fig)
+    return fig
 
 
 def test_frame_figure_structural_parity(ref_viz, recording, tmp_path,
@@ -235,8 +246,10 @@ def test_frame_figure_randomized_parity(ref_viz, monkeypatch, tmp_path):
     import os
 
     # Soakable with the same knobs as the table fuzz; figures cost ~6x a
-    # table trial, so scale the count down accordingly (default 4 trials).
-    n_trials = max(1, int(os.environ.get("HSIP_REFERENCE_TRIALS", "24")) // 6)
+    # table trial, so scale the count down accordingly — but never below
+    # the 4 trials an unset environment runs (pinning the table fuzz's
+    # documented default of 6 must not shrink figure coverage).
+    n_trials = max(4, int(os.environ.get("HSIP_REFERENCE_TRIALS", "24")) // 6)
     seed = int(os.environ.get("HSIP_REFERENCE_SEED", "20260818"))
     rng = np.random.default_rng(seed)
     for trial in range(n_trials):
@@ -281,22 +294,18 @@ def test_frame_figure_randomized_parity(ref_viz, monkeypatch, tmp_path):
         )
         our_det = FlameDetector(FlameDetectorConfig(**det_kwargs),
                                 50_000.0, cal)
-        ref_results, our_results = [], []
-        for i, fr in enumerate(decoded):
-            ref_results.append(ref_det.detect(fr, i, bg))
-            our_results.append(our_det.detect(fr, i, bg))
-        # Figures only make sense if the detectors agree on the content.
-        for i, (rr, ro) in enumerate(zip(ref_results, our_results)):
-            assert ro.final_position == rr.final_position, (trial, i)
 
-        # Compare an early frame (thin history, spline not yet fitted)
-        # and the final frame (full history, DDT marker if latched).
-        for idx in (2, n_frames - 1):
+        def _compare_figures(idx, ref_result, our_result):
+            """Render both 12-panel figures for the CURRENT detector state
+            and compare panel-for-panel. The figure reads history from the
+            detector object, so this must run at the moment of interest —
+            rendering an early frame after the full loop would show full
+            history, not the thin-history branches."""
             try:
                 fig_ref = _render_captured(
                     monkeypatch,
                     lambda: ref_viz.save_frame_image(
-                        decoded[idx], ref_results[idx], vdir, "Src", ref_det
+                        decoded[idx], ref_result, vdir, "Src", ref_det
                     ),
                 )
             except ValueError as exc:
@@ -312,15 +321,15 @@ def test_frame_figure_randomized_parity(ref_viz, monkeypatch, tmp_path):
                 fig_ours = _render_captured(
                     monkeypatch,
                     lambda: viz.save_frame_image(
-                        decoded[idx], our_results[idx], vdir, "Src", our_det
+                        decoded[idx], our_result, vdir, "Src", our_det
                     ),
                 )
                 assert len(fig_ours.axes) == 12
-                continue
+                return
             fig_ours = _render_captured(
                 monkeypatch,
                 lambda: viz.save_frame_image(
-                    decoded[idx], our_results[idx], vdir, "Src", our_det
+                    decoded[idx], our_result, vdir, "Src", our_det
                 ),
             )
             s_ref = _structure(fig_ref)
@@ -336,3 +345,14 @@ def test_frame_figure_randomized_parity(ref_viz, monkeypatch, tmp_path):
             for p, (ar, ao) in enumerate(zip(fig_ref.axes, fig_ours.axes)):
                 assert _line_digest(ao) == _line_digest(ar), \
                     f"panel {p+1} line data: {ctx}"
+
+        # Compare at frame 2 IN the loop (genuinely thin history — the
+        # 'No velocity data yet' / unfitted-spline branches) and at the
+        # final frame (full history, DDT marker if latched).
+        for i, fr in enumerate(decoded):
+            rr = ref_det.detect(fr, i, bg)
+            ro = our_det.detect(fr, i, bg)
+            # Figures only make sense if the detectors agree on content.
+            assert ro.final_position == rr.final_position, (trial, i)
+            if i == 2 or i == n_frames - 1:
+                _compare_figures(i, rr, ro)

@@ -184,12 +184,18 @@ def test_enable_persistent_compilation_cache(tmp_path, monkeypatch):
         # The DEFAULT path partitions by the CPU ISA cap: capped and
         # uncapped processes must never exchange cached executables (a
         # capped process loading cached AVX-512 code is the SIGILL class
-        # the cap exists to prevent).
+        # the cap exists to prevent). HOME is redirected so the default
+        # resolution can't create (or fail on) the developer's real
+        # ~/.cache tree.
         monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR")
+        monkeypatch.setenv("HOME", str(tmp_path / "home"))
         monkeypatch.setenv("XLA_FLAGS", "--xla_cpu_max_isa=AVX2")
-        assert enable_persistent_compilation_cache().endswith("isa-AVX2")
+        got3 = enable_persistent_compilation_cache()
+        assert got3 is not None and got3.endswith("isa-AVX2")
+        assert got3.startswith(str(tmp_path / "home"))
         monkeypatch.setenv("XLA_FLAGS", "")
-        assert enable_persistent_compilation_cache().endswith("isa-native")
+        got4 = enable_persistent_compilation_cache()
+        assert got4 is not None and got4.endswith("isa-native")
     finally:
         jax.config.update("jax_compilation_cache_dir", old)
 
