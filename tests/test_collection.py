@@ -124,3 +124,28 @@ def test_batch_plan(collection_dir):
         np.testing.assert_array_equal(plan["lengths"], [5, 8, 3])
         assert plan["pad_mask"].shape == (3, 8)
         assert plan["pad_mask"][0, 4] and not plan["pad_mask"][0, 5]
+
+
+def test_from_directory_recursive(collection_dir):
+    """recursive=True discovers session-style nested layouts (sorted path
+    order); the default stays non-recursive so sibling sessions are not
+    silently merged."""
+    tmp, all_frames = collection_dir
+    frames, _ = synthesize_flame_video(4, height=32, width=128, bit_depth=12)
+    spec = CihxSpec(width=128, height=32, total_frames=4, record_rate=10_000)
+    write_recording(tmp / "session-B", "run-9-video", frames, spec=spec)
+    try:
+        from hsip_tpu import VideoCollection
+
+        with VideoCollection.from_directory(str(tmp)) as flat:
+            assert len(flat) == 3  # nested recording NOT picked up
+        with VideoCollection.from_directory(str(tmp), recursive=True) as rec:
+            assert len(rec) == 4
+            names = [v.filepath.name for v in rec]
+            assert "run-9-video.cihx" in names
+            assert rec.total_frames == sum(len(f) for f in all_frames) + 4
+    finally:
+        # Leave the shared module-scoped fixture directory as found.
+        import shutil
+
+        shutil.rmtree(tmp / "session-B")

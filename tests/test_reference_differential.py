@@ -111,6 +111,17 @@ def video_dir(tmp_path_factory):
         spec=CihxSpec(width=_WIDTH, height=_HEIGHT, total_frames=_N_FRAMES,
                       record_rate=100_000, bit_depth=10),
     )
+    # One recording nested in a subdirectory: discovery is a RECURSIVE
+    # glob on both sides (reference process_videos.py:1299-1308 rglobs
+    # "*.cihx"), so session-style folder layouts must be found and their
+    # tables land in the same flat output directory.
+    frames7, _ = synthesize_flame_video(
+        _N_FRAMES, height=_HEIGHT, width=_WIDTH,
+        flame=FlameSpec(x0=24.0, v0_px=6.5, ignition_frame=4, seed=29),
+    )
+    write_recording(
+        d / "session-A", "nova-run-7-101", frames7, spec=spec
+    )
     return d
 
 
@@ -179,7 +190,9 @@ def reference_tables(ref, video_dir, tmp_path_factory):
     )
     # ... and the main tables must carry real tracked rows with velocities
     # (incl. the 8/10-bit containers, so their byte-identity isn't vacuous).
-    for stem in list(_SCENARIOS) + ["nova-run-4-050", "nova-run-6-044"]:
+    for stem in list(_SCENARIOS) + [
+        "nova-run-4-050", "nova-run-6-044", "nova-run-7-101"
+    ]:
         rows = [
             line
             for line in tables[f"{stem}-flame-position.txt"].decode().splitlines()
