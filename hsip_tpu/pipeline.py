@@ -470,13 +470,30 @@ class _SourceLedger:
                 # replace theirs.
                 self.summary.seed_from(config.output_dir, rank=self._rank)
 
+    def ledger_key(self, path) -> str:
+        """Per-recording ledger key: the path relative to the source's
+        video_path. Discovery is recursive, so two recordings with the
+        same basename can live in different subdirectories — keyed by
+        basename, a resume run would skip the second as already done
+        (while a fresh run processes both, last table wins). For flat
+        layouts the relative path IS the basename, so existing ledgers
+        stay valid; paths outside the source root fall back to basename.
+        """
+        p = Path(path)
+        try:
+            return p.resolve().relative_to(
+                Path(self._config.video_path).resolve()
+            ).as_posix()
+        except (ValueError, OSError):
+            return p.name
+
     def filter_pending(self, files, announce=None):
         """Drop files already complete in the ledger (resume runs only)."""
         if not (self._resume and self.checkpoint is not None):
             return list(files)
         kept = []
         for f in files:
-            if self.checkpoint.is_done(f.name):
+            if self.checkpoint.is_done(self.ledger_key(f)):
                 if announce is not None:
                     announce(f)
             else:
@@ -487,10 +504,17 @@ class _SourceLedger:
         if self.summary is not None:
             self.summary.add_failure(name, exc)
 
-    def record(self, name, output, wall_s: float):
-        """Mark a recording complete and add its summary entry."""
+    def record(self, filepath, output, wall_s: float):
+        """Mark a recording complete and add its summary entry.
+
+        The ledger keys on the video_path-relative path; the summary and
+        calibration lookup use the basename (calibration patterns match
+        on the FILENAME — reference semantics)."""
+        name = Path(filepath).name
         if self.checkpoint is not None:
-            self.checkpoint.mark_done(name, rows=len(output.rows))
+            self.checkpoint.mark_done(
+                self.ledger_key(filepath), rows=len(output.rows)
+            )
         if self.summary is not None:
             cal, off = self._config.get_calibration_for_file(name)
             self.summary.add_file(
@@ -674,7 +698,7 @@ def process_video_source(
                 output.break_reason, wall,
             )
             outputs.append(output)
-            ledger.record(cihx_file.name, output, wall)
+            ledger.record(cihx_file, output, wall)
     finally:
         # Always write the summary and reach the rank barrier (a raise here
         # would otherwise hang the other ranks in finish()'s barrier).
@@ -798,7 +822,7 @@ def process_video_source_library(
                             _write_ddt_split_tables(
                                 output, output_dir, stem, verbose and is_root
                             )
-                        ledger.record(video.filepath.name, output, wall_each)
+                        ledger.record(video.filepath, output, wall_each)
                     except Exception as exc:
                         print(f"Warning: Could not write results for "
                               f"{video.filepath.name}: {exc}")

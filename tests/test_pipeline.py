@@ -679,3 +679,40 @@ def test_eight_bit_band_path_matches_exact(tmp_path):
     assert len(t.rows) > 10
     assert [r[:3] for r in t.rows] == [r[:3] for r in e.rows]
     assert t.break_reason == e.break_reason
+
+
+def test_resume_distinguishes_same_stem_in_subdirs(tmp_path):
+    """Discovery is recursive, so two recordings may share a basename in
+    different subdirectories. The resume ledger must key on the
+    video_path-relative path: keyed by basename, a resumed run would skip
+    the sibling as already done (a fresh run processes both)."""
+    src = tmp_path / "videos"
+    out = tmp_path / "out"
+    spec = CihxSpec(width=256, height=32, total_frames=24,
+                    record_rate=50_000, bit_depth=12)
+    frames_a, _ = synthesize_flame_video(
+        24, height=32, width=256,
+        flame=FlameSpec(x0=20.0, v0_px=4.0, ignition_frame=2, seed=31))
+    write_recording(src / "session-A", "dup-run-1-001", frames_a, spec=spec)
+
+    cfg = VideoSourceConfig(name="dup", enabled=True, calibration=0.0008,
+                            save_frame_images=False,
+                            save_stacked_sequences=False)
+    cfg.video_path = str(src)
+    cfg.output_dir = str(out)
+    process_video_source(cfg, backend="tpu", verbose=False)
+    table = out / "dup-run-1-001-flame-position.txt"
+    first = table.read_bytes()
+
+    # A same-stem sibling lands later (e.g. the run crashed before its
+    # session was recorded); the resumed run must process it.
+    frames_b, _ = synthesize_flame_video(
+        24, height=32, width=256,
+        flame=FlameSpec(x0=40.0, v0_px=7.0, ignition_frame=2, seed=37))
+    write_recording(src / "session-B", "dup-run-1-001", frames_b, spec=spec)
+    process_video_source(cfg, backend="tpu", verbose=False, resume=True)
+    second = table.read_bytes()
+    assert second != first, (
+        "resume skipped session-B/dup-run-1-001 — the ledger aliased two "
+        "recordings that share a basename"
+    )
