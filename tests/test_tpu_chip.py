@@ -430,3 +430,116 @@ def test_pallas_scan_identity_and_speed_on_chip(tmp_path):
         "PALLAS_SCAN_IDENTICAL" in proc.stdout
         and "PALLAS_SCAN_PERF_OK" in proc.stdout
     ), proc.stdout
+
+
+_CHIP_REFDIFF = textwrap.dedent(
+    """
+    import sys
+    from pathlib import Path
+
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("NO_TPU")
+        sys.exit(0)
+
+    import hsip_tpu.track.config as cfg
+    from hsip_tpu.pipeline import process_video_source
+
+    video_dir, out_dir = sys.argv[1], sys.argv[2]
+    config = cfg.VideoSourceConfig(
+        name="chipdiff", enabled=True,
+        calibration=0.000833333, position_offset=1.0159,
+        save_frame_images=False, save_stacked_sequences=False,
+    )
+    config.video_path = video_dir
+    config.output_dir = out_dir
+    # 'device' = the full on-chip path: packed decode, fused Mosaic band
+    # kernel, single-kernel Pallas tracking scan.
+    process_video_source(config, backend="device", verbose=False)
+    print("CHIP_REFDIFF_OK")
+    """
+)
+
+
+def test_chip_tables_byte_identical_to_reference(tmp_path):
+    """END-TO-END chip anchor: tables from the real-TPU pipeline (packed
+    on-device decode + Mosaic band kernel + Pallas tracking scan) must be
+    byte-identical to the ACTUAL reference implementation run with scipy
+    on the host. The CPU-tier differentials prove the algorithms agree;
+    this proves the compiled chip kernels do too."""
+    from hsip_tpu.testing import load_reference_module, reference_script
+
+    if not reference_script().exists():
+        pytest.skip("reference checkout not available")
+    pytest.importorskip("scipy")
+
+    from hsip_tpu.io import (
+        CihxSpec,
+        FlameSpec,
+        synthesize_flame_video,
+        write_recording,
+    )
+
+    video_dir = tmp_path / "videos"
+    scenarios = {
+        # exits the domain; DDT split; sudden slowdown (velocity-drop break)
+        "chip-run-1-001": FlameSpec(x0=25.0, v0_px=9.0, accel_px=0.05,
+                                    ignition_frame=2, seed=41),
+        "chip-run-2-002": FlameSpec(x0=20.0, v0_px=4.0, ddt_frame=22,
+                                    v_jump_px=22.0, ignition_frame=3,
+                                    seed=43),
+        "chip-run-3-003": FlameSpec(x0=22.0, v0_px=8.0, ddt_frame=26,
+                                    v_jump_px=-7.0, ignition_frame=2,
+                                    edge_width_px=1.0, seed=47),
+    }
+    spec = CihxSpec(width=384, height=64, total_frames=48,
+                    record_rate=100_000, bit_depth=12)
+    for stem, flame in scenarios.items():
+        frames, _ = synthesize_flame_video(48, height=64, width=384,
+                                           flame=flame)
+        write_recording(video_dir, stem, frames, spec=spec)
+
+    # Reference side: host scipy, figures neutralized (tables only).
+    ref = load_reference_module("ref_process_videos_chipdiff")
+    ref_out = tmp_path / "ref-out"
+    ref_config = ref.VideoSourceConfig(
+        name="chipdiff", enabled=True,
+        calibration=0.000833333, position_offset=1.0159,
+    )
+    ref_config.video_path = str(video_dir)
+    ref_config.output_dir = str(ref_out)
+    ref.process_video_source(ref_config, processor=None)
+    expected = {p.name: p.read_bytes() for p in sorted(ref_out.glob("*.txt"))}
+    assert len(expected) >= len(scenarios), "reference produced no tables"
+    assert any("post-DDT" in n for n in expected)
+
+    # Our side: subprocess on the real chip.
+    ours_out = tmp_path / "chip-out"
+    script = tmp_path / "chip_refdiff.py"
+    script.write_text(_CHIP_REFDIFF)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (_REPO_ROOT, env.get("PYTHONPATH")) if p
+    )
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(script), str(video_dir), str(ours_out)],
+            capture_output=True, text=True, timeout=900, env=env,
+        )
+    except subprocess.TimeoutExpired:
+        # A dead tunnel HANGS inside backend init rather than failing.
+        pytest.skip("chip subprocess timed out (tunnel down mid-init)")
+    assert proc.returncode == 0, f"{proc.stdout}\n{proc.stderr[-3000:]}"
+    if "NO_TPU" in proc.stdout:
+        pytest.skip("no TPU backend reachable from subprocess")
+    assert "CHIP_REFDIFF_OK" in proc.stdout
+
+    ours = {p.name: p.read_bytes() for p in sorted(ours_out.glob("*.txt"))}
+    assert set(ours) == set(expected)
+    for name in sorted(expected):
+        assert ours[name] == expected[name], (
+            f"{name}: real-chip table differs from the reference"
+        )
