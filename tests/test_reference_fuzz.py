@@ -100,7 +100,10 @@ def _draw(rng: np.random.Generator):
             else 0.0
         ),
         ignition_frame=ignition,
-        background_level=int(rng.integers(20, 70)),
+        # ~1 in 8 recordings is fully dark (bg exactly 0): the background
+        # scalar then hits the noise-threshold floor on both sides.
+        background_level=(0 if rng.random() < 0.125
+                          else int(rng.integers(20, 70))),
         background_noise=int(rng.integers(2, 10)),
         flame_level=int(float(rng.uniform(0.55, 0.95)) * full_scale),
         edge_width_px=(
