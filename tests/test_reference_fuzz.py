@@ -105,7 +105,11 @@ def _draw(rng: np.random.Generator):
         background_level=(0 if rng.random() < 0.125
                           else int(rng.integers(20, 70))),
         background_noise=int(rng.integers(2, 10)),
-        flame_level=int(float(rng.uniform(0.55, 0.95)) * full_scale),
+        # ~1 in 8 flames saturates at exactly full scale: wide clipped
+        # plateaus make the profiles tie-heavy, stressing first-occurrence
+        # argmax/argmin ordering through the reference anchor.
+        flame_level=(full_scale if rng.random() < 0.125
+                     else int(float(rng.uniform(0.55, 0.95)) * full_scale)),
         edge_width_px=(
             float(rng.uniform(0.8, 1.5)) if mode in ("slowdown", "stall")
             else float(rng.uniform(1.2, 3.5))
