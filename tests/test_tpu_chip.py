@@ -121,12 +121,24 @@ _CHIP_PERF = textwrap.dedent(
         )
         jax.block_until_ready(outs)
 
+    def dispatch():
+        return packed_band_profiles(
+            dev, np.float32(100.0), prior, np.float32(5.0),
+            morphology_kernel_size=3, gaussian_sigma=1.5,
+            use_pallas=True, bit_depth=12,
+        )
+
     run_kernel()  # compile
+    # Pipelined timing (issue N, block once): the dev tunnel's synchronous
+    # block_until_ready round trip fluctuates between ~0.1 and ~25 ms,
+    # which would swamp the 0.08 ms kernel on bad days.
+    jax.block_until_ready([dispatch() for _ in range(3)])
+    n = 16
     best = float("inf")
-    for _ in range(8):
+    for _ in range(3):
         t0 = time.perf_counter()
-        run_kernel()
-        best = min(best, time.perf_counter() - t0)
+        jax.block_until_ready([dispatch() for _ in range(n)])
+        best = min(best, (time.perf_counter() - t0) / n)
     # Measured 0.08 ms (HBM roofline is 0.075 ms for the 60 MB band).
     # 1.0 ms leaves 12x headroom for chip contention while still catching
     # order-of-magnitude regressions (lost fusion, silent interpret mode).
@@ -276,18 +288,24 @@ _CHIP_SCAN_PERF = textwrap.dedent(
               ddt_velocity_jump=jnp.float32(1250.0),
               calibration=jnp.float32(8.3e-4), frame_rate=jnp.float32(1e5),
               max_displacement_px=jnp.int32(3))
+    # Pipelined timing (issue N, block once): the dev tunnel adds a ~25 ms
+    # round trip to each synchronous block_until_ready, which would
+    # dominate the device time at this problem size.
     f = jax.jit(lambda *a: device_tracking_scan(*a, **kw))
     jax.block_until_ready(f(*args))  # compile
+    jax.block_until_ready([f(*args) for _ in range(3)])  # fill pipeline
+    n = 16
     best = float("inf")
-    for _ in range(6):
+    for _ in range(3):
         t0 = time.perf_counter()
-        jax.block_until_ready(f(*args))
-        best = min(best, time.perf_counter() - t0)
+        jax.block_until_ready([f(*args) for _ in range(n)])
+        best = min(best, (time.perf_counter() - t0) / n)
     per_step_us = best / m * 1e6
     print(f"SCAN_US_PER_STEP {per_step_us:.1f}")
-    # Measured 21 us/step with the 8x unroll (27 without). 60 us trips on
+    # Measured 8.4 us/step pipelined with the 8x unroll (21 us when each
+    # dispatch also paid the tunnel round trip). 60 us trips on
     # order-of-magnitude regressions (lost unroll, accidental host sync)
-    # while leaving ~3x headroom for chip contention.
+    # while leaving wide headroom for chip contention.
     assert per_step_us < 60.0, f"device scan regressed: {per_step_us:.1f} us/step"
     print("SCAN_PERF_OK")
     """
@@ -387,7 +405,13 @@ _CHIP_PALLAS_SCAN = textwrap.dedent(
     print("PALLAS_NAMED_IDENTICAL")
 
     # Latency: the single-kernel scan must beat the lax.scan path by >= 2x
-    # (VERDICT r1 target: halve the 21 us/step).
+    # (VERDICT r1 target: halve the 21 us/step). Timing is PIPELINED —
+    # issue N dispatches, block once — because the dev tunnel adds a
+    # ~25 ms round trip to every synchronous block_until_ready, which
+    # drowns the device time of BOTH backends (a single-dispatch version
+    # of this gate once measured the 0.08 ms kernel at 31 ms and failed
+    # on pure dispatch latency). Pipelining amortizes the round trip and
+    # measures device throughput, which is what the gate is about.
     m, w = 2048, 1024
     pos = (10 + 0.4 * np.arange(m)).astype(int) % (w - 40)
     sob = np.zeros((m, w), np.float32); sob[np.arange(m), pos] = 120
@@ -403,14 +427,15 @@ _CHIP_PALLAS_SCAN = textwrap.dedent(
               calibration=jnp.float32(8.3e-4), frame_rate=jnp.float32(1e5),
               max_displacement_px=jnp.int32(3))
 
-    def bench(fn):
+    def bench(fn, n=16):
         f = jax.jit(lambda *a: fn(*a, **kw))
-        jax.block_until_ready(f(*args))
+        jax.block_until_ready(f(*args))  # compile
+        jax.block_until_ready([f(*args) for _ in range(3)])  # fill pipeline
         best = float("inf")
-        for _ in range(6):
+        for _ in range(3):
             t0 = time.perf_counter()
-            jax.block_until_ready(f(*args))
-            best = min(best, time.perf_counter() - t0)
+            jax.block_until_ready([f(*args) for _ in range(n)])
+            best = min(best, (time.perf_counter() - t0) / n)
         return best / m * 1e6
 
     lax_us = bench(device_tracking_scan)
