@@ -42,6 +42,30 @@ __all__ = ["track_collection_device", "ScanHistory", "build_device_scan_output"]
 _PALLAS_MODE = "auto"
 
 
+def _use_batched_kernel(v_per_device: int, w: int, method: str) -> bool:
+    """Route a per-device video batch to the batched Pallas kernel or the
+    vmapped ``lax.scan`` (bit-identical by contract, so this is purely a
+    throughput choice). The kernel's grid serializes videos on the one
+    TensorCore while vmap vectorizes the video axis inside each step, so
+    the kernel wins only below a measured crossover (v5e sweep: Pallas
+    4.7/7.3/10.1/16.4 ms vs lax.scan 22.7/9.7/8.5/7.4 at V=1/2/4/8 —
+    see :func:`~hsip_tpu.track.pallas_scan.batched_kernel_max_videos`).
+    Interpret mode forces the kernel so CPU tests exercise it at any V.
+    """
+    from .pallas_scan import batched_kernel_max_videos, supports_pallas_scan
+
+    if _PALLAS_MODE == "off" or not supports_pallas_scan(w, method):
+        return False
+    if _PALLAS_MODE == "interpret":
+        return True
+    from ..utils.backend import is_tpu_backend
+
+    return (
+        is_tpu_backend()
+        and v_per_device <= batched_kernel_max_videos()
+    )
+
+
 class ScanHistory:
     """Tracker-shaped view over device-scan results (velocity history, DDT).
 
@@ -391,25 +415,23 @@ def _track_uniform_videos(
     )
 
     # --- one device scan over the whole video axis ---
-    # On TPU the default tracker runs as a single batched Pallas kernel
-    # (grid (V, ceil(M/K)), per-video state reset — track/pallas_scan.py);
-    # under a mesh the same kernel runs per device via shard_map over the
-    # video axis. Other methods/widths/backends use the vmapped lax.scan.
-    # All paths are bit-identical by contract.
-    from ..utils.backend import is_tpu_backend
+    # Kernel selection is batch-size-aware: the single-kernel Pallas scan's
+    # grid runs videos SEQUENTIALLY (one TensorCore), while the vmapped
+    # lax.scan vectorizes the video axis inside each step — so the kernel
+    # wins only for small per-device batches. Measured on v5e (M=2048,
+    # W=1024, pipelined): Pallas 4.7/7.3/10.1/16.4 ms at V=1/2/4/8 vs
+    # lax.scan's 22.7/9.7/8.5/7.4 — crossover at V=3. Under a mesh the
+    # choice applies to each device's shard. All paths are bit-identical
+    # by contract (interpret mode keeps forcing the kernel so CPU tests
+    # exercise it at any V).
     from .pallas_scan import (
         default_frames_per_step,
         pallas_tracking_scan_batched,
-        supports_pallas_scan,
     )
 
     pallas_interpret = _PALLAS_MODE == "interpret"
-    use_pallas = (
-        _PALLAS_MODE != "off"
-        and n_max > 0
-        and (pallas_interpret or is_tpu_backend())
-        and supports_pallas_scan(w, method)
-    )
+    v_per_device = V if mesh is None else V // mesh.shape[video_axis]
+    use_pallas = n_max > 0 and _use_batched_kernel(v_per_device, w, method)
     if use_pallas:
         import numpy as _np
 

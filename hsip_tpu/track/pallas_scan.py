@@ -62,11 +62,12 @@ def default_frames_per_step() -> int:
 
     Tunable via ``HSIP_PALLAS_SCAN_K`` so ``tools/chip_autotune.py`` sweeps
     can be replayed against the full pipeline without code edits. The
-    default K=8 is a prior, not a measurement: it mirrors the lax.scan
-    unroll sweep (8x amortized that loop's per-step overhead, saturating
-    by 8) and batches 8 rows per VMEM block DMA; replace it with the
-    autotune pick once a chip sweep lands. Any K is bit-identical by
-    contract (padding rows are inert).
+    v5e chip sweep (2026-08-18, M=2048 W=1024, pipelined timing) put the
+    kernel within ~10% of its best across K∈[4,16] — 2.30 µs/step at K=4
+    vs 2.56 at the K=8 default for V=1, 7.87 vs 7.76 (K=16) at V=8 — so
+    the default stays at the flat region's center; the env knob replays a
+    sharper pick when one machine's sweep finds one. Any K is
+    bit-identical by contract (padding rows are inert).
     """
     import os
 
@@ -78,6 +79,27 @@ def default_frames_per_step() -> int:
     # time, so a typo'd huge value would stall every pipeline batch for
     # minutes of tracing before the lax.scan fallback could even fire.
     return min(max(1, k), MAX_FRAMES_PER_STEP)
+
+
+def batched_kernel_max_videos() -> int:
+    """Largest per-device video batch routed to the batched Pallas kernel.
+
+    The kernel's grid serializes videos (its cost grows ~linearly in V on
+    one TensorCore) while the vmapped ``lax.scan`` vectorizes the video
+    axis inside each step (its per-step fixed cost amortizes with V) — the
+    v5e sweep (``tools/chip_autotune.py --videos 1 2 4 8``, pipelined)
+    crossed over at V=3: Pallas 4.7/7.3/10.1/16.4 ms vs lax.scan
+    22.7/9.7/8.5/7.4 at V=1/2/4/8. ``HSIP_PALLAS_BATCH_MAX_V`` replays a
+    different machine's crossover without code edits; both backends are
+    bit-identical by contract so routing is purely a throughput choice.
+    """
+    import os
+
+    try:
+        return int(os.environ.get("HSIP_PALLAS_BATCH_MAX_V", "2"))
+    except ValueError:
+        return 2
+
 
 # numpy scalars (not jnp): jnp constants would be captured as traced
 # closure consts, which pallas_call rejects.

@@ -118,6 +118,7 @@ def main(argv=None):
     )
     rng = np.random.default_rng(0)
     best = {}
+    ref_times = {}
     rows = []
     for v in args.videos:
         fi, sob, grad, empty, hp = _make_profiles(v, m, w, rng)
@@ -139,6 +140,7 @@ def main(argv=None):
         ref = ref_fn(*dev)
         jax.block_until_ready(ref)
         t_ref = _time(lambda: ref_fn(*dev), args.repeats)
+        ref_times[v] = t_ref
         rows.append((v, "lax.scan", t_ref / m * 1e6, t_ref * 1e3))
 
         for k in args.ks:
@@ -181,6 +183,24 @@ def main(argv=None):
         return 1
     k_single = best.get(1, next(iter(best.values())))[0]
     print(f"\nrecommend: export HSIP_PALLAS_SCAN_K={k_single}")
+
+    # Batched-kernel routing crossover: the kernel's grid serializes videos
+    # while the vmapped lax.scan vectorizes them, so the kernel wins only up
+    # to some per-device batch size. Recommend the largest swept V below
+    # which the kernel won at EVERY smaller swept point (routing assumes the
+    # win region is a prefix); needs >=2 V points to say anything.
+    if len(ref_times) >= 2:
+        max_v = 0
+        for v in sorted(ref_times):
+            if v in best and best[v][1] < ref_times[v]:
+                max_v = v
+            else:
+                break
+        if max_v:
+            print(f"recommend: export HSIP_PALLAS_BATCH_MAX_V={max_v}")
+        else:
+            print("note: lax.scan won at every swept V; "
+                  "recommend: export HSIP_PALLAS_BATCH_MAX_V=0")
     return 0
 
 

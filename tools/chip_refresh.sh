@@ -19,19 +19,22 @@ cd "$(dirname "$0")/.."
 echo "== HSIP_TPU_CHIP tier =="
 timeout 1800 env HSIP_TPU_CHIP=1 python -m pytest tests/test_tpu_chip.py -v -rs
 
-echo "== Pallas scan unroll sweep (pick HSIP_PALLAS_SCAN_K) =="
+echo "== Pallas scan sweep (pick HSIP_PALLAS_SCAN_K + batch crossover) =="
 SWEEP_LOG=$(mktemp)
 trap 'rm -f "$SWEEP_LOG"' EXIT
-timeout 1800 python tools/chip_autotune.py | tee "$SWEEP_LOG"
+timeout 1800 python tools/chip_autotune.py --videos 1 2 4 8 | tee "$SWEEP_LOG"
 # `|| true`: under set -e a no-match grep (recommendation line reworded)
 # must fall through to the code default, not abort before the bench.
 K=$(grep -oE 'HSIP_PALLAS_SCAN_K=[0-9]+' "$SWEEP_LOG" | tail -1 | cut -d= -f2 || true)
 K=${K:-8}  # matches default_frames_per_step()'s unset prior
+V=$(grep -oE 'HSIP_PALLAS_BATCH_MAX_V=[0-9]+' "$SWEEP_LOG" | tail -1 | cut -d= -f2 || true)
+V=${V:-2}  # matches batched_kernel_max_videos()'s unset default
 
-echo "== bench.py (both modes, tuned K=$K) =="
+echo "== bench.py (both modes, tuned K=$K, kernel batch max V=$V) =="
 # The outer bound must cover bench's worst case: preflight (~150 s) plus
 # one TPU child AND one labeled CPU retry, each capped at --child-timeout
 # (a tunnel that answers the preflight and dies mid-run burns the full
 # child budget before the retry starts). 150 + 2*900 < 3600, and 900 s
 # still fits a healthy chip run with tunnel-slowed first compiles.
-timeout 3600 env HSIP_PALLAS_SCAN_K="$K" python bench.py --child-timeout 900
+timeout 3600 env HSIP_PALLAS_SCAN_K="$K" HSIP_PALLAS_BATCH_MAX_V="$V" \
+    python bench.py --child-timeout 900
