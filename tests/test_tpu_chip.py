@@ -166,6 +166,13 @@ def _run_chip_subprocess(tmp_path, source: str, timeout: int = 600):
     assert proc.returncode == 0, f"{proc.stdout}\n{proc.stderr[-3000:]}"
     if "NO_TPU" in proc.stdout:
         pytest.skip("no TPU backend reachable from subprocess")
+    # Measurement lines (KERNEL_MS / *_US_PER_STEP) are printed by the
+    # subprocess, so pytest's capture never sees them; echo them to stderr
+    # so an unattended tier log (tools/chip_refresh.sh) records the
+    # numbers BASELINE.md's "Measured" table is refreshed from.
+    for line in proc.stdout.splitlines():
+        if any(ch.isdigit() for ch in line):
+            print(f"[chip] {line}", file=sys.stderr)
     return proc
 
 

@@ -17,7 +17,9 @@ cd "$(dirname "$0")/.."
 # Each step is time-bounded so an unattended run can't wedge on a tunnel
 # that drops mid-way (init hangs rather than fails when it's down).
 echo "== HSIP_TPU_CHIP tier =="
-timeout 1800 env HSIP_TPU_CHIP=1 python -m pytest tests/test_tpu_chip.py -v -rs
+# -s: the tier's [chip] measurement echoes (KERNEL_MS, *_US_PER_STEP)
+# must reach this log on PASSING tests, not just failures.
+timeout 1800 env HSIP_TPU_CHIP=1 python -m pytest tests/test_tpu_chip.py -v -rs -s
 
 echo "== Pallas scan sweep (pick HSIP_PALLAS_SCAN_K + batch crossover) =="
 SWEEP_LOG=$(mktemp)
