@@ -102,7 +102,8 @@ def build_recording(tmpdir: Path, n_frames: int, height: int, width: int):
     return write_recording(tmpdir, "bench-run-1-001", frames, spec=spec)
 
 
-def run_tpu_pipeline(meta_path, config, chunk_size=256, scan="device"):
+def run_tpu_pipeline(meta_path, config, chunk_size=256, scan="device",
+                     stage_times=None):
     from hsip_tpu import open_video
     from hsip_tpu.track.scan import track_video
 
@@ -113,6 +114,7 @@ def run_tpu_pipeline(meta_path, config, chunk_size=256, scan="device"):
             position_offset_m=1.0159,
             chunk_size=chunk_size,
             scan=scan,
+            stage_times=stage_times,
         )
     return out
 
@@ -126,6 +128,11 @@ def time_scipy_baseline(meta_path, config, n_sample: int) -> float:
     with open_video(str(meta_path)) as video:
         frames = video.read_batch(0, n_sample + 1).astype(np.float64)
     n_sample = min(n_sample, len(frames) - 1)  # short --frames runs
+    if n_sample < 1:
+        raise ValueError(
+            "scipy baseline needs >= 2 frames (frame differencing); "
+            f"recording has {len(frames)}"
+        )
     bg = float(frames[0].max())
     sub = np.maximum(frames - bg, 0.0)
     k, sigma = config.morphology_kernel_size, config.gaussian_sigma
@@ -148,13 +155,97 @@ def time_scipy_baseline(meta_path, config, n_sample: int) -> float:
     return best / n_sample
 
 
-def run_collection_pipeline(video_dir, config):
+def time_device_compute(meta_path, config, repeats: int = 3):
+    """Device-compute-only seconds for the single-video pipeline.
+
+    Times the two device stages — the fused band preprocess kernel and the
+    tracking scan — on ALREADY-device-resident inputs (no disk read, host
+    gather, or H2D inside the timed region), so the JSON can distinguish a
+    kernel/scan regression from tunnel/host-staging weather, which
+    dominates the end-to-end number (>99% on the dev tunnel).
+
+    Returns (seconds, n_frames) or None when the recording has no packed
+    band path (the measurement would not match the pipeline's kernels).
+    """
+    import jax
+
+    from hsip_tpu import open_video
+    from hsip_tpu.kernels.preprocess import band_margin, reflect_indices
+    from hsip_tpu.kernels.unpack import packed_band_profiles
+    from hsip_tpu.track.scan import (
+        NOISE_THRESHOLD_FLOOR, run_tracking_scan_device, FrameProfiles,
+    )
+    from hsip_tpu.utils.backend import is_tpu_backend
+
+    with open_video(str(meta_path)) as video:
+        n = len(video)
+        h, w = video.frame_shape
+        bg = float(np.max(video[0]))
+        _read_packed, read_band, count_fn, depth = video.staging_paths()
+        if read_band is None or count_fn is None:
+            return None
+        margin = band_margin(config.morphology_kernel_size,
+                             config.gaussian_sigma)
+        rows = reflect_indices(h // 2, margin, h)
+        host = np.ascontiguousarray(read_band(0, n, rows))
+        noise_threshold = max(NOISE_THRESHOLD_FLOOR, bg * 0.5)
+        counts = np.asarray(count_fn(0, n, bg, noise_threshold))
+        frame_rate = video.frame_rate
+
+    prior = np.arange(-1, n - 1, dtype=np.int32)
+    dev = jax.device_put(host)
+
+    def run_kernel():
+        outs = packed_band_profiles(
+            dev, np.float32(bg), prior,
+            np.float32(config.frame_diff_threshold),
+            morphology_kernel_size=config.morphology_kernel_size,
+            gaussian_sigma=config.gaussian_sigma,
+            use_pallas=is_tpu_backend(),
+            bit_depth=depth,
+        )
+        jax.block_until_ready(outs)
+        return outs
+
+    sob, grad, intens, rawc = run_kernel()  # warm-up/compile
+    best_kernel = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_kernel()
+        best_kernel = min(best_kernel, time.perf_counter() - t0)
+
+    has_prior = np.ones(n, dtype=bool)
+    has_prior[0] = False
+    profiles = FrameProfiles(
+        frame_indices=np.arange(n, dtype=np.int64),
+        sobel_lines=sob, gradient_lines=grad, intensity_lines=intens,
+        raw_center_lines=rawc, signal_counts=counts.astype(np.int64),
+        has_prior=has_prior, width=w, total_pixels=h * w,
+    )
+    def run_scan():
+        return run_tracking_scan_device(
+            profiles, config, frame_rate=frame_rate,
+            calibration_m_per_px=0.000833333, position_offset_m=1.0159,
+        )
+
+    run_scan()  # warm-up/compile
+    best_scan = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run_scan()
+        best_scan = min(best_scan, time.perf_counter() - t0)
+    # run_tracking_scan_device includes the blocking result fetch and the
+    # small float64 table reconstruction; both belong to the scan stage.
+    return best_kernel + best_scan, n
+
+
+def run_collection_pipeline(video_dir, config, stage_times=None):
     """Library mode: vmapped on-device tracking of every recording."""
     from hsip_tpu import open_collection
     from hsip_tpu.track.batch import track_collection_device
 
     with open_collection(str(video_dir)) as coll:
-        return track_collection_device(coll, config)
+        return track_collection_device(coll, config, stage_times=stage_times)
 
 
 def _build_library(
@@ -195,6 +286,8 @@ def _build_library(
 
 def run_bench(args, config) -> dict:
     """Measure the requested mode(s); returns the result-JSON dict."""
+    from hsip_tpu.utils import StageTimes
+
     extra: dict = {}
     with tempfile.TemporaryDirectory() as tmp:
         tmpdir = Path(tmp)
@@ -204,17 +297,37 @@ def run_bench(args, config) -> dict:
         if args.mode in ("both", "single"):
             meta = build_recording(tmpdir, args.frames, args.height, args.width)
             run_tpu_pipeline(meta, config, args.chunk_size, args.scan)  # warm-up
-            best = float("inf")
+            best, best_st = float("inf"), None
             for _ in range(args.repeat):
+                st = StageTimes()
                 t0 = time.perf_counter()
-                out = run_tpu_pipeline(meta, config, args.chunk_size, args.scan)
-                best = min(best, time.perf_counter() - t0)
+                out = run_tpu_pipeline(
+                    meta, config, args.chunk_size, args.scan, stage_times=st
+                )
+                dt = time.perf_counter() - t0
+                if dt < best:
+                    best, best_st = dt, st
             single_fps = args.frames / best
+            extra["single_stages"] = best_st.as_dict(3)
+            if out.phase_timings:
+                extra["single_stages"]["scan_phase"] = out.phase_timings[
+                    "scan_s"
+                ]
             print(
                 f"single: frames={args.frames} {args.height}x{args.width} "
-                f"end_to_end_s={best:.3f} rows={len(out.rows)}",
+                f"end_to_end_s={best:.3f} rows={len(out.rows)} "
+                f"stages={extra['single_stages']}",
                 file=sys.stderr,
             )
+            dev = time_device_compute(meta, config)
+            if dev is not None:
+                dev_s, dev_n = dev
+                extra["device_compute_fps"] = round(dev_n / dev_s, 1)
+                print(
+                    f"device-compute-only: {dev_s * 1e3:.2f} ms for {dev_n} "
+                    f"frames ({extra['device_compute_fps']:.0f} fps)",
+                    file=sys.stderr,
+                )
 
         if args.mode in ("both", "library"):
             # Full-length recordings, one per video: the production shape a
@@ -230,15 +343,20 @@ def run_bench(args, config) -> dict:
             )
             total_frames = per_video * args.videos
             run_collection_pipeline(lib, config)  # warm-up
-            best = float("inf")
+            best, best_st = float("inf"), None
             for _ in range(args.repeat):
+                st = StageTimes()
                 t0 = time.perf_counter()
-                outs = run_collection_pipeline(lib, config)
-                best = min(best, time.perf_counter() - t0)
+                outs = run_collection_pipeline(lib, config, stage_times=st)
+                dt = time.perf_counter() - t0
+                if dt < best:
+                    best, best_st = dt, st
             library_fps = total_frames / best
+            extra["library_stages"] = best_st.as_dict(3)
             print(
                 f"library: videos={args.videos} frames={total_frames} "
-                f"end_to_end_s={best:.3f} rows={len(outs[0].rows)}",
+                f"end_to_end_s={best:.3f} rows={len(outs[0].rows)} "
+                f"stages={extra['library_stages']}",
                 file=sys.stderr,
             )
 
@@ -258,6 +376,11 @@ def run_bench(args, config) -> dict:
     if library_fps is not None:
         extra["library_fps"] = round(library_fps, 1)
         extra["library_videos"] = args.videos
+        # ADVICE r2: the library's recordings hard-link ONE payload, so
+        # cold I/O + page-cache pressure are paid once, not N times —
+        # the figure covers decode+track throughput, not distinct-file
+        # cold-disk I/O.
+        extra["library_payload"] = "hard-linked (shared page cache)"
     extra["scipy_serial_fps"] = round(baseline_fps, 1)
     return {
         "metric": "mraw_frames_per_sec_per_chip_decode_track",

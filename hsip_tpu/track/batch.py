@@ -226,6 +226,7 @@ def track_collection_device(
     mesh=None,
     video_axis: str = "video",
     max_group_bytes: int = 2 << 30,
+    stage_times=None,
 ) -> List[TrackingOutput]:
     """Track every video of a collection with vmapped device scans.
 
@@ -249,6 +250,13 @@ def track_collection_device(
     its videos concurrently — the pod-scale layout where a whole library
     tracks in one dispatch across a slice. The video count is padded to the
     axis size with inert (all-empty) videos.
+
+    ``stage_times`` (a :class:`~hsip_tpu.utils.StageTimes`) accumulates
+    host wall-clock per pipeline stage across ALL videos/sub-batches —
+    staging stages from the map phase plus ``collate`` (pad/stack),
+    ``scan_dispatch`` and ``tables`` (the blocking device fetch + float64
+    host reconstruction). Map-pool threads overlap, so stage sums can
+    exceed end-to-end wall-clock (see StageTimes).
     """
     config = config or FlameDetectorConfig()
     videos = list(collection)
@@ -263,6 +271,7 @@ def track_collection_device(
             group_outputs = _track_uniform_videos(
                 [videos[i] for i in sub], w, config, source_config,
                 use_absolute_time, chunk_size, mesh, video_axis,
+                stage_times=stage_times,
             )
             for i, out in zip(sub, group_outputs):
                 outputs[i] = out
@@ -307,9 +316,14 @@ def _track_uniform_videos(
     chunk_size: Optional[int],
     mesh,
     video_axis: str,
+    stage_times=None,
 ) -> List[TrackingOutput]:
     """One vmapped device scan over videos sharing a frame shape (the scan
     consumes width-``w`` profiles; height only shapes the map phase)."""
+    from ..utils.profiling import StageTimes
+
+    if stage_times is None:
+        stage_times = StageTimes()  # unobserved; keeps the code one-path
     method = source_config.detection_method if source_config else "combined"
     use_frame_diff = source_config.use_frame_diff if source_config else True
 
@@ -336,6 +350,7 @@ def _track_uniform_videos(
             count_fn=count_fn,
             band_bit_depth=storage_depth,
             keep_device=True,
+            stage_times=stage_times,
         )
 
     if len(videos) > 1:
@@ -347,6 +362,8 @@ def _track_uniform_videos(
         profiles = [_map_one(v) for v in videos]
 
     # --- pad to a common step count; padding rows are 'empty' (no-ops) ---
+    _collate_t = stage_times.stage("collate")
+    _collate_t.__enter__()
     n_max = max(p.frame_indices.size for p in profiles)
     V = len(videos)
     v_pad = 0
@@ -413,6 +430,7 @@ def _track_uniform_videos(
     intens = (
         jnp.stack(intens_parts) if method != "combined" else dev_zeros
     )
+    _collate_t.__exit__(None, None, None)
 
     # --- one device scan over the whole video axis ---
     # Kernel selection is batch-size-aware: the single-kernel Pallas scan's
@@ -482,20 +500,22 @@ def _track_uniform_videos(
                 vm = P(video_axis, None)
                 vmw = P(video_axis, None, None)
                 vs = P(video_axis)
-                res = jax.jit(shard_map(
-                    kernel_scan,
-                    mesh=mesh,
-                    in_specs=(vm, vmw, vmw, vmw, vm, vm, vs, vs, vs),
-                    out_specs=DeviceScanResult(
-                        final_position=vm, recorded=vm, is_post_ddt=vm,
-                        search_start=vm, search_end=vm,
-                        stop_step=vs, stop_reason=vs,
-                        ddt_frame=vs, clear_vc_entry=vs,
-                    ),
-                    check_vma=False,
-                ))(*kern_args)
+                with stage_times.stage("scan_dispatch"):
+                    res = jax.jit(shard_map(
+                        kernel_scan,
+                        mesh=mesh,
+                        in_specs=(vm, vmw, vmw, vmw, vm, vm, vs, vs, vs),
+                        out_specs=DeviceScanResult(
+                            final_position=vm, recorded=vm, is_post_ddt=vm,
+                            search_start=vm, search_end=vm,
+                            stop_step=vs, stop_reason=vs,
+                            ddt_frame=vs, clear_vc_entry=vs,
+                        ),
+                        check_vma=False,
+                    ))(*kern_args)
             else:
-                res = kernel_scan(*kern_args)
+                with stage_times.stage("scan_dispatch"):
+                    res = kernel_scan(*kern_args)
         except Exception as exc:  # noqa: BLE001 — bit-identical fallback
             # Degrade to the vmapped lax.scan (identical outputs) rather
             # than abort a whole library batch on a kernel failure. ONLY
@@ -510,7 +530,7 @@ def _track_uniform_videos(
         else:
             return _outputs_from_scan(
                 res, videos, profiles, fi, empty, calibs, use_absolute_time,
-                config,
+                config, stage_times=stage_times,
             )
 
     fraction = (config.threshold_fraction if method == "threshold"
@@ -549,30 +569,43 @@ def _track_uniform_videos(
         cals_d = shard(cals)
         fpss_d = shard(fpss)
         max_disps_d = shard(max_disps)
-        res = scan_v(fi, sob, grad, intens, empty_d, has_prior_d,
-                     cals_d, fpss_d, max_disps_d)
+        with stage_times.stage("scan_dispatch"):
+            res = scan_v(fi, sob, grad, intens, empty_d, has_prior_d,
+                         cals_d, fpss_d, max_disps_d)
         fi = np.asarray(fi)
     else:
-        res = scan_v(
-            fi, sob, grad, intens, empty, has_prior,
-            cals, fpss, max_disps,
-        )
+        with stage_times.stage("scan_dispatch"):
+            res = scan_v(
+                fi, sob, grad, intens, empty, has_prior,
+                cals, fpss, max_disps,
+            )
 
     return _outputs_from_scan(
-        res, videos, profiles, fi, empty, calibs, use_absolute_time, config
+        res, videos, profiles, fi, empty, calibs, use_absolute_time, config,
+        stage_times=stage_times,
     )
 
 
 def _outputs_from_scan(res, videos, profiles, fi, empty, calibs,
                        use_absolute_time,
-                       config: FlameDetectorConfig) -> List[TrackingOutput]:
+                       config: FlameDetectorConfig,
+                       stage_times=None) -> List[TrackingOutput]:
     """Host reconstruction shared by the Pallas and vmapped-lax.scan paths:
     rows, float64 velocities, and the authoritative float64
     truncation/DDT decisions per video — the scans emit integer positions
     (their f32 stop latches are advisory; see build_device_scan_output)."""
-    outputs: List[TrackingOutput] = []
-    finals = jax.device_get(res.final_position)
+    from ..utils.profiling import StageTimes
 
+    if stage_times is None:
+        stage_times = StageTimes()
+    outputs: List[TrackingOutput] = []
+    # The ONE blocking device fetch of the scan results: every device wait
+    # the free-running map phase hid lands here.
+    with stage_times.stage("d2h"):
+        finals = jax.device_get(res.final_position)
+
+    _tables_t = stage_times.stage("tables")
+    _tables_t.__enter__()
     for i, (video, p) in enumerate(zip(videos, profiles)):
         m = p.frame_indices.size
         cal, off = calibs[i]
@@ -592,4 +625,5 @@ def _outputs_from_scan(res, videos, profiles, fi, empty, calibs,
                 total_frames=len(video),
             )
         )
+    _tables_t.__exit__(None, None, None)
     return outputs

@@ -116,6 +116,7 @@ def compute_profiles_batched(
     need_intensity: bool = True,
     need_raw: bool = True,
     progress: Optional[Callable[[int, int], None]] = None,
+    stage_times=None,
 ) -> FrameProfiles:
     """Map phase: batched device computation of per-frame centerline profiles.
 
@@ -153,6 +154,11 @@ def compute_profiles_batched(
             per-50-frame progress prints (process_videos.py:1524-1527).
             "Staged" counts processed frames whose device work has been
             DISPATCHED (the map phase free-runs; results arrive later).
+        stage_times: optional :class:`~hsip_tpu.utils.StageTimes` that
+            accumulates host wall-clock per stage (``read_gather``,
+            ``h2d``, ``device_dispatch``, ``counts_host``, ``drain``) so
+            a bench/regression can attribute end-to-end time to disk/host
+            staging vs transfer vs device waits.
 
     The differencing prior of each processed frame is the previous processed
     frame (empty frames included — they advance the motion baseline).
@@ -274,6 +280,11 @@ def compute_profiles_batched(
 
     from concurrent.futures import ThreadPoolExecutor
 
+    from ..utils.profiling import StageTimes
+
+    if stage_times is None:
+        stage_times = StageTimes()  # unobserved; keeps the code one-path
+
     count_pool = ThreadPoolExecutor(max_workers=1) if use_band else None
     try:
         for ci, (pos, stop, needed, row0, row1,
@@ -283,26 +294,29 @@ def compute_profiles_batched(
                 # memmap, releases the GIL) run CONCURRENTLY with band gathering
                 # and the host->device transfer; only band rows ship.
                 counts = count_pool.submit(
-                    _multi_read,
+                    stage_times.wrap("counts_host", _multi_read),
                     lambda a, b: count_fn(a, b, background_scalar,
                                           noise_threshold),
                     needed,
                 )
-                host = np.ascontiguousarray(_multi_read(
-                    lambda a, b: read_band(a, b, band_rows), needed
-                ))
-                host, prior_index_full = _pad_batch(host, prior_index_full)
-                dev = jax.device_put(host)
-                sob, grad, intens, rawc = packed_band_profiles(
-                    dev,
-                    np.float32(background_scalar),
-                    prior_index_full,
-                    np.float32(config.frame_diff_threshold),
-                    morphology_kernel_size=config.morphology_kernel_size,
-                    gaussian_sigma=config.gaussian_sigma,
-                    use_pallas=use_pallas,
-                    bit_depth=band_bit_depth,
-                )
+                with stage_times.stage("read_gather"):
+                    host = np.ascontiguousarray(_multi_read(
+                        lambda a, b: read_band(a, b, band_rows), needed
+                    ))
+                    host, prior_index_full = _pad_batch(host, prior_index_full)
+                with stage_times.stage("h2d"):
+                    dev = jax.device_put(host)
+                with stage_times.stage("device_dispatch"):
+                    sob, grad, intens, rawc = packed_band_profiles(
+                        dev,
+                        np.float32(background_scalar),
+                        prior_index_full,
+                        np.float32(config.frame_diff_threshold),
+                        morphology_kernel_size=config.morphology_kernel_size,
+                        gaussian_sigma=config.gaussian_sigma,
+                        use_pallas=use_pallas,
+                        bit_depth=band_bit_depth,
+                    )
                 del dev, host
                 # counts is a Future: resolved in the drain loop so chunk i's
                 # host count pass overlaps chunk i+1's gather/transfer.
@@ -311,38 +325,41 @@ def compute_profiles_batched(
                 if progress is not None:
                     progress(stop, m)
                 continue
-            host = (
-                np.ascontiguousarray(_multi_read(read_packed, needed))
-                if read_packed is not None
-                else _multi_read(read_batch, needed)
-            )
-            host, prior_index_full = _pad_batch(host, prior_index_full)
-            dev = jax.device_put(host)
-            if read_packed is not None:
-                sob, grad, intens, rawc, counts = packed_centerline_profiles(
-                    dev,
-                    h,
-                    w,
-                    np.float32(background_scalar),
-                    prior_index_full,
-                    np.float32(config.frame_diff_threshold),
-                    np.float32(noise_threshold),
-                    morphology_kernel_size=config.morphology_kernel_size,
-                    gaussian_sigma=config.gaussian_sigma,
-                    use_pallas=use_pallas,
-                    bit_depth=band_bit_depth,
+            with stage_times.stage("read_gather"):
+                host = (
+                    np.ascontiguousarray(_multi_read(read_packed, needed))
+                    if read_packed is not None
+                    else _multi_read(read_batch, needed)
                 )
-            else:
-                sob, grad, intens, rawc, counts = device_fn(
-                    dev,
-                    np.float32(background_scalar),
-                    prior_index_full,
-                    np.float32(config.frame_diff_threshold),
-                    np.float32(noise_threshold),
-                    morphology_kernel_size=config.morphology_kernel_size,
-                    gaussian_sigma=config.gaussian_sigma,
-                    use_pallas=use_pallas,
-                )
+                host, prior_index_full = _pad_batch(host, prior_index_full)
+            with stage_times.stage("h2d"):
+                dev = jax.device_put(host)
+            with stage_times.stage("device_dispatch"):
+                if read_packed is not None:
+                    sob, grad, intens, rawc, counts = packed_centerline_profiles(
+                        dev,
+                        h,
+                        w,
+                        np.float32(background_scalar),
+                        prior_index_full,
+                        np.float32(config.frame_diff_threshold),
+                        np.float32(noise_threshold),
+                        morphology_kernel_size=config.morphology_kernel_size,
+                        gaussian_sigma=config.gaussian_sigma,
+                        use_pallas=use_pallas,
+                        bit_depth=band_bit_depth,
+                    )
+                else:
+                    sob, grad, intens, rawc, counts = device_fn(
+                        dev,
+                        np.float32(background_scalar),
+                        prior_index_full,
+                        np.float32(config.frame_diff_threshold),
+                        np.float32(noise_threshold),
+                        morphology_kernel_size=config.morphology_kernel_size,
+                        gaussian_sigma=config.gaussian_sigma,
+                        use_pallas=use_pallas,
+                    )
             del dev, host
             pending.append((pos, stop, row0, row1, sob, grad, intens, rawc,
                                 counts))
@@ -389,28 +406,36 @@ def compute_profiles_batched(
             for pos, stop, row0, row1, sob, grad, intens, rawc, counts
             in pending
         ]
-        sobel_lines = jnp.concatenate([s[a:b] for a, b, s, g, i, r in sel])
-        gradient_lines = jnp.concatenate([g[a:b] for a, b, s, g, i, r in sel])
-        intensity_lines = jnp.concatenate([i[a:b] for a, b, s, g, i, r in sel])
-        raw_center_lines = jnp.concatenate([r[a:b] for a, b, s, g, i, r in sel])
-        cnt = np.zeros(m, dtype=np.int64)
-        for pos, stop, row0, row1, _s, _g, _i, _r, counts in pending:
-            cnt[pos:stop] = np.asarray(_counts_of(counts))[row0:row1]
-        signal_counts = cnt
+        with stage_times.stage("drain"):
+            sobel_lines = jnp.concatenate([s[a:b] for a, b, s, g, i, r in sel])
+            gradient_lines = jnp.concatenate(
+                [g[a:b] for a, b, s, g, i, r in sel]
+            )
+            intensity_lines = jnp.concatenate(
+                [i[a:b] for a, b, s, g, i, r in sel]
+            )
+            raw_center_lines = jnp.concatenate(
+                [r[a:b] for a, b, s, g, i, r in sel]
+            )
+            cnt = np.zeros(m, dtype=np.int64)
+            for pos, stop, row0, row1, _s, _g, _i, _r, counts in pending:
+                cnt[pos:stop] = np.asarray(_counts_of(counts))[row0:row1]
+            signal_counts = cnt
     else:
-        for pos, stop, a, b, sob, grad, intens, rawc, counts in pending:
-            # The kernel computed profiles for every batch row; keep the
-            # processed ones (a contiguous slice — a fancy-index here would
-            # mint an extra full-chunk copy on the bandwidth-starved host).
-            # Skip device->host fetches the caller's detection method
-            # never reads.
-            sobel_lines[pos:stop] = np.asarray(sob)[a:b]
-            gradient_lines[pos:stop] = np.asarray(grad)[a:b]
-            if need_intensity:
-                intensity_lines[pos:stop] = np.asarray(intens)[a:b]
-            if need_raw:
-                raw_center_lines[pos:stop] = np.asarray(rawc)[a:b]
-            signal_counts[pos:stop] = np.asarray(_counts_of(counts))[a:b]
+        with stage_times.stage("drain"):
+            for pos, stop, a, b, sob, grad, intens, rawc, counts in pending:
+                # The kernel computed profiles for every batch row; keep the
+                # processed ones (a contiguous slice — a fancy-index here
+                # would mint an extra full-chunk copy on the bandwidth-
+                # starved host). Skip device->host fetches the caller's
+                # detection method never reads.
+                sobel_lines[pos:stop] = np.asarray(sob)[a:b]
+                gradient_lines[pos:stop] = np.asarray(grad)[a:b]
+                if need_intensity:
+                    intensity_lines[pos:stop] = np.asarray(intens)[a:b]
+                if need_raw:
+                    raw_center_lines[pos:stop] = np.asarray(rawc)[a:b]
+                signal_counts[pos:stop] = np.asarray(_counts_of(counts))[a:b]
 
     has_prior = np.ones(m, dtype=bool)
     if m:
@@ -616,6 +641,7 @@ def run_tracking_scan_device(
     detection_method: str = "combined",
     use_frame_diff: bool = True,
     use_pallas_scan: Optional[bool] = None,
+    stage_times=None,
 ) -> TrackingOutput:
     """Scan phase ON DEVICE: one-kernel tracker over device-resident profiles.
 
@@ -632,7 +658,10 @@ def run_tracking_scan_device(
 
     from .batch import ScanHistory, build_device_scan_output
     from .device_scan import device_tracking_scan
+    from ..utils.profiling import StageTimes
 
+    if stage_times is None:
+        stage_times = StageTimes()  # unobserved; keeps the code one-path
     if time_fn is None:
         time_fn = lambda i: i / frame_rate if frame_rate > 0 else 0.0  # noqa: E731
 
@@ -677,6 +706,8 @@ def run_tracking_scan_device(
 
         use_pallas_scan = is_tpu_backend()
     res = None
+    _scan_t = stage_times.stage("scan_dispatch")
+    _scan_t.__enter__()
     if use_pallas_scan and supports_pallas_scan(
         profiles.width, detection_method
     ):
@@ -737,24 +768,29 @@ def run_tracking_scan_device(
             method_fraction=np.float32(fraction),
         )
 
+    _scan_t.__exit__(None, None, None)
     # Only the integer positions come back: the truncation/DDT decisions
     # are recomputed in float64 on host (the in-scan f32 latches are
     # advisory — see build_device_scan_output). ONE transfer, not
     # per-field fetches (each blocks separately on a high-latency link).
-    finals = jax.device_get(res.final_position)
-    out = build_device_scan_output(
-        np.asarray(profiles.frame_indices),
-        empty,
-        finals,
-        width=profiles.width,
-        exit_margin_px=config.exit_margin_px,
-        ddt_velocity_jump=config.ddt_velocity_jump_m_s,
-        frame_rate=frame_rate,
-        calibration=calibration_m_per_px,
-        position_offset=position_offset_m,
-        time_fn=time_fn,
-        total_frames=0,  # caller (track_video) fills the recording length
-    )
+    # This is also the pipeline's ONE blocking device wait: every free-run
+    # map transfer/dispatch still in flight drains here (stage "d2h").
+    with stage_times.stage("d2h"):
+        finals = jax.device_get(res.final_position)
+    with stage_times.stage("tables"):
+        out = build_device_scan_output(
+            np.asarray(profiles.frame_indices),
+            empty,
+            finals,
+            width=profiles.width,
+            exit_margin_px=config.exit_margin_px,
+            ddt_velocity_jump=config.ddt_velocity_jump_m_s,
+            frame_rate=frame_rate,
+            calibration=calibration_m_per_px,
+            position_offset=position_offset_m,
+            time_fn=time_fn,
+            total_frames=0,  # caller (track_video) fills the length
+        )
     return out
 
 
@@ -773,6 +809,7 @@ def track_video(
     scan: str = "host",
     mesh=None,
     progress: Optional[Callable[[int, int], None]] = None,
+    stage_times=None,
 ) -> TrackingOutput:
     """End-to-end tracking of one :class:`~hsip_tpu.video.PhotonVideo`.
 
@@ -853,6 +890,7 @@ def track_video(
         need_intensity=detection_method != "combined" and use_frame_diff,
         need_raw=detection_method != "combined" and not use_frame_diff,
         progress=progress,
+        stage_times=stage_times,
     )
     t_map = _time.perf_counter() - t0
     time_fn = video.get_absolute_time if use_absolute_time else video.get_time
@@ -867,6 +905,7 @@ def track_video(
             time_fn=time_fn,
             detection_method=detection_method,
             use_frame_diff=use_frame_diff,
+            stage_times=stage_times,
         )
     else:
         out = run_tracking_scan(
@@ -884,6 +923,8 @@ def track_video(
         "map_s": round(t_map, 4),
         "scan_s": round(_time.perf_counter() - t0, 4),
     }
+    if stage_times is not None:
+        out.phase_timings["stages"] = stage_times.as_dict()
     out.total_frames = len(video)
     return out
 

@@ -8,7 +8,7 @@ state.
 
 from .backend import is_tpu_backend
 from .logging import get_logger, set_log_level
-from .profiling import profile_trace, start_profiler_server
+from .profiling import StageTimes, profile_trace, start_profiler_server
 from .summary import RunSummary
 from .checkpoint import BatchCheckpoint
 from .xla_cache import enable_persistent_compilation_cache
@@ -20,6 +20,7 @@ __all__ = [
     "set_log_level",
     "profile_trace",
     "start_profiler_server",
+    "StageTimes",
     "RunSummary",
     "BatchCheckpoint",
 ]

@@ -660,6 +660,7 @@ def test_pallas_named_method_under_mesh(tmp_path, monkeypatch):
         assert a.rows == b.rows and len(a.rows) > 3
         assert a.break_reason == b.break_reason
 
+
 def test_batched_kernel_max_videos_env_knob(monkeypatch):
     from hsip_tpu.track.pallas_scan import batched_kernel_max_videos
 

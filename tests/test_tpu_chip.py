@@ -166,12 +166,18 @@ def _run_chip_subprocess(tmp_path, source: str, timeout: int = 600):
     assert proc.returncode == 0, f"{proc.stdout}\n{proc.stderr[-3000:]}"
     if "NO_TPU" in proc.stdout:
         pytest.skip("no TPU backend reachable from subprocess")
-    # Measurement lines (KERNEL_MS / *_US_PER_STEP) are printed by the
-    # subprocess, so pytest's capture never sees them; echo them to stderr
-    # so an unattended tier log (tools/chip_refresh.sh) records the
-    # numbers BASELINE.md's "Measured" table is refreshed from.
+    # Measurement lines are printed by the subprocess, so pytest's capture
+    # never sees them; echo the known measurement prefixes to stderr so an
+    # unattended tier log (tools/chip_refresh.sh) records the numbers
+    # BASELINE.md's "Measured" table is refreshed from. (Matching any
+    # digit-bearing line sprayed shapes/seeds/jax warnings into the log.)
+    _MEASUREMENT_PREFIXES = (
+        "KERNEL_MS", "SCAN_US_PER_STEP", "PALLAS_US_PER_STEP",
+        "LAX_US_PER_STEP", "SCAN_PERF_OK", "PALLAS_SCAN_PERF_OK",
+        "LIBRARY_", "CHIP_", "PERF_",
+    )
     for line in proc.stdout.splitlines():
-        if any(ch.isdigit() for ch in line):
+        if line.startswith(_MEASUREMENT_PREFIXES):
             print(f"[chip] {line}", file=sys.stderr)
     return proc
 
