@@ -4,17 +4,20 @@ The ``lax.scan`` tracker (:mod:`hsip_tpu.track.device_scan`) pays a
 per-step loop overhead (~21 µs/step on v5e after an 8x unroll) that
 dominates single-video on-device time: the fused map kernel processes 2048
 frames in ~0.08 ms while the scan needs ~42 ms. This module runs the SAME
-state machine as one ``pallas_call`` with a sequential grid — tracker
-state lives in SMEM scratch (persistent across grid steps on TPU), each
-step's profile rows stream through VMEM blocks with the usual
-double-buffered DMA, and the whole scan is a single kernel launch.
+state machine as one ``pallas_call`` with a sequential grid — each step's
+profile rows stream through VMEM blocks with the usual double-buffered
+DMA, and the whole scan is a single kernel launch.
 
-The grid is ``(V, ceil(M/K))`` — videos major, frame groups minor, with K
-frames unrolled per sequential grid step (``frames_per_step``) — so a
-whole library batch runs as ONE kernel too (state resets when the frame
-index wraps to 0); the single-video entry is simply the V=1 case.
-Per-video calibration, frame rate and displacement caps ride in
-scalar-prefetch arrays.
+The state machine is VECTORIZED OVER SUBLANES: up to 8 videos ride the
+sublane axis of every (8, W) tile, tracker state lives in (8, 1) VMEM
+vectors (persistent scratch), and every select/compare/reduction is a VPU
+op — there are no scalar-unit serialization points in the step body. The
+grid is ``(ceil(V/8), ceil(M/K))`` — video GROUPS major, frame groups
+minor, with K frames unrolled per sequential grid step
+(``frames_per_step``) — so a library batch of 8 videos scans in the SAME
+wall-clock as one video, and a single video is just a group padded with
+inert (all-empty) sublane videos. Per-video calibration, frame rate and
+displacement caps ride the sublane axis as resident (8, 1) blocks.
 
 Scope: all four detectors — 'combined' (the reference tracker —
 min-gradient + rightmost-Sobel) plus the three named profile methods
@@ -107,13 +110,19 @@ _NEG = np.float32(-3.0e38)
 _POS = np.float32(3.0e38)
 _BIG_I = np.int32(2**30)
 
-# SMEM int32 state slots. (No "stopped" slot: the kernel never freezes —
-# tracking runs past the advisory f32 stop, and the write-once event
-# latches key off out_scal's stop_step staying -1 instead.)
+# Videos per sublane group: the VPU tile is (8, 128), so 8 videos share
+# every vector op of the step body.
+_SUBLANES = 8
+
+# int32 state slots — one (8, 1) sublane vector per slot, all slots side
+# by side in ONE (8, len) VMEM scratch (lane l = slot l; a full-ref
+# load/store moves all slots in one vector op). (No "stopped" slot: the
+# kernel never freezes — tracking runs past the advisory f32 stop, and the
+# write-once event latches key off stop_step staying -1 instead.)
 _LV_POS, _LV_FRAME, _P1_FRAME, _P1_POS = 0, 1, 2, 3
 _VL_OK, _VP_OK, _N_ENTRIES, _DDT = 4, 5, 6, 7
 _N_I32 = 8
-# SMEM f32 state slots.
+# f32 state slots.
 _V_LATEST, _V_PREV = 0, 1
 _N_F32 = 2
 
@@ -135,19 +144,28 @@ def _lane_width(width: int) -> int:
 
 
 def _first_col(mask, cols):
-    """Smallest column index where ``mask`` holds (``_BIG_I`` when none)."""
-    return jnp.min(jnp.where(mask, cols, _BIG_I)).astype(jnp.int32)
+    """Per-row smallest column index where ``mask`` holds (``_BIG_I`` when
+    none): ``(8, W) -> (8, 1)``."""
+    return jnp.min(
+        jnp.where(mask, cols, _BIG_I), axis=1, keepdims=True
+    ).astype(jnp.int32)
+
+
+def _row_max(x):
+    return jnp.max(x, axis=1, keepdims=True)
 
 
 def _pl_threshold(prof, in_window, cols, fraction, min_intensity):
     """Kernel twin of ``device_scan._detect_window_threshold`` (first-
-    occurrence argmax done as an index-encoded reduction)."""
+    occurrence argmax done as an index-encoded reduction). All inputs ride
+    the sublane axis — one row per video — so every reduction is
+    ``axis=1``: ``(8, W) -> (8, 1)``."""
     masked = jnp.where(in_window, prof, _NEG)
-    peak = jnp.max(masked)
+    peak = _row_max(masked)
     peak_idx = _first_col(masked == peak, cols)
     below = jnp.logical_not(in_window & (prof >= fraction * peak))
     first_below = _first_col((cols >= peak_idx) & below, cols)
-    window_end = jnp.max(jnp.where(in_window, cols, -1)).astype(jnp.int32)
+    window_end = _row_max(jnp.where(in_window, cols, -1)).astype(jnp.int32)
     edge = jnp.where(first_below > window_end, window_end, first_below - 1)
     ok = (peak > min_intensity) & (edge >= peak_idx)
     return jnp.where(ok, edge, jnp.int32(-1))
@@ -156,11 +174,11 @@ def _pl_threshold(prof, in_window, cols, fraction, min_intensity):
 def _pl_half_maximum(prof, in_window, cols, fraction, min_intensity):
     """Kernel twin of ``device_scan._detect_window_half_maximum``."""
     masked = jnp.where(in_window, prof, _NEG)
-    peak = jnp.max(masked)
+    peak = _row_max(masked)
     peak_idx = _first_col(masked == peak, cols)
     below = in_window & (cols >= peak_idx) & (prof < fraction * peak)
     first_below = _first_col(below, cols)
-    window_end = jnp.max(jnp.where(in_window, cols, -1)).astype(jnp.int32)
+    window_end = _row_max(jnp.where(in_window, cols, -1)).astype(jnp.int32)
     edge = jnp.where(first_below > window_end, window_end, first_below - 1)
     ok = (peak > min_intensity) & (edge >= peak_idx)
     return jnp.where(ok, edge, jnp.int32(-1))
@@ -174,8 +192,8 @@ def _pl_gradient(prof, in_window, cols, s0, s1, min_strength, width):
     neighbor shifts use ``pltpu.roll`` (lane rotation): the wrapped lanes
     land only at columns that are either outside every window or replaced
     by the one-sided boundary differences, so the wraparound is inert.
-    Scalar profile reads at the window edges are one-hot masked sums
-    (exact: a single lane contributes).
+    Per-video profile reads at the window edges are one-hot masked row
+    sums (exact: a single lane contributes per row).
     """
     from .device_scan import _two_sum
 
@@ -187,7 +205,9 @@ def _pl_gradient(prof, in_window, cols, s0, s1, min_strength, width):
 
     def at(idx):
         idx = jnp.clip(idx, 0, width - 1)
-        return jnp.sum(jnp.where(cols == idx, prof, 0.0))
+        return jnp.sum(
+            jnp.where(cols == idx, prof, 0.0), axis=1, keepdims=True
+        )
 
     l_hi, l_lo = _two_sum(at(s0 + 1), -at(s0))
     r_hi, r_lo = _two_sum(at(s1 - 1), -at(s1 - 2))
@@ -198,9 +218,9 @@ def _pl_gradient(prof, in_window, cols, s0, s1, min_strength, width):
     g_hi = jnp.where(in_window, g_hi, _POS)
     g_lo = jnp.where(in_window, g_lo, _POS)
 
-    m_hi = jnp.min(g_hi)
+    m_hi = jnp.min(g_hi, axis=1, keepdims=True)
     tie = g_hi == m_hi
-    m_lo = jnp.min(jnp.where(tie, g_lo, _POS))
+    m_lo = jnp.min(jnp.where(tie, g_lo, _POS), axis=1, keepdims=True)
     pos = _first_col(tie & (g_lo == m_lo), cols)
 
     def _lt(threshold):
@@ -219,52 +239,68 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
     w = width
     wl = lane_width if lane_width is not None else width
     K = frames_per_step
+    S = _SUBLANES
 
     # 'combined' consumes two profile rows (sobel, gradient); the named
     # methods consume one (intensity) — the kernel arity follows.
     n_prof = 2 if method == "combined" else 1
 
-    def kernel(pf, cal_ref, fr_ref, md_ref,
-               fidx_ref, empty_ref, prior_ref, *rest):
+    def kernel(pf, fidx_ref, empty_ref, prior_ref,
+               cal_ref, fr_ref, md_ref, *rest):
         prof_refs = rest[:n_prof]
-        (out_final, out_rec, out_post, out_s0, out_s1, out_scal,
+        (out_final, out_rec, out_post, out_s0, out_s1,
+         out_stop_step, out_stop_reason, out_ddt, out_clear_vc,
          st_i, st_f) = rest[n_prof:]
-        v = pl.program_id(0)
         i = pl.program_id(1)
 
         @pl.when(i == 0)
         def _init():
-            st_i[_LV_POS] = -1
-            st_i[_LV_FRAME] = 0
-            st_i[_P1_FRAME] = 0
-            st_i[_P1_POS] = -1
-            st_i[_VL_OK] = 0
-            st_i[_VP_OK] = 0
-            st_i[_N_ENTRIES] = 0
-            st_i[_DDT] = -1
-            st_f[_V_LATEST] = 0.0
-            st_f[_V_PREV] = 0.0
-            out_scal[0, 0, 0] = -1  # stop_step
-            out_scal[0, 0, 1] = 0   # stop_reason
-            out_scal[0, 0, 2] = -1  # ddt_frame
-            out_scal[0, 0, 3] = -1  # clear_vc_entry
+            slot = jax.lax.broadcasted_iota(jnp.int32, (S, _N_I32), 1)
+            st_i[...] = jnp.where(
+                (slot == _LV_POS) | (slot == _P1_POS) | (slot == _DDT),
+                jnp.int32(-1), jnp.int32(0),
+            )
+            st_f[...] = jnp.zeros((S, _N_F32), jnp.float32)
+            neg1 = jnp.full((S, 1), -1, jnp.int32)
+            out_stop_step[0, 0] = neg1
+            out_stop_reason[0, 0] = jnp.zeros((S, 1), jnp.int32)
+            out_ddt[0, 0] = neg1
+            out_clear_vc[0, 0] = neg1
 
         min_grad = pf[0]
         sobel_frac = pf[1]
         ddt_jump = pf[2]
         method_frac = pf[3]
-        calibration = cal_ref[v]
-        frame_rate = fr_ref[v]
-        max_disp = md_ref[v]
-        cols = jax.lax.broadcasted_iota(jnp.int32, (1, wl), 1)
+        calibration = cal_ref[0, 0]   # (8, 1) f32 — per sublane video
+        frame_rate = fr_ref[0, 0]     # (8, 1) f32
+        max_disp = md_ref[0, 0]       # (8, 1) i32
+        cols = jax.lax.broadcasted_iota(jnp.int32, (S, wl), 1)
+
+        # State loads ONCE per grid step; the K unrolled frames thread it
+        # through registers and store once at the end.
+        sti = st_i[...]
+        stf = st_f[...]
+
+        def _sl_i(slot):
+            return sti[:, slot:slot + 1]
+
+        lv_pos, lv_frame = _sl_i(_LV_POS), _sl_i(_LV_FRAME)
+        p1_frame, p1_pos = _sl_i(_P1_FRAME), _sl_i(_P1_POS)
+        vl_ok, vp_ok = _sl_i(_VL_OK), _sl_i(_VP_OK)
+        n_entries, ddt = _sl_i(_N_ENTRIES), _sl_i(_DDT)
+        v_latest = stf[:, _V_LATEST:_V_LATEST + 1]
+        v_prev = stf[:, _V_PREV:_V_PREV + 1]
+        stop_step = out_stop_step[0, 0]
+        stop_reason = out_stop_reason[0, 0]
+        clear_vc = out_clear_vc[0, 0]
 
         # K frames per grid step (statically unrolled): amortizes the
         # per-step grid + DMA overhead; K=1 is the plain per-frame scan.
         for j in range(K):
             step_idx = i * K + j
-            frame = fidx_ref[0, j, 0, 0]
-            is_empty = empty_ref[0, j, 0, 0]
-            prior_ok = prior_ref[0, j, 0, 0]
+            frame = fidx_ref[0, j]      # (8, 1) i32
+            is_empty = empty_ref[0, j]  # (8, 1) i32
+            prior_ok = prior_ref[0, j]  # (8, 1) i32
 
             # Tracking continues past the f32 stop decision (advisory only):
             # the authoritative exit/velocity-drop truncation is recomputed
@@ -274,8 +310,6 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
             active = is_empty == 0
 
             # ---- search bounds (velocity-constrained, monotone right) ----
-            lv_pos = st_i[_LV_POS]
-            lv_frame = st_i[_LV_FRAME]
             no_hist = lv_pos < 0
             frames_elapsed = jnp.maximum(1, frame - lv_frame)
             s0 = jnp.where(no_hist, edge_margin_px, lv_pos)
@@ -290,23 +324,28 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
             window_nonempty = s1 > s0
 
             # ---- candidates (method chosen statically at build time) ----
+            # (8, 1) bounds broadcast against (8, wl) columns: every video
+            # in the sublane group evaluates its own window in one VPU op.
             in_window = (cols >= s0) & (cols < s1)
             if method == "combined":
-                sob = prof_refs[0][0, j]    # (1, W)
+                sob = prof_refs[0][0, j]    # (8, W) — sublane = video
                 grad = prof_refs[1][0, j]
 
                 grad_m = jnp.where(in_window, grad, _POS)
-                gmin = jnp.min(grad_m)
+                gmin = jnp.min(grad_m, axis=1, keepdims=True)
                 # First-occurrence argmin as an index reduction (exact).
                 pos_g = jnp.min(
-                    jnp.where(grad_m == gmin, cols, _BIG_I)
+                    jnp.where(grad_m == gmin, cols, _BIG_I),
+                    axis=1, keepdims=True,
                 ).astype(jnp.int32)
                 g_ok = window_nonempty & (gmin < -min_grad)
 
                 abs_sob = jnp.where(in_window, jnp.abs(sob), _NEG)
-                smax = jnp.max(abs_sob)
+                smax = jnp.max(abs_sob, axis=1, keepdims=True)
                 above = in_window & (abs_sob > smax * sobel_frac)
-                pos_s = jnp.max(jnp.where(above, cols, -1)).astype(jnp.int32)
+                pos_s = jnp.max(
+                    jnp.where(above, cols, -1), axis=1, keepdims=True
+                ).astype(jnp.int32)
                 s_ok = window_nonempty & (smax > min_grad) & (pos_s >= 0)
 
                 final = jnp.maximum(
@@ -331,19 +370,12 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
             detected = active & (final >= 0)
 
             # ---- history append (every active step) ----
-            p1_frame = st_i[_P1_FRAME]
-            p1_pos = st_i[_P1_POS]
             new_p1_frame = jnp.where(active, frame, p1_frame)
             new_p1_pos = jnp.where(active, final, p1_pos)
             new_lv_pos = jnp.where(detected, final, lv_pos)
             new_lv_frame = jnp.where(detected, frame, lv_frame)
 
             # ---- velocities (mirrors FlameTracker._update_velocities) ----
-            v_latest = st_f[_V_LATEST]
-            v_prev = st_f[_V_PREV]
-            vl_ok = st_i[_VL_OK]
-            vp_ok = st_i[_VP_OK]
-            n_entries = st_i[_N_ENTRIES]
             have_prev_entry = active & (p1_pos >= 0) & detected
             dt = (frame - p1_frame).astype(jnp.float32) / frame_rate
             vel_ok = have_prev_entry & (dt > 0) & (frame_rate > 0)
@@ -359,7 +391,6 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
             new_n_entries = n_entries + jnp.where(vel_ok, 1, 0)
 
             # ---- DDT latch ----
-            ddt = st_i[_DDT]
             ddt_hit = (
                 vel_ok & (ddt < 0) & (vl_ok != 0) & (v1 - v_latest > ddt_jump)
             )
@@ -382,39 +413,48 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
             recorded = detected & jnp.logical_not(stopped_now)
             is_post = (new_ddt >= 0) & (frame >= new_ddt)
 
-            # ---- per-step outputs (SMEM blocks: scalars) ----
-            out_final[0, j, 0, 0] = final
-            out_rec[0, j, 0, 0] = recorded.astype(jnp.int32)
-            out_post[0, j, 0, 0] = is_post.astype(jnp.int32)
-            out_s0[0, j, 0, 0] = s0
-            out_s1[0, j, 0, 0] = s1
+            # ---- per-step outputs ((8, 1) vector stores) ----
+            out_final[0, j] = final
+            out_rec[0, j] = recorded.astype(jnp.int32)
+            out_post[0, j] = is_post.astype(jnp.int32)
+            out_s0[0, j] = s0
+            out_s1[0, j] = s1
 
-            # ---- event latches (resident block, write-once) ----
-            first_stop = stopped_now & (out_scal[0, 0, 0] < 0)
-            out_scal[0, 0, 0] = jnp.where(
-                first_stop, step_idx, out_scal[0, 0, 0]
+            # ---- event latches (register-threaded, write-once) ----
+            first_stop = stopped_now & (stop_step < 0)
+            stop_step = jnp.where(first_stop, step_idx, stop_step)
+            stop_reason = jnp.where(
+                first_stop, jnp.where(exit_hit, 1, 2), stop_reason
             )
-            out_scal[0, 0, 1] = jnp.where(
-                first_stop, jnp.where(exit_hit, 1, 2), out_scal[0, 0, 1]
-            )
-            out_scal[0, 0, 2] = new_ddt
-            out_scal[0, 0, 3] = jnp.where(
+            clear_vc = jnp.where(
                 first_stop & (new_n_entries >= 2),
                 new_n_entries - 2,
-                out_scal[0, 0, 3],
+                clear_vc,
             )
 
-            # ---- state update ----
-            st_i[_LV_POS] = new_lv_pos
-            st_i[_LV_FRAME] = new_lv_frame
-            st_i[_P1_FRAME] = new_p1_frame
-            st_i[_P1_POS] = new_p1_pos
-            st_i[_VL_OK] = new_vl_ok
-            st_i[_VP_OK] = new_vp_ok
-            st_i[_N_ENTRIES] = new_n_entries
-            st_i[_DDT] = new_ddt
-            st_f[_V_LATEST] = new_v_latest
-            st_f[_V_PREV] = new_v_prev
+            # ---- state rollover into the next unrolled frame ----
+            lv_pos, lv_frame = new_lv_pos, new_lv_frame
+            p1_frame, p1_pos = new_p1_frame, new_p1_pos
+            vl_ok, vp_ok = new_vl_ok, new_vp_ok
+            n_entries, ddt = new_n_entries, new_ddt
+            v_latest, v_prev = new_v_latest, new_v_prev
+
+        # ---- state/latch stores ONCE per grid step ----
+        lanes_i = jax.lax.broadcasted_iota(jnp.int32, (S, _N_I32), 1)
+        new_sti = jnp.where(lanes_i == _LV_POS, lv_pos, 0)
+        for slot, val in (
+            (_LV_FRAME, lv_frame), (_P1_FRAME, p1_frame),
+            (_P1_POS, p1_pos), (_VL_OK, vl_ok), (_VP_OK, vp_ok),
+            (_N_ENTRIES, n_entries), (_DDT, ddt),
+        ):
+            new_sti = jnp.where(lanes_i == slot, val, new_sti)
+        st_i[...] = new_sti
+        lanes_f = jax.lax.broadcasted_iota(jnp.int32, (S, _N_F32), 1)
+        st_f[...] = jnp.where(lanes_f == _V_LATEST, v_latest, v_prev)
+        out_stop_step[0, 0] = stop_step
+        out_stop_reason[0, 0] = stop_reason
+        out_ddt[0, 0] = ddt
+        out_clear_vc[0, 0] = clear_vc
 
     return kernel
 
@@ -503,94 +543,131 @@ def pallas_tracking_scan_batched(
         jnp.asarray(ddt_velocity_jump, jnp.float32),
         jnp.asarray(method_fraction, jnp.float32),
     ])
-    cal = jnp.asarray(calibration, jnp.float32).reshape(n_videos)
-    fr = jnp.asarray(frame_rate, jnp.float32).reshape(n_videos)
-    md = jnp.asarray(max_displacement_px, jnp.int32).reshape(n_videos)
 
-    # Layouts: per-step scalars (frame index, flags, outputs, latches) live
-    # in SMEM blocks — Mosaic rejects scalar stores to VMEM — while the
-    # (1, W) profile rows stream through VMEM with their blocks fully
-    # covering the trailing two dims (the fused band kernel's pattern).
-    # Validated by the cross-platform Mosaic lowering test (no chip needed).
-    fidx = frame_indices.astype(jnp.int32).reshape(n_videos, m_pad, 1, 1)
-    empty_i = empty.astype(jnp.int32).reshape(n_videos, m_pad, 1, 1)
-    prior_i = has_prior.astype(jnp.int32).reshape(n_videos, m_pad, 1, 1)
-    prof4 = [p.reshape(n_videos, m_pad, 1, wl) for p in profiles]
+    # ---- sublane grouping: pad V to a multiple of 8, 8 videos per (8, W)
+    # tile. Pad videos are inert (all-empty, so their state never leaves
+    # init) and sliced away below. ----
+    S = _SUBLANES
+    v_pad = (-n_videos) % S
+    vp = n_videos + v_pad
+    n_groups = vp // S
+    if v_pad:
+        frame_indices = jnp.pad(frame_indices, ((0, v_pad), (0, 0)))
+        empty = jnp.pad(empty, ((0, v_pad), (0, 0)), constant_values=True)
+        has_prior = jnp.pad(has_prior, ((0, v_pad), (0, 0)),
+                            constant_values=True)
+        profiles = [jnp.pad(p, ((0, v_pad), (0, 0), (0, 0)))
+                    for p in profiles]
+
+    def group_scalar(x, dtype):
+        # (V,) per-video param -> (G, 1, 8, 1) resident sublane vectors.
+        x = jnp.asarray(x, dtype).reshape(n_videos)
+        x = jnp.pad(x, (0, v_pad), constant_values=1)
+        return x.reshape(n_groups, 1, S, 1)
+
+    def group_step(x, dtype):
+        # (Vp, M) per-step scalar -> (G, M, 8, 1): sublane = video.
+        return jnp.transpose(
+            x.astype(dtype).reshape(n_groups, S, m_pad), (0, 2, 1)
+        ).reshape(n_groups, m_pad, S, 1)
+
+    cal = group_scalar(calibration, jnp.float32)
+    fr = group_scalar(frame_rate, jnp.float32)
+    md = group_scalar(max_displacement_px, jnp.int32)
+    fidx = group_step(frame_indices, jnp.int32)
+    empty_i = group_step(empty, jnp.int32)
+    prior_i = group_step(has_prior, jnp.int32)
+    # (Vp, M, wl) -> (G, M, 8, wl): one transpose, XLA keeps the lane axis.
+    prof4 = [
+        jnp.transpose(
+            p.reshape(n_groups, S, m_pad, wl), (0, 2, 1, 3)
+        )
+        for p in profiles
+    ]
 
     kernel = _make_kernel(width, edge_margin_px, search_window_px,
                           exit_margin_px, frames_per_step=K,
                           lane_width=wl, method=method)
 
-    # Lowering rules (enforced by Mosaic): blocks' last two dims must equal
-    # the array's (or be 8/128-divisible), and scalar loads/stores must use
-    # SMEM — hence (V, M, 1, 1) scalar arrays with (1, K, 1, 1) SMEM blocks.
-    smem_step = pl.BlockSpec((1, K, 1, 1), lambda v, i, *pf: (v, i, 0, 0),
-                             memory_space=pltpu.SMEM)
+    # Lowering rules (enforced by Mosaic): blocks' last two dims must
+    # equal the array's — hence (G, M, 8, 1) step arrays with (1, K, 8, 1)
+    # VMEM blocks (vector loads/stores; the step body never touches SMEM).
+    step_vec = pl.BlockSpec((1, K, S, 1), lambda g, i, *pf: (g, i, 0, 0))
+    resident = pl.BlockSpec((1, 1, S, 1), lambda g, i, *pf: (g, 0, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # thresholds, calibration, frame_rate, max_disp
-        grid=(n_videos, m_pad // K),
+        num_scalar_prefetch=1,  # global thresholds
+        grid=(n_groups, m_pad // K),
         in_specs=[
-            smem_step,  # frame_indices
-            smem_step,  # empty
-            smem_step,  # has_prior
+            step_vec,   # frame_indices
+            step_vec,   # empty
+            step_vec,   # has_prior
+            resident,   # calibration
+            resident,   # frame_rate
+            resident,   # max_displacement
         ] + [
             # sobel+gradient ('combined') or intensity (named methods)
-            pl.BlockSpec((1, K, 1, wl), lambda v, i, *pf: (v, i, 0, 0))
+            pl.BlockSpec((1, K, S, wl), lambda g, i, *pf: (g, i, 0, 0))
             for _ in prof4
         ],
         out_specs=[
-            smem_step,  # final
-            smem_step,  # recorded
-            smem_step,  # is_post
-            smem_step,  # s0
-            smem_step,  # s1
-            # Per-video event latches: resident for a video's whole pass.
-            pl.BlockSpec((1, 1, 4), lambda v, i, *pf: (v, 0, 0),
-                         memory_space=pltpu.SMEM),
+            step_vec,   # final
+            step_vec,   # recorded
+            step_vec,   # is_post
+            step_vec,   # s0
+            step_vec,   # s1
+            # Per-video event latches: resident for a group's whole pass.
+            resident,   # stop_step
+            resident,   # stop_reason
+            resident,   # ddt_frame
+            resident,   # clear_vc_entry
         ],
         scratch_shapes=[
-            pltpu.SMEM((_N_I32,), jnp.int32),
-            pltpu.SMEM((_N_F32,), jnp.float32),
+            pltpu.VMEM((S, _N_I32), jnp.int32),
+            pltpu.VMEM((S, _N_F32), jnp.float32),
         ],
     )
-    # Videos are independent (state resets at frame 0), so the V axis may
-    # split across Megacore TensorCores; the frame axis must stay
-    # sequential ('arbitrary') — it carries the tracker state.
+    # Video GROUPS are independent (state is per-group scratch), so the
+    # group axis may split across Megacore TensorCores; the frame axis
+    # must stay sequential ('arbitrary') — it carries the tracker state.
     compiler_params = pltpu.CompilerParams(
         dimension_semantics=("parallel", "arbitrary"),
     )
     i32 = jnp.int32
-    finals, recs, posts, s0s, s1s, scal = pl.pallas_call(
+    step_shape = jax.ShapeDtypeStruct((n_groups, m_pad, S, 1), i32)
+    latch_shape = jax.ShapeDtypeStruct((n_groups, 1, S, 1), i32)
+    (finals, recs, posts, s0s, s1s,
+     stop_step, stop_reason, ddt_frame, clear_vc) = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_videos, m_pad, 1, 1), i32),
-            jax.ShapeDtypeStruct((n_videos, m_pad, 1, 1), i32),
-            jax.ShapeDtypeStruct((n_videos, m_pad, 1, 1), i32),
-            jax.ShapeDtypeStruct((n_videos, m_pad, 1, 1), i32),
-            jax.ShapeDtypeStruct((n_videos, m_pad, 1, 1), i32),
-            jax.ShapeDtypeStruct((n_videos, 1, 4), i32),
-        ],
+        out_shape=[step_shape] * 5 + [latch_shape] * 4,
         interpret=interpret,
         compiler_params=compiler_params,
-    )(params_f, cal, fr, md, fidx, empty_i, prior_i, *prof4)
+    )(params_f, fidx, empty_i, prior_i, cal, fr, md, *prof4)
 
-    finals = finals[:, :m, 0, 0]
-    recs = recs[:, :m, 0, 0]
-    posts = posts[:, :m, 0, 0]
-    s0s = s0s[:, :m, 0, 0]
-    s1s = s1s[:, :m, 0, 0]
-    scal = scal[:, 0, :]
+    def ungroup_step(x):
+        # (G, M, 8, 1) -> (V, m)
+        return jnp.transpose(x[..., 0], (0, 2, 1)).reshape(
+            vp, m_pad
+        )[:n_videos, :m]
+
+    def ungroup_latch(x):
+        return x.reshape(vp)[:n_videos]
+
+    finals = ungroup_step(finals)
+    recs = ungroup_step(recs)
+    posts = ungroup_step(posts)
+    s0s = ungroup_step(s0s)
+    s1s = ungroup_step(s1s)
     return DeviceScanResult(
         final_position=finals,
         recorded=recs.astype(bool),
         is_post_ddt=posts.astype(bool),
         search_start=s0s,
         search_end=s1s,
-        stop_step=scal[:, 0],
-        stop_reason=scal[:, 1],
-        ddt_frame=scal[:, 2],
-        clear_vc_entry=scal[:, 3],
+        stop_step=ungroup_latch(stop_step),
+        stop_reason=ungroup_latch(stop_reason),
+        ddt_frame=ungroup_latch(ddt_frame),
+        clear_vc_entry=ungroup_latch(clear_vc),
     )
 
 
