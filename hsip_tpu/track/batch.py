@@ -45,11 +45,11 @@ _PALLAS_MODE = "auto"
 def _use_batched_kernel(v_per_device: int, w: int, method: str) -> bool:
     """Route a per-device video batch to the batched Pallas kernel or the
     vmapped ``lax.scan`` (bit-identical by contract, so this is purely a
-    throughput choice). The kernel's grid serializes videos on the one
-    TensorCore while vmap vectorizes the video axis inside each step, so
-    the kernel wins only below a measured crossover (v5e sweep: Pallas
-    4.7/7.3/10.1/16.4 ms vs lax.scan 22.7/9.7/8.5/7.4 at V=1/2/4/8 —
-    see :func:`~hsip_tpu.track.pallas_scan.batched_kernel_max_videos`).
+    throughput choice). The sublane-vectorized kernel packs 8 videos per
+    tile, so it wins at every measured V (v5e sweep 2026-08-19: 2.1-2.4
+    µs/step at V=1..8 vs lax.scan's 22.7..7.5); the cap only gates
+    batches beyond the sweep's largest measured point — see
+    :func:`~hsip_tpu.track.pallas_scan.batched_kernel_max_videos`.
     Interpret mode forces the kernel so CPU tests exercise it at any V.
     """
     from .pallas_scan import batched_kernel_max_videos, supports_pallas_scan
@@ -327,6 +327,19 @@ def _track_uniform_videos(
     method = source_config.detection_method if source_config else "combined"
     use_frame_diff = source_config.use_frame_diff if source_config else True
 
+    # --- fused fast path: the whole group as ONE device program ---
+    # (band-staged groups without a mesh or skip lists; falls through to
+    # the general chunked path when preconditions fail — track/fused.py.)
+    if mesh is None:
+        from .fused import track_uniform_videos_fused
+
+        fused = track_uniform_videos_fused(
+            videos, w, config, source_config, use_absolute_time,
+            stage_times=stage_times,
+        )
+        if fused is not None:
+            return fused
+
     # --- map phase per video (chunked, packed on-device decode) ---
     # A small thread pool overlaps one video's HOST work (C++ counts + band
     # gather, both GIL-releasing) with another's device transfer/dispatch
@@ -433,15 +446,15 @@ def _track_uniform_videos(
     _collate_t.__exit__(None, None, None)
 
     # --- one device scan over the whole video axis ---
-    # Kernel selection is batch-size-aware: the single-kernel Pallas scan's
-    # grid runs videos SEQUENTIALLY (one TensorCore), while the vmapped
-    # lax.scan vectorizes the video axis inside each step — so the kernel
-    # wins only for small per-device batches. Measured on v5e (M=2048,
-    # W=1024, pipelined): Pallas 4.7/7.3/10.1/16.4 ms at V=1/2/4/8 vs
-    # lax.scan's 22.7/9.7/8.5/7.4 — crossover at V=3. Under a mesh the
-    # choice applies to each device's shard. All paths are bit-identical
-    # by contract (interpret mode keeps forcing the kernel so CPU tests
-    # exercise it at any V).
+    # Kernel selection is batch-size-aware: the sublane-vectorized Pallas
+    # scan packs 8 videos per tile (per-step cost ~constant in V up to 8),
+    # so it beats the vmapped lax.scan at every measured V — v5e sweep
+    # 2026-08-19 (M=2048, W=1024, pipelined): 2.1-2.4 µs/step at V=1/2/4/8
+    # vs lax.scan's 22.7/9.7/7.3/7.5. The cap only gates batches beyond
+    # the sweep's largest measured point. Under a mesh the choice applies
+    # to each device's shard. All paths are bit-identical by contract
+    # (interpret mode keeps forcing the kernel so CPU tests exercise it
+    # at any V).
     from .pallas_scan import (
         default_frames_per_step,
         pallas_tracking_scan_batched,

@@ -1,0 +1,362 @@
+"""Whole-library fused tracking: V videos, ONE device executable.
+
+The general library path (:mod:`hsip_tpu.track.batch`) runs a per-video
+map phase (one kernel dispatch per chunk per video) before the batched
+scan — ~10+ device executions per video. On a high-latency link every
+execution that consumes freshly-transferred buffers pays a fixed
+handshake on top of bytes/rate (measured ~0.25 s on the dev tunnel,
+``tools/tunnel_probe2.py``), so the per-video dispatch chain, not the
+payload, dominated library wall-clock.
+
+This module restructures the library batch into the minimal dispatch
+shape, which is also the right shape for real hardware (fewer, larger
+XLA programs; one HBM-resident intermediate graph; no host round-trips):
+
+1. HOST: per-video band gather + packed noise counts (C++ codec),
+   free-running ``device_put`` train of the packed payloads — nothing
+   else is dispatched while payloads stream.
+2. DEVICE, one jitted program: pad + stack the payload batch, unpack the
+   packed bits, background-subtract, frame-difference against per-video
+   priors, the fused Gaussian+morphology+Sobel band chain, then the
+   sublane-batched tracking scan (8 videos per tile) — profiles never
+   leave HBM.
+3. HOST: ONE blocking fetch of the (V, n) integer positions; float64
+   velocity/truncation reconstruction (`build_device_scan_output`)
+   exactly as every other backend.
+
+Bit-parity: the device chain is the same `band_to_profiles` +
+`pallas_tracking_scan_batched` / vmapped `device_tracking_scan` every
+other path uses; outputs are REQUIRED to be identical to the per-video
+host scan (tested in tests/test_fused.py).
+
+Reference seam: this replaces the reference's per-video loop
+(`/root/reference/scripts/process_videos.py:1308`) — the whole library
+is one device program instead of V sequential CPU pipelines.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache, partial
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .config import FlameDetectorConfig, VideoSourceConfig
+from .tracker import FlameTracker
+
+__all__ = ["track_uniform_videos_fused"]
+
+# Device-memory budget for one fused dispatch: packed payloads + the f32
+# band + profile intermediates must fit HBM comfortably (v5e: 16 GiB).
+_MAX_FUSED_BYTES = 6 << 30
+
+
+def _fused_budget_bytes(videos, w: int, band_rows: int, depth: int) -> int:
+    """Payload + dominant intermediates for the fused program, in bytes."""
+    n_total = sum(len(v) for v in videos)
+    payload = n_total * band_rows * (w * depth // 8)
+    band_f32 = n_total * band_rows * w * 4
+    profiles = 3 * n_total * w * 4
+    return payload + 2 * band_f32 + profiles
+
+
+@lru_cache(maxsize=32)
+def _fused_program(
+    width: int,
+    n_max: int,
+    bit_depth: int,
+    morphology_kernel_size: int,
+    gaussian_sigma: float,
+    use_pallas_band: bool,
+    method: str,
+    use_frame_diff: bool,
+    use_pallas_scan: bool,
+    pallas_interpret: bool,
+    edge_margin_px: int,
+    search_window_px: int,
+    exit_margin_px: int,
+    frames_per_step: int,
+):
+    """Build (and cache) the one jitted device program for a static config.
+
+    The returned callable takes the per-video packed payloads plus the
+    host-prepared scan-side arrays and returns ONLY the (V, n_max) integer
+    positions — everything else (profiles, advisory stop latches) is dead
+    code XLA eliminates, so no intermediate ever crosses the link.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..kernels.preprocess import band_to_profiles
+    from ..kernels.unpack import _UNPACKERS
+    from .device_scan import device_tracking_scan
+    from .pallas_scan import pallas_tracking_scan_batched
+
+    def run(payloads, prior_global, bgs, fidx, empty, has_prior,
+            cals, fpss, mds,
+            frame_diff_threshold, min_grad, sobel_frac, ddt_jump,
+            method_frac):
+        V = len(payloads)
+        padded = [
+            jnp.pad(p, ((0, n_max - p.shape[0]), (0, 0), (0, 0)))
+            if p.shape[0] < n_max else p
+            for p in payloads
+        ]
+        stacked = jnp.stack(padded)  # (V, n_max, B, row_nbytes) u8
+        pix = _UNPACKERS[bit_depth](stacked, out_dtype=jnp.float32)
+        band = jnp.maximum(pix - bgs[:, None, None, None], 0.0)
+        B = band.shape[2]
+        flat = band.reshape(V * n_max, B, width)
+        sob, grad, intens = band_to_profiles(
+            flat, prior_global, frame_diff_threshold,
+            morphology_kernel_size, gaussian_sigma, use_pallas_band,
+        )
+        sob = sob.reshape(V, n_max, width)
+        grad = grad.reshape(V, n_max, width)
+        if method == "combined":
+            intens_sel = None
+        elif use_frame_diff:
+            intens_sel = intens.reshape(V, n_max, width)
+        else:
+            margin = (B - 1) // 2
+            intens_sel = band[:, :, margin, :]  # raw centerline
+        if use_pallas_scan:
+            res = pallas_tracking_scan_batched(
+                fidx, sob, grad, empty, has_prior,
+                width=width,
+                min_gradient_strength=min_grad,
+                sobel_threshold_fraction=sobel_frac,
+                ddt_velocity_jump=ddt_jump,
+                calibration=cals,
+                frame_rate=fpss,
+                max_displacement_px=mds,
+                edge_margin_px=edge_margin_px,
+                search_window_px=search_window_px,
+                exit_margin_px=exit_margin_px,
+                interpret=pallas_interpret,
+                frames_per_step=frames_per_step,
+                method=method,
+                intensity_lines=intens_sel,
+                method_fraction=method_frac,
+            )
+        else:
+            res = jax.vmap(
+                lambda f, s, g, it, e, hp, c, r, md: device_tracking_scan(
+                    f, s, g, e, hp,
+                    width=width,
+                    min_gradient_strength=min_grad,
+                    sobel_threshold_fraction=sobel_frac,
+                    ddt_velocity_jump=ddt_jump,
+                    calibration=c,
+                    frame_rate=r,
+                    max_displacement_px=md,
+                    edge_margin_px=edge_margin_px,
+                    search_window_px=search_window_px,
+                    exit_margin_px=exit_margin_px,
+                    method=method,
+                    intensity_lines=it,
+                    method_fraction=method_frac,
+                )
+            )(
+                fidx, sob, grad,
+                (jnp.zeros_like(sob) if intens_sel is None else intens_sel),
+                empty, has_prior, cals, fpss, mds,
+            )
+        return res.final_position
+
+    return jax.jit(run)
+
+
+def track_uniform_videos_fused(
+    videos,
+    w: int,
+    config: FlameDetectorConfig,
+    source_config: Optional[VideoSourceConfig],
+    use_absolute_time: bool,
+    stage_times=None,
+) -> Optional[List["TrackingOutput"]]:  # noqa: F821 — runtime import below
+    """Fused library tracking for a uniform-shape video group.
+
+    Returns the per-video :class:`TrackingOutput` list (identical to the
+    serial host scan), or ``None`` when the group doesn't satisfy the fast
+    path's preconditions — the caller then uses the general chunked path:
+
+    - every video exposes the packed BAND staging path + C++ counts
+      (byte-aligned rows, a supported bit depth) at one (H, W, depth);
+    - no per-video skip lists;
+    - the fused program's device footprint fits the HBM budget.
+    """
+    import jax
+
+    from ..kernels.preprocess import band_folds, band_margin, reflect_indices
+    from ..utils.backend import is_tpu_backend
+    from ..utils.profiling import StageTimes
+    from . import batch as _batch
+    from .scan import MIN_SIGNAL_FRACTION, NOISE_THRESHOLD_FLOOR
+
+    if os.environ.get("HSIP_FUSED", "1") == "0":
+        return None
+    if source_config is not None and tuple(source_config.skip_frames):
+        return None
+    method = source_config.detection_method if source_config else "combined"
+    use_frame_diff = source_config.use_frame_diff if source_config else True
+
+    staging = []
+    shape0 = videos[0].frame_shape
+    for v in videos:
+        if v.frame_shape != shape0 or len(v) == 0:
+            return None
+        read_packed, read_band, count_fn, depth = v.staging_paths()
+        if read_band is None or count_fn is None:
+            return None
+        staging.append((read_band, count_fn, depth))
+    depth0 = staging[0][2]
+    if any(d != depth0 for _, _, d in staging):
+        return None
+    h = shape0[0]
+    margin = band_margin(config.morphology_kernel_size, config.gaussian_sigma)
+    # Even morphology windows do not commute with a folding reflect band
+    # (CLAUDE.md exactness trap): that configuration needs the float64
+    # host ops, which only the general chunked path routes to.
+    if config.morphology_kernel_size % 2 == 0 and band_folds(
+        h // 2, margin, h
+    ):
+        return None
+    if _fused_budget_bytes(videos, w, 2 * margin + 1, depth0) > _MAX_FUSED_BYTES:
+        return None
+
+    if stage_times is None:
+        stage_times = StageTimes()
+
+    rows = reflect_indices(h // 2, margin, h)
+    V = len(videos)
+    n_max = max(len(v) for v in videos)
+
+    # --- host staging: band gathers overlap on a small pool (the dev VM's
+    # one CPU stalls erratically — overlap hides a stalled gather behind
+    # its neighbors), counts free-run on their own worker, and the put
+    # train stays ORDERED on this thread: payloads stream to the device
+    # as they land, with no compute dispatched in between ---
+    from concurrent.futures import ThreadPoolExecutor
+
+    bgs = np.empty(V, np.float32)
+    count_futs = [None] * V
+
+    def _gather_one(i):
+        video = videos[i]
+        read_band, count_fn, _d = staging[i]
+        n = len(video)
+        with stage_times.stage("read_gather"):
+            bg = float(np.max(video[0]))
+            bgs[i] = bg
+            noise = max(NOISE_THRESHOLD_FLOOR, bg * 0.5)
+            count_futs[i] = count_pool.submit(
+                stage_times.wrap("counts_host", count_fn), 0, n, bg, noise,
+            )
+            return np.ascontiguousarray(read_band(0, n, rows))
+
+    with ThreadPoolExecutor(max_workers=1) as count_pool, \
+            ThreadPoolExecutor(max_workers=min(4, V)) as gather_pool:
+        gather_futs = [gather_pool.submit(_gather_one, i) for i in range(V)]
+        payloads_dev = []
+        for fut in gather_futs:
+            host = fut.result()
+            with stage_times.stage("h2d"):
+                payloads_dev.append(jax.device_put(host))
+            del host
+
+        # --- host-side scan metadata while transfers drain ---
+        fidx = np.zeros((V, n_max), np.int32)
+        empty = np.ones((V, n_max), bool)
+        has_prior = np.ones((V, n_max), bool)
+        prior_global = np.full(V * n_max, -1, np.int32)
+        cals = np.zeros(V, np.float32)
+        fpss = np.zeros(V, np.float32)
+        mds = np.zeros(V, np.int32)
+        calibs: List[Tuple[float, float]] = []
+        profiles_meta = []
+        for i, video in enumerate(videos):
+            n = len(video)
+            fidx[i, :n] = np.arange(n, dtype=np.int32)
+            fidx[i, n:] = n + np.arange(n_max - n, dtype=np.int32)
+            counts = np.asarray(count_futs[i].result(), dtype=np.int64)
+            empty[i, :n] = counts / float(h * w) < MIN_SIGNAL_FRACTION
+            # First processed frame has no differencing prior. Named
+            # methods on raw profiles need no prior at all.
+            if method == "combined" or use_frame_diff:
+                has_prior[i, 0] = False
+            prior_global[i * n_max + 1: i * n_max + n] = (
+                i * n_max + np.arange(n - 1, dtype=np.int32)
+            )
+            if source_config is not None:
+                cal, off = source_config.get_calibration_for_file(
+                    video.filepath.name
+                )
+            else:
+                cal, off = 1.0, 0.0
+            calibs.append((cal, off))
+            cals[i] = cal
+            fpss[i] = video.frame_rate
+            mds[i] = FlameTracker(
+                config, video.frame_rate, cal
+            ).max_displacement_px
+            profiles_meta.append(_FusedMeta(fidx[i, :n], w))
+
+    from .pallas_scan import default_frames_per_step
+
+    pallas_interpret = _batch._PALLAS_MODE == "interpret"
+    use_pallas_scan = _batch._use_batched_kernel(V, w, method)
+    program = _fused_program(
+        width=w,
+        n_max=n_max,
+        bit_depth=depth0,
+        morphology_kernel_size=config.morphology_kernel_size,
+        gaussian_sigma=config.gaussian_sigma,
+        use_pallas_band=is_tpu_backend(),
+        method=method,
+        use_frame_diff=use_frame_diff,
+        use_pallas_scan=use_pallas_scan,
+        pallas_interpret=pallas_interpret,
+        edge_margin_px=config.edge_margin_px,
+        search_window_px=config.search_window_px,
+        exit_margin_px=config.exit_margin_px,
+        frames_per_step=default_frames_per_step(),
+    )
+    kernel_fraction = np.float32(
+        config.threshold_fraction if method == "threshold"
+        else config.half_maximum_fraction
+    )
+    with stage_times.stage("device_dispatch"):
+        finals_dev = program(
+            tuple(payloads_dev), prior_global, bgs, fidx, empty, has_prior,
+            cals, fpss, mds,
+            np.float32(config.frame_diff_threshold),
+            np.float32(config.min_gradient_strength),
+            np.float32(config.sobel_threshold_fraction),
+            np.float32(config.ddt_velocity_jump_m_s),
+            kernel_fraction,
+        )
+    del payloads_dev
+
+    res = _FusedResult(finals_dev)
+    return _batch._outputs_from_scan(
+        res, videos, profiles_meta, fidx, empty, calibs, use_absolute_time,
+        config, stage_times=stage_times,
+    )
+
+
+class _FusedMeta:
+    """The slice of FrameProfiles `_outputs_from_scan` actually reads
+    (`frame_indices.size` and `width`)."""
+
+    def __init__(self, frame_indices: np.ndarray, width: int):
+        self.frame_indices = frame_indices
+        self.width = width
+
+
+class _FusedResult:
+    """DeviceScanResult-shaped holder for the fused program's one output."""
+
+    def __init__(self, final_position):
+        self.final_position = final_position

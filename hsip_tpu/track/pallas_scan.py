@@ -65,10 +65,10 @@ def default_frames_per_step() -> int:
 
     Tunable via ``HSIP_PALLAS_SCAN_K`` so ``tools/chip_autotune.py`` sweeps
     can be replayed against the full pipeline without code edits. The
-    v5e chip sweep (2026-08-18, M=2048 W=1024, pipelined timing) put the
-    kernel within ~10% of its best across K∈[4,16] — 2.30 µs/step at K=4
-    vs 2.56 at the K=8 default for V=1, 7.87 vs 7.76 (K=16) at V=8 — so
-    the default stays at the flat region's center; the env knob replays a
+    v5e chip sweep of the sublane-vectorized kernel (2026-08-19, M=2048
+    W=1024, pipelined timing) is FLAT in K — 2.1-3.2 µs/step across
+    K∈[1,32] at every V∈{1,2,4,8}, best-K varying with run noise — so the
+    default stays at the flat region's center; the env knob replays a
     sharper pick when one machine's sweep finds one. Any K is
     bit-identical by contract (padding rows are inert).
     """
@@ -87,21 +87,23 @@ def default_frames_per_step() -> int:
 def batched_kernel_max_videos() -> int:
     """Largest per-device video batch routed to the batched Pallas kernel.
 
-    The kernel's grid serializes videos (its cost grows ~linearly in V on
-    one TensorCore) while the vmapped ``lax.scan`` vectorizes the video
-    axis inside each step (its per-step fixed cost amortizes with V) — the
-    v5e sweep (``tools/chip_autotune.py --videos 1 2 4 8``, pipelined)
-    crossed over at V=3: Pallas 4.7/7.3/10.1/16.4 ms vs lax.scan
-    22.7/9.7/8.5/7.4 at V=1/2/4/8. ``HSIP_PALLAS_BATCH_MAX_V`` replays a
-    different machine's crossover without code edits; both backends are
-    bit-identical by contract so routing is purely a throughput choice.
+    The sublane-vectorized kernel packs 8 videos per (8, W) tile, so its
+    per-step cost is ~constant in V up to 8 — the v5e sweep
+    (``tools/chip_autotune.py --videos 1 2 4 8``, 2026-08-19, pipelined)
+    measured 2.4/2.1/2.2/2.3 µs/step at V=1/2/4/8 vs vmapped lax.scan's
+    22.7 µs (V=1) and 7.5 µs (V=8): the kernel wins at every measured V.
+    ``HSIP_PALLAS_BATCH_MAX_V`` replays a different machine's crossover
+    without code edits; both backends are bit-identical by contract so
+    routing is purely a throughput choice. Default matches the sweep's
+    largest measured batch (beyond 8 the grid adds sublane groups, which
+    Megacore parallelizes 2-way — re-sweep before raising).
     """
     import os
 
     try:
-        return int(os.environ.get("HSIP_PALLAS_BATCH_MAX_V", "2"))
+        return int(os.environ.get("HSIP_PALLAS_BATCH_MAX_V", "8"))
     except ValueError:
-        return 2
+        return 8
 
 
 # numpy scalars (not jnp): jnp constants would be captured as traced

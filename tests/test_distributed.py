@@ -458,3 +458,121 @@ def test_cli_watch_distributed(tmp_path):
     # processing is evidenced by the ledger ownership above.
     all_out = outs[0][1] + outs[1][1]
     assert all_out.count("Loading: watch-run-1-a.cihx") == 1, all_out
+
+
+_FOUR_RANK_WORKER = textwrap.dedent(
+    """
+    import os, sys
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    import numpy as np
+    import jax
+
+    coord, pid = sys.argv[1], int(sys.argv[2])
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=coord, num_processes=4, process_id=pid
+    )
+
+    from pathlib import Path
+    from hsip_tpu import open_video
+    from hsip_tpu.io import FlameSpec, synthesize_flame_video, write_recording
+    from hsip_tpu.parallel import TPUVideoProcessor, make_mesh
+    from hsip_tpu.track import FlameDetectorConfig
+    from hsip_tpu.track.scan import track_video
+
+    work = Path(sys.argv[3])
+    p = TPUVideoProcessor()
+    assert p.size == 4 and p.rank == pid, (p.rank, p.size)
+
+    # Contiguous distribution with an odd remainder (6 = 4*1 + 2): the
+    # first two ranks take 2 videos, the last two take 1 — block
+    # arithmetic only shows its corners at >= 3 ranks.
+    mine_c = p.distribute_indices(6, distribution="contiguous")
+    expected_blocks = {0: [0, 1], 1: [2, 3], 2: [4], 3: [5]}
+    assert mine_c == expected_blocks[pid], mine_c
+    allc = p.allgather(mine_c)
+    flat = [i for sub in allc for i in sub]
+    assert flat == list(range(6)), flat  # disjoint AND ordered blocks
+
+    # Round-robin coverage stays disjoint/complete at 4 ranks too.
+    allr = p.allgather(p.distribute_indices(6))
+    assert sorted(i for sub in allr for i in sub) == list(range(6))
+
+    # Hierarchical layout: videos across the 4 PROCESSES (contiguous),
+    # frames of each video sharded over the process's 2 local devices.
+    if p.is_root:
+        for i in range(6):
+            fr, _ = synthesize_flame_video(
+                20, height=32, width=256,
+                flame=FlameSpec(x0=24, v0_px=5 + i, ignition_frame=2,
+                                seed=70 + i),
+            )
+            write_recording(work / "v", f"quad-run-{i + 1}-a", fr)
+    p.barrier()
+
+    files = sorted((work / "v").glob("*.cihx"))
+    assert len(files) == 6, files
+    mesh = make_mesh("frame", devices=jax.local_devices())
+    cfg = FlameDetectorConfig()
+    results = []
+    for i in mine_c:
+        with open_video(str(files[i])) as video:
+            out = track_video(video, cfg, calibration_m_per_px=0.001,
+                              mesh=mesh)
+            single = track_video(video, cfg, calibration_m_per_px=0.001)
+        assert [r[:4] for r in out.rows] == [r[:4] for r in single.rows]
+        results.append((files[i].name, len(out.rows)))
+
+    gathered = p.gather(results)
+    if p.is_root:
+        names = sorted(n for sub in gathered for n, _ in sub)
+        assert names == sorted(f.name for f in files), names
+        assert all(c > 3 for sub in gathered for _, c in sub), gathered
+    p.barrier()
+    print(f"RANK{pid}_OK")
+    """
+)
+
+
+def test_four_process_hierarchical_layout(tmp_path):
+    """4 ranks x 2 local devices: contiguous remainder arithmetic, disjoint
+    coverage, and the video-per-process x frame-per-device layout matching
+    serial rows — the corners a 2-rank test cannot reach."""
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    coord = f"localhost:{port}"
+
+    script = tmp_path / "quad_worker.py"
+    script.write_text(_FOUR_RANK_WORKER)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (_REPO_ROOT, env.get("PYTHONPATH")) if p
+    )
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), coord, str(i), str(tmp_path)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+            env=env,
+        )
+        for i in range(4)
+    ]
+    outs = []
+    try:
+        for proc in procs:
+            out, err = proc.communicate(timeout=240)
+            outs.append((proc.returncode, out, err))
+    finally:
+        for proc in procs:
+            if proc.poll() is None:
+                proc.kill()
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"rank {i} failed:\n{out}\n{err[-2000:]}"
+        assert f"RANK{i}_OK" in out

@@ -1,0 +1,153 @@
+"""Fused whole-library path (track/fused.py): parity + routing.
+
+The fused path must be bit-identical to the per-video host scan (the same
+contract every backend carries) AND actually engage for eligible groups —
+a silent fallback would pass parity while losing the perf property the
+driver bench claims.
+"""
+
+import numpy as np
+import pytest
+
+from hsip_tpu import open_collection, open_video
+from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
+from hsip_tpu.track import FlameDetectorConfig
+from hsip_tpu.track.batch import track_collection_device
+from hsip_tpu.track.config import VideoSourceConfig
+from hsip_tpu.track.fused import track_uniform_videos_fused
+from hsip_tpu.track.scan import track_video
+
+
+def _write(tmp_path, name, n_frames=40, height=64, width=384, seed=0,
+           bit_depth=12):
+    flame = FlameSpec(x0=25.0, v0_px=width / (1.4 * n_frames), accel_px=0.0,
+                      ignition_frame=2, seed=seed)
+    frames, _ = synthesize_flame_video(
+        n_frames, height=height, width=width, flame=flame
+    )
+    spec = CihxSpec(width=width, height=height, total_frames=n_frames,
+                    record_rate=100_000, bit_depth=bit_depth)
+    return write_recording(tmp_path, name, frames, spec=spec)
+
+
+def _rows(out):
+    return [(r[0], r[2]) for r in out.rows]
+
+
+def test_fused_engages_and_matches_host_scan(tmp_path, monkeypatch):
+    metas = [
+        _write(tmp_path, f"nova-run-{i + 1}-001", seed=i) for i in range(3)
+    ]
+    config = FlameDetectorConfig()
+
+    # Per-video host-scan ground truth.
+    expected = []
+    for m in metas:
+        with open_video(str(m)) as v:
+            expected.append(track_video(v, config, 1.0, 0.0, scan="host",
+                                        use_absolute_time=True))
+
+    # The fused path must actually run (None would mean silent fallback).
+    with open_collection(str(tmp_path)) as coll:
+        videos = list(coll)
+        outs = track_uniform_videos_fused(
+            videos, videos[0].frame_shape[1], config, None, True,
+        )
+        assert outs is not None, "eligible group must take the fused path"
+        for out, exp in zip(outs, expected):
+            assert _rows(out) == _rows(exp)
+            assert out.break_reason == exp.break_reason
+            assert out.empty_frame_count == exp.empty_frame_count
+
+
+def test_fused_ragged_lengths_match(tmp_path):
+    _write(tmp_path, "nova-run-1-001", n_frames=40, seed=1)
+    _write(tmp_path, "nova-run-2-001", n_frames=25, seed=2)
+    config = FlameDetectorConfig()
+    expected = []
+    for name in ("nova-run-1-001", "nova-run-2-001"):
+        with open_video(str(tmp_path / f"{name}.cihx")) as v:
+            expected.append(track_video(v, config, 1.0, 0.0, scan="host"))
+    with open_collection(str(tmp_path)) as coll:
+        outs = track_collection_device(coll, config)
+    for out, exp in zip(outs, expected):
+        assert _rows(out) == _rows(exp)
+
+
+@pytest.mark.parametrize("method", ["threshold", "half_maximum", "gradient"])
+@pytest.mark.parametrize("use_frame_diff", [True, False])
+def test_fused_named_methods_match(tmp_path, method, use_frame_diff):
+    _write(tmp_path, "nova-run-1-001", seed=3)
+    _write(tmp_path, "nova-run-2-001", seed=4)
+    config = FlameDetectorConfig()
+    sc = VideoSourceConfig(
+        name="t", detection_method=method, use_frame_diff=use_frame_diff,
+    )
+    expected = []
+    for name in ("nova-run-1-001", "nova-run-2-001"):
+        with open_video(str(tmp_path / f"{name}.cihx")) as v:
+            expected.append(track_video(
+                v, config, 1.0, 0.0, scan="host",
+                detection_method=method, use_frame_diff=use_frame_diff,
+            ))
+    with open_collection(str(tmp_path)) as coll:
+        videos = list(coll)
+        outs = track_uniform_videos_fused(
+            videos, videos[0].frame_shape[1], config, sc, True,
+        )
+    assert outs is not None
+    for out, exp in zip(outs, expected):
+        assert _rows(out) == _rows(exp)
+
+
+def test_fused_env_knob_disables(tmp_path, monkeypatch):
+    _write(tmp_path, "nova-run-1-001")
+    monkeypatch.setenv("HSIP_FUSED", "0")
+    with open_collection(str(tmp_path)) as coll:
+        videos = list(coll)
+        assert track_uniform_videos_fused(
+            videos, videos[0].frame_shape[1], FlameDetectorConfig(), None,
+            True,
+        ) is None
+        # The collection entry still tracks via the general path.
+        outs = track_collection_device(coll, FlameDetectorConfig())
+        assert outs and outs[0].rows
+
+
+def test_fused_declines_skip_frames(tmp_path):
+    _write(tmp_path, "nova-run-1-001")
+    sc = VideoSourceConfig(name="t", skip_frames=[3, 4])
+    with open_collection(str(tmp_path)) as coll:
+        videos = list(coll)
+        assert track_uniform_videos_fused(
+            videos, videos[0].frame_shape[1], FlameDetectorConfig(), sc,
+            True,
+        ) is None
+
+
+def test_fused_declines_even_kernel_folding_band(tmp_path):
+    # height 16 folds the default-sigma band; k=4 is the exactness trap.
+    _write(tmp_path, "nova-run-1-001", height=16)
+    config = FlameDetectorConfig(morphology_kernel_size=4)
+    with open_collection(str(tmp_path)) as coll:
+        videos = list(coll)
+        assert track_uniform_videos_fused(
+            videos, videos[0].frame_shape[1], config, None, True,
+        ) is None
+
+
+def test_fused_stage_attribution(tmp_path):
+    from hsip_tpu.utils import StageTimes
+
+    _write(tmp_path, "nova-run-1-001")
+    _write(tmp_path, "nova-run-2-001", seed=9)
+    st = StageTimes()
+    with open_collection(str(tmp_path)) as coll:
+        outs = track_collection_device(
+            coll, FlameDetectorConfig(), stage_times=st
+        )
+    assert outs and all(o.rows for o in outs)
+    stages = st.as_dict()
+    for key in ("read_gather", "h2d", "device_dispatch", "d2h", "tables",
+                "counts_host"):
+        assert key in stages, stages

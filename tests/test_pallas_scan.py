@@ -665,19 +665,20 @@ def test_batched_kernel_max_videos_env_knob(monkeypatch):
     from hsip_tpu.track.pallas_scan import batched_kernel_max_videos
 
     monkeypatch.delenv("HSIP_PALLAS_BATCH_MAX_V", raising=False)
-    assert batched_kernel_max_videos() == 2
+    assert batched_kernel_max_videos() == 8
     monkeypatch.setenv("HSIP_PALLAS_BATCH_MAX_V", "5")
     assert batched_kernel_max_videos() == 5
     monkeypatch.setenv("HSIP_PALLAS_BATCH_MAX_V", "garbage")
-    assert batched_kernel_max_videos() == 2
+    assert batched_kernel_max_videos() == 8
 
 
 def test_scan_routing_by_batch_size(monkeypatch):
-    """The batched kernel engages only up to the measured per-device
-    crossover (its grid serializes videos; the vmapped lax.scan vectorizes
-    them) — larger batches must route to the vmapped backend. Unit-tests
-    the routing helper directly: patching ``is_tpu_backend`` globally
-    would leak into the map phase and try Mosaic on CPU."""
+    """The batched kernel engages up to the largest per-device batch the
+    chip sweep measured (the sublane kernel's per-step cost is ~constant
+    in V up to 8) — larger batches route to the vmapped backend until a
+    sweep covers them. Unit-tests the routing helper directly: patching
+    ``is_tpu_backend`` globally would leak into the map phase and try
+    Mosaic on CPU."""
     import hsip_tpu.track.batch as batch_mod
     import hsip_tpu.utils.backend as backend_mod
     from hsip_tpu.track.batch import _use_batched_kernel
@@ -685,13 +686,15 @@ def test_scan_routing_by_batch_size(monkeypatch):
     monkeypatch.setattr(backend_mod, "is_tpu_backend", lambda: True)
     monkeypatch.delenv("HSIP_PALLAS_BATCH_MAX_V", raising=False)
 
-    # Below / above the measured crossover (default max V = 2).
+    # Up to / beyond the sweep's largest measured batch (default max V=8).
     assert _use_batched_kernel(1, 1024, "threshold") is True
-    assert _use_batched_kernel(2, 1024, "threshold") is True
-    assert _use_batched_kernel(3, 1024, "threshold") is False
-    # The env knob replays a different machine's crossover.
-    monkeypatch.setenv("HSIP_PALLAS_BATCH_MAX_V", "8")
     assert _use_batched_kernel(8, 1024, "threshold") is True
+    assert _use_batched_kernel(9, 1024, "threshold") is False
+    # The env knob replays a different machine's crossover.
+    monkeypatch.setenv("HSIP_PALLAS_BATCH_MAX_V", "16")
+    assert _use_batched_kernel(16, 1024, "threshold") is True
+    monkeypatch.setenv("HSIP_PALLAS_BATCH_MAX_V", "2")
+    assert _use_batched_kernel(3, 1024, "threshold") is False
     monkeypatch.delenv("HSIP_PALLAS_BATCH_MAX_V", raising=False)
 
     # Platform gate: no TPU -> vmapped backend regardless of batch size.

@@ -145,6 +145,12 @@ def test_frame_figure_structural_parity(ref_viz, recording, tmp_path,
         assert po["title"] == pr["title"], f"panel {i + 1} title"
         assert po["n_images"] == pr["n_images"], f"panel {i + 1} images"
         assert po["vlines"] == pr["vlines"], f"panel {i + 1} markers"
+    # Data-level parity: every panel's pixel array, normalization (clim,
+    # colormap) and full Line2D xy data — catches colormap/vmax drift the
+    # structural digest can't see.
+    for i, (ar, ao) in enumerate(zip(fig_ref.axes, fig_ours.axes)):
+        _assert_images_equal(ar, ao, f"panel {i + 1}")
+        _assert_lines_equal(ar, ao, f"panel {i + 1}")
 
 
 def test_stacked_sequence_structural_parity(ref_viz, recording, tmp_path,
@@ -177,6 +183,7 @@ def test_stacked_sequence_structural_parity(ref_viz, recording, tmp_path,
     for i, (ar, ao) in enumerate(zip(fig_ref.axes, fig_ours.axes)):
         assert ao.get_title() == ar.get_title(), f"axes {i} title"
         assert len(ao.images) == len(ar.images), f"axes {i} images"
+        _assert_images_equal(ar, ao, f"axes {i}")
     assert fig_ours.get_suptitle() == fig_ref.get_suptitle()
 
 
@@ -210,7 +217,80 @@ def test_stacked_single_column_structural_parity(ref_viz, recording,
     for i, (ar, ao) in enumerate(zip(fig_ref.axes, fig_ours.axes)):
         assert ao.get_title() == ar.get_title(), f"axes {i} title"
         assert len(ao.images) == len(ar.images), f"axes {i} images"
+        _assert_images_equal(ar, ao, f"axes {i}")
     assert fig_ours.get_suptitle() == fig_ref.get_suptitle()
+
+
+def _image_content(ax):
+    """Per-axes image CONTENT: pixel array, color limits, colormap name.
+
+    This is the data-level gate the structural digest can't provide — a
+    normalization regression (the 99th-percentile vmax at
+    ``process_videos.py:843`` or the symmetric RdBu range at ``:884``)
+    changes exactly these and nothing structural.
+    """
+    out = []
+    for im in ax.images:
+        arr = np.asarray(np.ma.filled(im.get_array(), np.nan), dtype=float)
+        out.append((arr, tuple(float(c) for c in im.get_clim()),
+                    im.get_cmap().name))
+    return out
+
+
+def _assert_images_equal(ax_ref, ax_ours, ctx):
+    ref_imgs = _image_content(ax_ref)
+    our_imgs = _image_content(ax_ours)
+    assert len(our_imgs) == len(ref_imgs), f"image count: {ctx}"
+    for k, ((ra, rc, rm), (oa, oc, om)) in enumerate(
+        zip(ref_imgs, our_imgs)
+    ):
+        assert oa.shape == ra.shape, f"image {k} shape: {ctx}"
+        # 1e-12 tolerance: the two sides build the displayed arrays with
+        # equivalent-but-differently-ordered float64 ops (~1e-15 relative
+        # noise); a real normalization/content regression is orders of
+        # magnitude larger.
+        np.testing.assert_allclose(
+            oa, ra, rtol=1e-12, atol=1e-9, equal_nan=True,
+            err_msg=f"image {k}: {ctx}",
+        )
+        np.testing.assert_allclose(
+            oc, rc, rtol=1e-12, atol=1e-9,
+            err_msg=f"image {k} clim: {ctx}",
+        )
+        assert om == rm, f"image {k} cmap: {ctx}"
+
+
+def _line_xy(ax):
+    """Order-independent full xy data of every Line2D on the axes."""
+    lines = []
+    for line in ax.lines:
+        xd = np.asarray(line.get_xdata(), dtype=float)
+        yd = np.asarray(line.get_ydata(), dtype=float)
+        lines.append((xd, yd))
+    # Deterministic order: by size, then first point.
+    def key(t):
+        xd, yd = t
+        return (xd.size, float(xd[0]) if xd.size else 0.0,
+                float(yd[0]) if yd.size and np.isfinite(yd[0]) else 0.0)
+    return sorted(lines, key=key)
+
+
+def _assert_lines_equal(ax_ref, ax_ours, ctx):
+    ref_lines = _line_xy(ax_ref)
+    our_lines = _line_xy(ax_ours)
+    assert len(our_lines) == len(ref_lines), f"line count: {ctx}"
+    for k, ((rx, ry), (ox, oy)) in enumerate(zip(ref_lines, our_lines)):
+        np.testing.assert_allclose(
+            ox, rx, rtol=0, atol=0, err_msg=f"line {k} x: {ctx}"
+        )
+        # Both sides compute velocities/splines in float64 from identical
+        # integer positions, but profile lines inherit ~1e-12 op-order
+        # noise from the equivalent-but-reordered float64 filter chains;
+        # 1e-9 still fails loudly on any real data regression.
+        np.testing.assert_allclose(
+            oy, ry, rtol=1e-9, atol=1e-9, equal_nan=True,
+            err_msg=f"line {k} y: {ctx}",
+        )
 
 
 def _line_digest(ax):
@@ -345,6 +425,8 @@ def test_frame_figure_randomized_parity(ref_viz, monkeypatch, tmp_path):
             for p, (ar, ao) in enumerate(zip(fig_ref.axes, fig_ours.axes)):
                 assert _line_digest(ao) == _line_digest(ar), \
                     f"panel {p+1} line data: {ctx}"
+                _assert_images_equal(ar, ao, f"panel {p+1}: {ctx}")
+                _assert_lines_equal(ar, ao, f"panel {p+1}: {ctx}")
 
         # Compare at frame 2 IN the loop (genuinely thin history — the
         # 'No velocity data yet' / unfitted-spline branches) and at the

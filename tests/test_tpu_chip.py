@@ -581,3 +581,78 @@ def test_chip_tables_byte_identical_to_reference(tmp_path):
         assert ours[name] == expected[name], (
             f"{name}: real-chip table differs from the reference"
         )
+
+
+_CHIP_10BIT = textwrap.dedent(
+    """
+    import sys
+    import numpy as np
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("NO_TPU")
+        sys.exit(0)
+
+    from hsip_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
+    # Non-12-bit packed staging on the REAL chip (the CPU suite proves
+    # these paths on interpret/virtual devices only): a 10-bit recording
+    # at an odd width (width % 4 != 0 -> rows straddle byte boundaries,
+    # so the BAND gather gates off and the packed FULL-FRAME flat
+    # pixel-stream decode carries the pipeline), plus a byte-aligned
+    # 10-bit width exercising the packed band path. Rows must be
+    # IDENTICAL to the float64 host scan on both.
+    import tempfile
+    from pathlib import Path
+    from hsip_tpu import open_video
+    from hsip_tpu.io import CihxSpec, FlameSpec, synthesize_flame_video, write_recording
+    from hsip_tpu.track import FlameDetectorConfig
+    from hsip_tpu.track.scan import track_video
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d = Path(tmp)
+        cases = (
+            ("tenbit-run-1-001", 385, False),  # odd width: flat decode
+            ("tenbit-run-2-001", 512, True),   # aligned: 10-bit band path
+        )
+        for stem, w, _aligned in cases:
+            fr, _ = synthesize_flame_video(
+                40, height=48, width=w,
+                flame=FlameSpec(x0=26.0, v0_px=w / 56.0, ignition_frame=2,
+                                flame_level=900, background_level=20,
+                                seed=11),
+            )
+            fr = np.clip(fr, 0, 1023)
+            write_recording(d, stem, fr,
+                            spec=CihxSpec(width=w, height=48,
+                                          total_frames=40,
+                                          record_rate=100_000,
+                                          bit_depth=10))
+        cfg = FlameDetectorConfig()
+        for stem, w, aligned in cases:
+            with open_video(str(d / (stem + ".cihx"))) as video:
+                assert video.bit_depth == 10, video.bit_depth
+                _rp, rb, cf, depth = video.staging_paths()
+                assert (rb is not None) == aligned, (stem, rb)
+                assert depth == 10, depth
+                dev = track_video(video, cfg, 0.000833333, scan="device")
+                host = track_video(video, cfg, 0.000833333, scan="host")
+            assert [r[:4] for r in dev.rows] == [r[:4] for r in host.rows], (
+                stem, len(dev.rows), len(host.rows)
+            )
+            assert dev.break_reason == host.break_reason, stem
+            assert len(dev.rows) > 5, (stem, len(dev.rows))
+            print(f"CHIP_10BIT {stem} rows={len(dev.rows)} aligned={aligned}")
+
+    print("TENBIT_OK")
+    """
+)
+
+
+def test_10bit_odd_width_parity_on_chip(tmp_path):
+    """10-bit packed staging (odd + aligned widths) on real hardware:
+    device rows identical to the float64 host scan."""
+    proc = _run_chip_subprocess(tmp_path, _CHIP_10BIT)
+    assert "TENBIT_OK" in proc.stdout, proc.stdout
