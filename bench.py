@@ -294,28 +294,63 @@ def run_bench(args, config) -> dict:
         single_fps = None
         library_fps = None
 
-        if args.mode in ("both", "single"):
+        run_single = args.mode in ("both", "single")
+        run_library = args.mode in ("both", "library")
+        if run_single:
             meta = build_recording(tmpdir, args.frames, args.height, args.width)
-            run_tpu_pipeline(meta, config, args.chunk_size, args.scan)  # warm-up
-            best, best_st = float("inf"), None
-            for _ in range(args.repeat):
+        if run_library:
+            # Full-length recordings, one per video: the production shape a
+            # library run actually sees. (Splitting --frames ACROSS the
+            # videos measured per-run fixed cost — discovery, staging
+            # ramp-up, per-video dispatch — instead of steady-state
+            # throughput: 256-frame shards ran ~2x slower per frame than
+            # one 2048-frame recording on the same chip.)
+            per_video = args.frames
+            lib = _build_library(
+                tmpdir, args.videos, per_video, args.height, args.width,
+                source=meta if run_single else None,
+            )
+            total_frames = per_video * args.videos
+
+        # Warm-ups (compiles), then ALTERNATE single/library repeats: the
+        # tunnel's effective transfer rate drifts by the minute, so timing
+        # all of one mode before the other would bake weather drift into
+        # the single-vs-library ratio; interleaving samples both modes
+        # under the same weather.
+        if run_single:
+            run_tpu_pipeline(meta, config, args.chunk_size, args.scan)
+        if run_library:
+            run_collection_pipeline(lib, config)
+        best_s, best_st_s = float("inf"), None
+        best_l, best_st_l = float("inf"), None
+        for _ in range(args.repeat):
+            if run_single:
                 st = StageTimes()
                 t0 = time.perf_counter()
                 out = run_tpu_pipeline(
                     meta, config, args.chunk_size, args.scan, stage_times=st
                 )
                 dt = time.perf_counter() - t0
-                if dt < best:
-                    best, best_st = dt, st
-            single_fps = args.frames / best
-            extra["single_stages"] = best_st.as_dict(3)
+                if dt < best_s:
+                    best_s, best_st_s = dt, st
+            if run_library:
+                st = StageTimes()
+                t0 = time.perf_counter()
+                outs = run_collection_pipeline(lib, config, stage_times=st)
+                dt = time.perf_counter() - t0
+                if dt < best_l:
+                    best_l, best_st_l = dt, st
+
+        if run_single:
+            single_fps = args.frames / best_s
+            extra["single_stages"] = best_st_s.as_dict(3)
             if out.phase_timings:
                 extra["single_stages"]["scan_phase"] = out.phase_timings[
                     "scan_s"
                 ]
             print(
                 f"single: frames={args.frames} {args.height}x{args.width} "
-                f"end_to_end_s={best:.3f} rows={len(out.rows)} "
+                f"end_to_end_s={best_s:.3f} rows={len(out.rows)} "
                 f"stages={extra['single_stages']}",
                 file=sys.stderr,
             )
@@ -328,34 +363,12 @@ def run_bench(args, config) -> dict:
                     f"frames ({extra['device_compute_fps']:.0f} fps)",
                     file=sys.stderr,
                 )
-
-        if args.mode in ("both", "library"):
-            # Full-length recordings, one per video: the production shape a
-            # library run actually sees. (Splitting --frames ACROSS the
-            # videos measured per-run fixed cost — discovery, staging
-            # ramp-up, per-video dispatch — instead of steady-state
-            # throughput: 256-frame shards ran ~2x slower per frame than
-            # one 2048-frame recording on the same chip.)
-            per_video = args.frames
-            lib = _build_library(
-                tmpdir, args.videos, per_video, args.height, args.width,
-                source=meta if args.mode == "both" else None,
-            )
-            total_frames = per_video * args.videos
-            run_collection_pipeline(lib, config)  # warm-up
-            best, best_st = float("inf"), None
-            for _ in range(args.repeat):
-                st = StageTimes()
-                t0 = time.perf_counter()
-                outs = run_collection_pipeline(lib, config, stage_times=st)
-                dt = time.perf_counter() - t0
-                if dt < best:
-                    best, best_st = dt, st
-            library_fps = total_frames / best
-            extra["library_stages"] = best_st.as_dict(3)
+        if run_library:
+            library_fps = total_frames / best_l
+            extra["library_stages"] = best_st_l.as_dict(3)
             print(
                 f"library: videos={args.videos} frames={total_frames} "
-                f"end_to_end_s={best:.3f} rows={len(outs[0].rows)} "
+                f"end_to_end_s={best_l:.3f} rows={len(outs[0].rows)} "
                 f"stages={extra['library_stages']}",
                 file=sys.stderr,
             )

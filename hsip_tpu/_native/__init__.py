@@ -13,6 +13,7 @@ import subprocess
 import threading
 from pathlib import Path
 from typing import Optional
+from typing import Optional
 
 import numpy as np
 
@@ -324,10 +325,17 @@ class NativeDecoder:
         frame_nbytes: int,
         row_offsets: np.ndarray,
         row_nbytes: int,
+        out: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """(n_frames, n_rows, row_nbytes) copy of byte-aligned rows from a
         packed payload — the parallel band-staging gather (bandwidth-bound;
-        beats numpy's single-threaded gather under CPU contention)."""
+        beats numpy's single-threaded gather under CPU contention).
+
+        ``out`` (optional, C-contiguous uint8 of exactly that shape) lets a
+        caller gather straight into a slice of a larger staging buffer —
+        e.g. the fused library path's single batched payload — skipping
+        one full-payload copy on the bandwidth-starved host.
+        """
         packed = np.ascontiguousarray(packed, dtype=np.uint8).reshape(-1)
         if packed.size % frame_nbytes:
             raise ValueError("packed size must be whole frames")
@@ -337,7 +345,14 @@ class NativeDecoder:
         ):
             raise ValueError("row offsets out of frame bounds")
         n_frames = packed.size // frame_nbytes
-        out = np.empty((n_frames, offsets.size, row_nbytes), dtype=np.uint8)
+        shape = (n_frames, offsets.size, row_nbytes)
+        if out is None:
+            out = np.empty(shape, dtype=np.uint8)
+        elif (out.shape != shape or out.dtype != np.uint8
+              or not out.flags.c_contiguous):
+            raise ValueError(
+                f"out must be C-contiguous uint8 of shape {shape}"
+            )
         self._lib.gather_rows(
             packed, n_frames, frame_nbytes, offsets, offsets.size,
             row_nbytes, out,

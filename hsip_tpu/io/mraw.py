@@ -248,12 +248,16 @@ class MRAWReader:
             return None
         return bits // 8
 
-    def band_bytes(self, start: int, stop: int, rows: np.ndarray) -> np.ndarray:
+    def band_bytes(self, start: int, stop: int, rows: np.ndarray,
+                   out: Optional[np.ndarray] = None) -> np.ndarray:
         """Packed bytes of selected ROWS for frames [start, stop).
 
         Returns (n, len(rows), row_nbytes) uint8 — the minimal staging
         payload when downstream only needs a centerline band (the on-device
         kernels decode just these rows). Requires byte-aligned rows.
+        ``out`` (optional, exactly that shape) gathers straight into a
+        caller-provided buffer — e.g. one video's slice of a whole-library
+        staging array — skipping a copy on the bandwidth-starved host.
         """
         self._check_open()
         rnb = self.row_nbytes
@@ -276,9 +280,13 @@ class MRAWReader:
             # but unlike numpy's single-threaded gather it holds its rate
             # when transfer/render threads contend for cores.
             return self._native.gather_rows(
-                self._mmap[start:stop], self._frame_nbytes, rows * rnb, rnb
+                self._mmap[start:stop], self._frame_nbytes, rows * rnb, rnb,
+                out=out,
             )
         view = self._mmap[start:stop].reshape(stop - start, self.height, rnb)
+        if out is not None:
+            np.copyto(out, view[:, rows, :])
+            return out
         return view[:, rows, :]
 
     def count_above(

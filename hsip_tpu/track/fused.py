@@ -53,8 +53,12 @@ _MAX_FUSED_BYTES = 6 << 30
 
 
 def _fused_budget_bytes(videos, w: int, band_rows: int, depth: int) -> int:
-    """Payload + dominant intermediates for the fused program, in bytes."""
-    n_total = sum(len(v) for v in videos)
+    """Payload + dominant intermediates for the fused program, in bytes.
+
+    The staging buffer is PADDED to the longest video (one batched array),
+    so the budget counts V * n_max, not the sum of true lengths.
+    """
+    n_total = len(videos) * max(len(v) for v in videos)
     payload = n_total * band_rows * (w * depth // 8)
     band_f32 = n_total * band_rows * w * 4
     profiles = 3 * n_total * w * 4
@@ -64,7 +68,6 @@ def _fused_budget_bytes(videos, w: int, band_rows: int, depth: int) -> int:
 @lru_cache(maxsize=32)
 def _fused_program(
     width: int,
-    n_max: int,
     bit_depth: int,
     morphology_kernel_size: int,
     gaussian_sigma: float,
@@ -93,17 +96,14 @@ def _fused_program(
     from .device_scan import device_tracking_scan
     from .pallas_scan import pallas_tracking_scan_batched
 
-    def run(payloads, prior_global, bgs, fidx, empty, has_prior,
+    def run(stacked, prior_global, bgs, fidx, empty, has_prior,
             cals, fpss, mds,
             frame_diff_threshold, min_grad, sobel_frac, ddt_jump,
             method_frac):
-        V = len(payloads)
-        padded = [
-            jnp.pad(p, ((0, n_max - p.shape[0]), (0, 0), (0, 0)))
-            if p.shape[0] < n_max else p
-            for p in payloads
-        ]
-        stacked = jnp.stack(padded)  # (V, n_max, B, row_nbytes) u8
+        # stacked: (V, n_max, B, row_nbytes) u8 — ONE host array, gathered
+        # per-video straight into its slices (zero intermediate copies)
+        # and shipped as ONE transfer.
+        V, n_max = stacked.shape[:2]
         pix = _UNPACKERS[bit_depth](stacked, out_dtype=jnp.float32)
         band = jnp.maximum(pix - bgs[:, None, None, None], 0.0)
         B = band.shape[2]
@@ -233,13 +233,19 @@ def track_uniform_videos_fused(
     V = len(videos)
     n_max = max(len(v) for v in videos)
 
-    # --- host staging: band gathers overlap on a small pool (the dev VM's
-    # one CPU stalls erratically — overlap hides a stalled gather behind
-    # its neighbors), counts free-run on their own worker, and the put
-    # train stays ORDERED on this thread: payloads stream to the device
-    # as they land, with no compute dispatched in between ---
+    # --- host staging: EVERY video gathers straight into its slice of ONE
+    # batched (V, n_max, B, row_nbytes) array (the C++ gather's `out`
+    # path — zero intermediate copies), so the device sees ONE transfer
+    # with no inter-put gaps. Gathers overlap on a small pool (the dev
+    # VM's one CPU stalls erratically — overlap hides a stalled gather
+    # behind its neighbors); counts free-run on their own worker. ---
     from concurrent.futures import ThreadPoolExecutor
 
+    rnb = w * depth0 // 8
+    B = 2 * margin + 1
+    # np.zeros = calloc: pad rows stay untouched zero pages; the gathers
+    # are the only host writes the staging buffer ever costs.
+    big = np.zeros((V, n_max, B, rnb), np.uint8)
     bgs = np.empty(V, np.float32)
     count_futs = [None] * V
 
@@ -254,19 +260,20 @@ def track_uniform_videos_fused(
             count_futs[i] = count_pool.submit(
                 stage_times.wrap("counts_host", count_fn), 0, n, bg, noise,
             )
-            return np.ascontiguousarray(read_band(0, n, rows))
+            read_band(0, n, rows, out=big[i, :n])
 
     with ThreadPoolExecutor(max_workers=1) as count_pool, \
             ThreadPoolExecutor(max_workers=min(4, V)) as gather_pool:
         gather_futs = [gather_pool.submit(_gather_one, i) for i in range(V)]
-        payloads_dev = []
+        # Phase A: land EVERY gather before the put. The transfer's wire
+        # pacing runs on the host CPU (transport stack), so host work
+        # concurrent with it slows the wire itself.
         for fut in gather_futs:
-            host = fut.result()
-            with stage_times.stage("h2d"):
-                payloads_dev.append(jax.device_put(host))
-            del host
+            fut.result()
 
-        # --- host-side scan metadata while transfers drain ---
+        # --- host-side scan metadata (resolves the count futures) BEFORE
+        # the put train, for the same reason: the train should own the
+        # CPU outright ---
         fidx = np.zeros((V, n_max), np.int32)
         empty = np.ones((V, n_max), bool)
         has_prior = np.ones((V, n_max), bool)
@@ -303,13 +310,19 @@ def track_uniform_videos_fused(
             ).max_displacement_px
             profiles_meta.append(_FusedMeta(fidx[i, :n], w))
 
+        # Phase B: ONE put of the whole batch — the CPU is idle (gathers
+        # and counts all resolved), no compute dispatched until the
+        # payload is in flight.
+        with stage_times.stage("h2d"):
+            stacked_dev = jax.device_put(big)
+            del big
+
     from .pallas_scan import default_frames_per_step
 
     pallas_interpret = _batch._PALLAS_MODE == "interpret"
     use_pallas_scan = _batch._use_batched_kernel(V, w, method)
     program = _fused_program(
         width=w,
-        n_max=n_max,
         bit_depth=depth0,
         morphology_kernel_size=config.morphology_kernel_size,
         gaussian_sigma=config.gaussian_sigma,
@@ -329,7 +342,7 @@ def track_uniform_videos_fused(
     )
     with stage_times.stage("device_dispatch"):
         finals_dev = program(
-            tuple(payloads_dev), prior_global, bgs, fidx, empty, has_prior,
+            stacked_dev, prior_global, bgs, fidx, empty, has_prior,
             cals, fpss, mds,
             np.float32(config.frame_diff_threshold),
             np.float32(config.min_gradient_strength),
@@ -337,7 +350,7 @@ def track_uniform_videos_fused(
             np.float32(config.ddt_velocity_jump_m_s),
             kernel_fraction,
         )
-    del payloads_dev
+    del stacked_dev
 
     res = _FusedResult(finals_dev)
     return _batch._outputs_from_scan(

@@ -474,10 +474,13 @@ class PhotonVideo:
             and reader.row_nbytes is not None
         )
 
-    def band_bytes(self, start: int, stop: int, rows: np.ndarray) -> np.ndarray:
+    def band_bytes(self, start: int, stop: int, rows: np.ndarray,
+                   out: Optional[np.ndarray] = None) -> np.ndarray:
         """Packed bytes of selected rows for frames [start, stop) — the
-        minimal staging payload for band kernels."""
-        return self._require_reader().band_bytes(start, stop, rows)
+        minimal staging payload for band kernels. ``out`` gathers straight
+        into a caller-provided buffer (one video's slice of a batched
+        staging array)."""
+        return self._require_reader().band_bytes(start, stop, rows, out=out)
 
     def count_above(
         self, start: int, stop: int, background: float, threshold: float

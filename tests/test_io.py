@@ -395,6 +395,34 @@ def test_band_bytes_backend_consistency(tmp_path):
             reader._native = saved
 
 
+def test_band_bytes_gathers_into_out_buffer(tmp_path):
+    """``out=`` gathers straight into a caller slice (the fused library
+    path's batched staging buffer): bytes identical to the allocating
+    call on BOTH backends; wrong-shaped buffers rejected by the native
+    path before the C++ write."""
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 4096, size=(5, 16, 64), dtype=np.uint16)
+    path = write_mraw(tmp_path / "o.mraw", frames, bit_depth=12)
+    reader = MRAWReader(path, width=64, height=16, bit_depth=12)
+    rows = np.array([0, 7, 15])
+    expected = reader.band_bytes(0, 5, rows)
+    for native in (reader._native, None):
+        saved, reader._native = reader._native, native
+        try:
+            # One video's slice of a larger batched buffer (n_max pad).
+            big = np.zeros((2, 7, 3, 96), np.uint8)
+            got = reader.band_bytes(0, 5, rows, out=big[1, :5])
+            np.testing.assert_array_equal(got, expected)
+            np.testing.assert_array_equal(big[1, :5], expected)
+            assert not big[0].any() and not big[1, 5:].any()
+            if native is not None:
+                with pytest.raises(ValueError, match="out must"):
+                    reader.band_bytes(0, 5, rows,
+                                      out=np.zeros((5, 3, 95), np.uint8))
+        finally:
+            reader._native = saved
+
+
 def test_cih_and_cihx_agree_on_original_total_frame(tmp_path):
     """Both metadata dialects must map 'Original Total Frame' from the
     camera's RECORDED count (frameInfo/recordedFrame), not the saved count."""
