@@ -328,17 +328,18 @@ def _track_uniform_videos(
     use_frame_diff = source_config.use_frame_diff if source_config else True
 
     # --- fused fast path: the whole group as ONE device program ---
-    # (band-staged groups without a mesh or skip lists; falls through to
-    # the general chunked path when preconditions fail — track/fused.py.)
-    if mesh is None:
-        from .fused import track_uniform_videos_fused
+    # (band-staged groups without skip lists; falls through to the
+    # general chunked path when preconditions fail — track/fused.py.
+    # Under a mesh the fused program itself is shard_map-ped over the
+    # video axis, so each device decodes and tracks only its shard.)
+    from .fused import track_uniform_videos_fused
 
-        fused = track_uniform_videos_fused(
-            videos, w, config, source_config, use_absolute_time,
-            stage_times=stage_times,
-        )
-        if fused is not None:
-            return fused
+    fused = track_uniform_videos_fused(
+        videos, w, config, source_config, use_absolute_time,
+        stage_times=stage_times, mesh=mesh, video_axis=video_axis,
+    )
+    if fused is not None:
+        return fused
 
     # --- map phase per video (chunked, packed on-device decode) ---
     # A small thread pool overlaps one video's HOST work (C++ counts + band

@@ -52,13 +52,14 @@ __all__ = ["track_uniform_videos_fused"]
 _MAX_FUSED_BYTES = 6 << 30
 
 
-def _fused_budget_bytes(videos, w: int, band_rows: int, depth: int) -> int:
+def _fused_budget_bytes(n_videos: int, n_max: int, w: int, band_rows: int,
+                        depth: int) -> int:
     """Payload + dominant intermediates for the fused program, in bytes.
 
     The staging buffer is PADDED to the longest video (one batched array),
-    so the budget counts V * n_max, not the sum of true lengths.
+    so the budget counts n_videos * n_max, not the sum of true lengths.
     """
-    n_total = len(videos) * max(len(v) for v in videos)
+    n_total = n_videos * n_max
     payload = n_total * band_rows * (w * depth // 8)
     band_f32 = n_total * band_rows * w * 4
     profiles = 3 * n_total * w * 4
@@ -80,6 +81,8 @@ def _fused_program(
     search_window_px: int,
     exit_margin_px: int,
     frames_per_step: int,
+    mesh=None,
+    video_axis: str = "video",
 ):
     """Build (and cache) the one jitted device program for a static config.
 
@@ -87,6 +90,13 @@ def _fused_program(
     host-prepared scan-side arrays and returns ONLY the (V, n_max) integer
     positions — everything else (profiles, advisory stop latches) is dead
     code XLA eliminates, so no intermediate ever crosses the link.
+
+    With ``mesh`` the WHOLE program (unpack → band chain → scan) is
+    ``shard_map``-ped over ``video_axis`` — each device decodes and tracks
+    only its own videos; nothing but the final (V, n_max) positions is
+    ever assembled. The differencing-prior indices are computed inside the
+    program from the shard-local shape, so every gather stays device-local
+    (no cross-shard collective exists in the fused graph at all).
     """
     import jax
     import jax.numpy as jnp
@@ -96,14 +106,20 @@ def _fused_program(
     from .device_scan import device_tracking_scan
     from .pallas_scan import pallas_tracking_scan_batched
 
-    def run(stacked, prior_global, bgs, fidx, empty, has_prior,
+    def run(stacked, bgs, fidx, empty, has_prior,
             cals, fpss, mds,
             frame_diff_threshold, min_grad, sobel_frac, ddt_jump,
             method_frac):
         # stacked: (V, n_max, B, row_nbytes) u8 — ONE host array, gathered
         # per-video straight into its slices (zero intermediate copies)
-        # and shipped as ONE transfer.
+        # and shipped as ONE transfer. Under shard_map V is the LOCAL
+        # video count.
         V, n_max = stacked.shape[:2]
+        # Frame j's differencing prior is frame j-1 of the SAME video
+        # (j=0 has none). Rows past a video's true length are scan-masked
+        # (`empty`), so their profile values are never read.
+        flat_idx = jnp.arange(V * n_max, dtype=jnp.int32)
+        prior_global = jnp.where(flat_idx % n_max > 0, flat_idx - 1, -1)
         pix = _UNPACKERS[bit_depth](stacked, out_dtype=jnp.float32)
         band = jnp.maximum(pix - bgs[:, None, None, None], 0.0)
         B = band.shape[2]
@@ -165,7 +181,23 @@ def _fused_program(
             )
         return res.final_position
 
-    return jax.jit(run)
+    if mesh is None:
+        return jax.jit(run)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    vm4 = P(video_axis, None, None, None)
+    vm = P(video_axis, None)
+    vs = P(video_axis)
+    s = P()
+    return jax.jit(shard_map(
+        run,
+        mesh=mesh,
+        in_specs=(vm4, vs, vm, vm, vm, vs, vs, vs, s, s, s, s, s),
+        out_specs=vm,
+        check_vma=False,
+    ))
 
 
 def track_uniform_videos_fused(
@@ -175,6 +207,8 @@ def track_uniform_videos_fused(
     source_config: Optional[VideoSourceConfig],
     use_absolute_time: bool,
     stage_times=None,
+    mesh=None,
+    video_axis: str = "video",
 ) -> Optional[List["TrackingOutput"]]:  # noqa: F821 — runtime import below
     """Fused library tracking for a uniform-shape video group.
 
@@ -185,7 +219,15 @@ def track_uniform_videos_fused(
     - every video exposes the packed BAND staging path + C++ counts
       (byte-aligned rows, a supported bit depth) at one (H, W, depth);
     - no per-video skip lists;
-    - the fused program's device footprint fits the HBM budget.
+    - the fused program's PER-DEVICE footprint fits the HBM budget.
+
+    With ``mesh`` the video axis is sharded: the batch pads to a multiple
+    of the axis size with inert videos (all-empty frames — the scan
+    records nothing for them), the ONE staged payload is ``device_put``
+    with a :class:`~jax.sharding.NamedSharding` so each device receives
+    only its shard, and the whole program runs under ``shard_map``
+    (tables byte-identical to the unsharded run by the same contract as
+    every other backend).
     """
     import jax
 
@@ -223,15 +265,19 @@ def track_uniform_videos_fused(
         h // 2, margin, h
     ):
         return None
-    if _fused_budget_bytes(videos, w, 2 * margin + 1, depth0) > _MAX_FUSED_BYTES:
+    n_shards = 1 if mesh is None else int(mesh.shape[video_axis])
+    V = len(videos)
+    v_pad = (-V) % n_shards
+    Vp = V + v_pad
+    n_max = max(len(v) for v in videos)
+    if (_fused_budget_bytes(Vp, n_max, w, 2 * margin + 1, depth0)
+            > _MAX_FUSED_BYTES * n_shards):
         return None
 
     if stage_times is None:
         stage_times = StageTimes()
 
     rows = reflect_indices(h // 2, margin, h)
-    V = len(videos)
-    n_max = max(len(v) for v in videos)
 
     # --- host staging: EVERY video gathers straight into its slice of ONE
     # batched (V, n_max, B, row_nbytes) array (the C++ gather's `out`
@@ -244,9 +290,10 @@ def track_uniform_videos_fused(
     rnb = w * depth0 // 8
     B = 2 * margin + 1
     # np.zeros = calloc: pad rows stay untouched zero pages; the gathers
-    # are the only host writes the staging buffer ever costs.
-    big = np.zeros((V, n_max, B, rnb), np.uint8)
-    bgs = np.empty(V, np.float32)
+    # are the only host writes the staging buffer ever costs. Mesh-pad
+    # videos (indices V..Vp) keep their all-zero payload slices.
+    big = np.zeros((Vp, n_max, B, rnb), np.uint8)
+    bgs = np.zeros(Vp, np.float32)
     count_futs = [None] * V
 
     def _gather_one(i):
@@ -274,13 +321,13 @@ def track_uniform_videos_fused(
         # --- host-side scan metadata (resolves the count futures) BEFORE
         # the put train, for the same reason: the train should own the
         # CPU outright ---
-        fidx = np.zeros((V, n_max), np.int32)
-        empty = np.ones((V, n_max), bool)
-        has_prior = np.ones((V, n_max), bool)
-        prior_global = np.full(V * n_max, -1, np.int32)
-        cals = np.zeros(V, np.float32)
-        fpss = np.zeros(V, np.float32)
-        mds = np.zeros(V, np.int32)
+        fidx = np.zeros((Vp, n_max), np.int32)
+        fidx[:] = np.arange(n_max, dtype=np.int32)  # pad videos: inert rows
+        empty = np.ones((Vp, n_max), bool)
+        has_prior = np.ones((Vp, n_max), bool)
+        cals = np.ones(Vp, np.float32)
+        fpss = np.ones(Vp, np.float32)
+        mds = np.ones(Vp, np.int32)
         calibs: List[Tuple[float, float]] = []
         profiles_meta = []
         for i, video in enumerate(videos):
@@ -293,9 +340,6 @@ def track_uniform_videos_fused(
             # methods on raw profiles need no prior at all.
             if method == "combined" or use_frame_diff:
                 has_prior[i, 0] = False
-            prior_global[i * n_max + 1: i * n_max + n] = (
-                i * n_max + np.arange(n - 1, dtype=np.int32)
-            )
             if source_config is not None:
                 cal, off = source_config.get_calibration_for_file(
                     video.filepath.name
@@ -312,15 +356,24 @@ def track_uniform_videos_fused(
 
         # Phase B: ONE put of the whole batch — the CPU is idle (gathers
         # and counts all resolved), no compute dispatched until the
-        # payload is in flight.
+        # payload is in flight. Under a mesh the put is SHARDED: each
+        # device receives only its (Vp/n_shards) videos' bytes.
         with stage_times.stage("h2d"):
-            stacked_dev = jax.device_put(big)
+            if mesh is None:
+                stacked_dev = jax.device_put(big)
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                stacked_dev = jax.device_put(
+                    big,
+                    NamedSharding(mesh, P(video_axis, None, None, None)),
+                )
             del big
 
     from .pallas_scan import default_frames_per_step
 
     pallas_interpret = _batch._PALLAS_MODE == "interpret"
-    use_pallas_scan = _batch._use_batched_kernel(V, w, method)
+    use_pallas_scan = _batch._use_batched_kernel(Vp // n_shards, w, method)
     program = _fused_program(
         width=w,
         bit_depth=depth0,
@@ -335,6 +388,8 @@ def track_uniform_videos_fused(
         search_window_px=config.search_window_px,
         exit_margin_px=config.exit_margin_px,
         frames_per_step=default_frames_per_step(),
+        mesh=mesh,
+        video_axis=video_axis,
     )
     kernel_fraction = np.float32(
         config.threshold_fraction if method == "threshold"
@@ -342,7 +397,7 @@ def track_uniform_videos_fused(
     )
     with stage_times.stage("device_dispatch"):
         finals_dev = program(
-            stacked_dev, prior_global, bgs, fidx, empty, has_prior,
+            stacked_dev, bgs, fidx, empty, has_prior,
             cals, fpss, mds,
             np.float32(config.frame_diff_threshold),
             np.float32(config.min_gradient_strength),

@@ -100,6 +100,36 @@ def test_fused_named_methods_match(tmp_path, method, use_frame_diff):
         assert _rows(out) == _rows(exp)
 
 
+def test_fused_engages_under_mesh_and_matches(tmp_path):
+    """shard_map fused path on the 8-device mesh: V=3 ragged videos pad to
+    8 with inert all-empty entries; rows must be byte-identical to the
+    per-video host scan (and engagement is asserted — a silent fallback to
+    the chunked path would pass parity while losing the one-program
+    property)."""
+    from hsip_tpu.parallel import make_mesh
+
+    lengths = (40, 25, 33)
+    for i, n in enumerate(lengths):
+        _write(tmp_path, f"nova-run-{i + 1}-001", n_frames=n, seed=20 + i)
+    config = FlameDetectorConfig()
+    expected = []
+    for i in range(len(lengths)):
+        with open_video(str(tmp_path / f"nova-run-{i + 1}-001.cihx")) as v:
+            expected.append(track_video(v, config, 1.0, 0.0, scan="host",
+                                        use_absolute_time=True))
+    mesh = make_mesh("video")
+    with open_collection(str(tmp_path)) as coll:
+        videos = list(coll)
+        outs = track_uniform_videos_fused(
+            videos, videos[0].frame_shape[1], config, None, True, mesh=mesh,
+        )
+    assert outs is not None, "eligible group must fuse under the mesh too"
+    assert len(outs) == len(lengths)
+    for out, exp in zip(outs, expected):
+        assert _rows(out) == _rows(exp)
+        assert out.break_reason == exp.break_reason
+
+
 def test_fused_env_knob_disables(tmp_path, monkeypatch):
     _write(tmp_path, "nova-run-1-001")
     monkeypatch.setenv("HSIP_FUSED", "0")
