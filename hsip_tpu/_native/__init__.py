@@ -125,6 +125,20 @@ class NativeDecoder:
             u8p, ctypes.c_int64, ctypes.c_int64,
             i64p, ctypes.c_int64, ctypes.c_int64, u8p,
         ]
+        try:
+            for name in ("gather_count8", "gather_count10",
+                         "gather_count12", "gather_count16"):
+                getattr(lib, name).argtypes = [
+                    u8p, ctypes.c_int64, ctypes.c_int64,
+                    i64p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.c_float, ctypes.c_float, u8p, i32p,
+                ]
+            self._has_gather_count = True
+        except AttributeError:
+            # Stale cached .so predating the fused gather+count pass:
+            # callers fall back to the separate count_above*/gather_rows
+            # two-pass staging.
+            self._has_gather_count = False
         lib.native_num_threads.restype = ctypes.c_int
         lib.native_set_num_threads.argtypes = [ctypes.c_int]
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
@@ -318,6 +332,66 @@ class NativeDecoder:
             raise ValueError("invalid curfit input")
         nn = int(n.value)
         return t[:nn].copy(), c[:nn].copy(), float(fp.value), int(ier)
+
+    @property
+    def has_gather_count(self) -> bool:
+        """True when the loaded library exports the fused gather+count."""
+        return self._has_gather_count
+
+    def gather_rows_count(
+        self,
+        packed: np.ndarray,
+        frame_nbytes: int,
+        row_offsets: np.ndarray,
+        row_nbytes: int,
+        background: float,
+        threshold: float,
+        bit_depth: int,
+        out: Optional[np.ndarray] = None,
+    ):
+        """ONE pass over the packed payload: gather the band rows AND count
+        above-noise pixels per frame.
+
+        Returns ``(band, counts)`` — byte/value-identical to calling
+        :meth:`gather_rows` and ``count_above_*`` separately, but the
+        payload's DRAM traffic is paid once (the host-staging hot path is
+        memory-bound; VERDICT r3 #4). Raises ``RuntimeError`` on a stale
+        cached library lacking the symbols — callers gate on
+        :attr:`has_gather_count`.
+        """
+        if not self._has_gather_count:
+            raise RuntimeError(
+                "native library lacks gather_count* (stale build)"
+            )
+        fn = {
+            8: self._lib.gather_count8,
+            10: self._lib.gather_count10,
+            12: self._lib.gather_count12,
+            16: self._lib.gather_count16,
+        }[bit_depth]
+        packed = np.ascontiguousarray(packed, dtype=np.uint8).reshape(-1)
+        if packed.size % frame_nbytes:
+            raise ValueError("packed size must be whole frames")
+        offsets = np.ascontiguousarray(row_offsets, dtype=np.int64)
+        if offsets.size and (
+            offsets.min() < 0 or offsets.max() + row_nbytes > frame_nbytes
+        ):
+            raise ValueError("row offsets out of frame bounds")
+        n_frames = packed.size // frame_nbytes
+        shape = (n_frames, offsets.size, row_nbytes)
+        if out is None:
+            out = np.empty(shape, dtype=np.uint8)
+        elif (out.shape != shape or out.dtype != np.uint8
+              or not out.flags.c_contiguous):
+            raise ValueError(
+                f"out must be C-contiguous uint8 of shape {shape}"
+            )
+        counts = np.empty(n_frames, dtype=np.int32)
+        fn(
+            packed, n_frames, frame_nbytes, offsets, offsets.size,
+            row_nbytes, float(background), float(threshold), out, counts,
+        )
+        return out, counts
 
     def gather_rows(
         self,

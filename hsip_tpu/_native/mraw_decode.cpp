@@ -198,6 +198,103 @@ void count_above8(const uint8_t* __restrict src, int64_t n_frames,
     }
 }
 
+// ---- Fused gather + count: ONE pass over the packed payload ------------
+//
+// Per frame, compute the above-noise pixel count over the WHOLE frame
+// (the empty-frame test, reference process_videos.py:743-763) AND copy the
+// selected band rows — so host staging touches the payload's DRAM once
+// instead of twice (count_above* then gather_rows). The row copies run
+// right after the frame's count pass while its bytes are still cache-hot.
+// counts[f] = #pixels with max(pixel - background, 0) > threshold.
+
+#define FUSED_GATHER_COUNT(NAME, COUNT_FRAME)                                \
+void NAME(const uint8_t* __restrict src, int64_t n_frames,                   \
+          int64_t frame_nbytes, const int64_t* __restrict row_offsets,       \
+          int64_t n_rows, int64_t row_nbytes, float background,              \
+          float threshold, uint8_t* __restrict dst,                          \
+          int32_t* __restrict counts) {                                      \
+    _Pragma("omp parallel for schedule(static) num_threads(scan_threads())") \
+    for (int64_t f = 0; f < n_frames; ++f) {                                 \
+        const uint8_t* s = src + f * frame_nbytes;                           \
+        counts[f] = COUNT_FRAME(s, frame_nbytes, background, threshold);     \
+        uint8_t* d = dst + f * n_rows * row_nbytes;                          \
+        for (int64_t r = 0; r < n_rows; ++r) {                               \
+            const uint8_t* sr = s + row_offsets[r];                          \
+            uint8_t* dr = d + r * row_nbytes;                                \
+            for (int64_t i = 0; i < row_nbytes; ++i) dr[i] = sr[i];          \
+        }                                                                    \
+    }                                                                        \
+}
+
+static inline int32_t count_frame12(const uint8_t* __restrict s,
+                                    int64_t frame_nbytes, float background,
+                                    float threshold) {
+    const int64_t pairs = frame_nbytes / 3;
+    int32_t c = 0;
+    for (int64_t i = 0; i < pairs; ++i) {
+        const uint8_t* b = s + 3 * i;
+        float p0 = (float)((b[0] << 4) | (b[1] >> 4)) - background;
+        float p1 = (float)(((b[1] & 0x0F) << 8) | b[2]) - background;
+        if (p0 < 0.0f) p0 = 0.0f;
+        if (p1 < 0.0f) p1 = 0.0f;
+        c += (p0 > threshold) + (p1 > threshold);
+    }
+    return c;
+}
+
+static inline int32_t count_frame10(const uint8_t* __restrict s,
+                                    int64_t frame_nbytes, float background,
+                                    float threshold) {
+    const int64_t quads = frame_nbytes / 5;
+    int32_t c = 0;
+    for (int64_t i = 0; i < quads; ++i) {
+        const uint8_t* b = s + 5 * i;
+        uint16_t p[4] = {
+            (uint16_t)((b[0] << 2) | (b[1] >> 6)),
+            (uint16_t)(((b[1] & 0x3F) << 4) | (b[2] >> 4)),
+            (uint16_t)(((b[2] & 0x0F) << 6) | (b[3] >> 2)),
+            (uint16_t)(((b[3] & 0x03) << 8) | b[4]),
+        };
+        for (int j = 0; j < 4; ++j) {
+            float v = (float)p[j] - background;
+            if (v < 0.0f) v = 0.0f;
+            c += (v > threshold);
+        }
+    }
+    return c;
+}
+
+static inline int32_t count_frame16(const uint8_t* __restrict s,
+                                    int64_t frame_nbytes, float background,
+                                    float threshold) {
+    const int64_t px = frame_nbytes / 2;
+    int32_t c = 0;
+    for (int64_t i = 0; i < px; ++i) {
+        uint16_t p = (uint16_t)(s[2 * i] | (s[2 * i + 1] << 8));
+        float v = (float)p - background;
+        if (v < 0.0f) v = 0.0f;
+        c += (v > threshold);
+    }
+    return c;
+}
+
+static inline int32_t count_frame8(const uint8_t* __restrict s,
+                                   int64_t frame_nbytes, float background,
+                                   float threshold) {
+    int32_t c = 0;
+    for (int64_t i = 0; i < frame_nbytes; ++i) {
+        float v = (float)s[i] - background;
+        if (v < 0.0f) v = 0.0f;
+        c += (v > threshold);
+    }
+    return c;
+}
+
+FUSED_GATHER_COUNT(gather_count12, count_frame12)
+FUSED_GATHER_COUNT(gather_count10, count_frame10)
+FUSED_GATHER_COUNT(gather_count16, count_frame16)
+FUSED_GATHER_COUNT(gather_count8, count_frame8)
+
 // Gather selected byte-aligned rows from every frame of a packed payload:
 // dst[f, r, :] = src[f * frame_nbytes + row_offsets[r] : + row_nbytes].
 // The band-staging hot path. The copy is memory-bandwidth bound, so the

@@ -289,6 +289,45 @@ class MRAWReader:
             return out
         return view[:, rows, :]
 
+    def band_bytes_and_counts(
+        self,
+        start: int,
+        stop: int,
+        rows: np.ndarray,
+        background: float,
+        threshold: float,
+        out: Optional[np.ndarray] = None,
+    ):
+        """Fused staging pass: :meth:`band_bytes` + :meth:`count_above` in
+        ONE sweep over the packed payload (the native codec's
+        ``gather_count*``), so host DRAM traffic for staging is paid once.
+
+        Returns ``(band, counts)`` — identical values to the separate
+        calls — or ``None`` when the fused native pass is unavailable
+        (no native codec, unsupported depth, or a stale cached ``.so``);
+        callers then fall back to the two-pass staging.
+        """
+        if (
+            self._native is None
+            or self.bit_depth not in (8, 10, 12, 16)
+            or not self._native.has_gather_count
+        ):
+            return None
+        self._check_open()
+        rnb = self.row_nbytes
+        if rnb is None:
+            return None
+        rows = np.asarray(rows, dtype=np.int64)
+        if rows.size and (rows.min() < 0 or rows.max() >= self.height):
+            raise ValueError(
+                f"row indices out of range [0, {self.height}): {rows}"
+            )
+        stop = min(stop, self._total_frames)
+        return self._native.gather_rows_count(
+            self._mmap[start:stop], self._frame_nbytes, rows * rnb, rnb,
+            background, threshold, self.bit_depth, out=out,
+        )
+
     def count_above(
         self, start: int, stop: int, background: float, threshold: float
     ) -> Optional[np.ndarray]:

@@ -362,6 +362,9 @@ def _track_uniform_videos(
             read_packed=read_packed,
             read_band=read_band,
             count_fn=count_fn,
+            read_band_counts=(
+                video.band_bytes_and_counts if read_band is not None else None
+            ),
             band_bit_depth=storage_depth,
             keep_device=True,
             stage_times=stage_times,

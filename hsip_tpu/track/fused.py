@@ -295,6 +295,7 @@ def track_uniform_videos_fused(
     big = np.zeros((Vp, n_max, B, rnb), np.uint8)
     bgs = np.zeros(Vp, np.float32)
     count_futs = [None] * V
+    counts_done = [None] * V  # resolved counts from the fused one-pass
 
     def _gather_one(i):
         video = videos[i]
@@ -304,6 +305,16 @@ def track_uniform_videos_fused(
             bg = float(np.max(video[0]))
             bgs[i] = bg
             noise = max(NOISE_THRESHOLD_FLOOR, bg * 0.5)
+            # Fused native pass: band rows AND counts in ONE sweep over the
+            # packed payload (half the host DRAM traffic of gather+count —
+            # the staging hot path is memory-bound). Falls back to the
+            # two-pass shape only on a stale .so / exotic container.
+            fused_rc = video.band_bytes_and_counts(
+                0, n, rows, bg, noise, out=big[i, :n]
+            )
+            if fused_rc is not None:
+                counts_done[i] = fused_rc[1]
+                return
             count_futs[i] = count_pool.submit(
                 stage_times.wrap("counts_host", count_fn), 0, n, bg, noise,
             )
@@ -334,7 +345,11 @@ def track_uniform_videos_fused(
             n = len(video)
             fidx[i, :n] = np.arange(n, dtype=np.int32)
             fidx[i, n:] = n + np.arange(n_max - n, dtype=np.int32)
-            counts = np.asarray(count_futs[i].result(), dtype=np.int64)
+            counts = np.asarray(
+                counts_done[i] if counts_done[i] is not None
+                else count_futs[i].result(),
+                dtype=np.int64,
+            )
             empty[i, :n] = counts / float(h * w) < MIN_SIGNAL_FRACTION
             # First processed frame has no differencing prior. Named
             # methods on raw profiles need no prior at all.

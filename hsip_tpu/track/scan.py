@@ -111,6 +111,7 @@ def compute_profiles_batched(
     use_pallas: Optional[bool] = None,
     read_band: Optional[Callable] = None,
     count_fn: Optional[Callable] = None,
+    read_band_counts: Optional[Callable] = None,
     band_bit_depth: int = 12,
     keep_device: bool = False,
     need_intensity: bool = True,
@@ -148,7 +149,13 @@ def compute_profiles_batched(
             line sets the caller's detection method never reads (their
             arrays stay zero). Ignored when keep_device=True.
         count_fn: callable (start, stop, background, threshold) -> (n,) int
-            above-noise pixel counts computed host-side (C++ fused pass).
+            above-noise pixel counts computed host-side (C++ fast pass).
+        read_band_counts: callable (start, stop, rows, background, threshold,
+            out=None) -> (band, counts) | None — the FUSED native staging
+            pass (band rows AND counts in ONE sweep over the packed payload;
+            half the host DRAM traffic of ``read_band`` + ``count_fn``).
+            ``None`` results (stale .so, exotic container) degrade to the
+            two-pass shape transparently.
         progress: callable (staged, total) invoked after each chunk
             dispatch — the map-then-scan analogue of the reference's
             per-50-frame progress prints (process_videos.py:1524-1527).
@@ -248,6 +255,25 @@ def compute_profiles_batched(
         parts = [read(int(r[0]), int(r[-1]) + 1) for r in runs]
         return parts[0] if len(parts) == 1 else np.concatenate(parts)
 
+    def _multi_read_fused(needed):
+        """Fused band+counts staging over the needed frames (skip-gap
+        aware). Returns (band, counts) or None when the fused native pass
+        is unavailable — the caller then degrades to the two-pass shape."""
+        runs = np.split(needed, np.where(np.diff(needed) != 1)[0] + 1)
+        bands, cnts = [], []
+        for r in runs:
+            res = read_band_counts(
+                int(r[0]), int(r[-1]) + 1, band_rows,
+                background_scalar, noise_threshold,
+            )
+            if res is None:
+                return None
+            bands.append(res[0])
+            cnts.append(res[1])
+        if len(runs) == 1:
+            return bands[0], cnts[0]
+        return np.concatenate(bands), np.concatenate(cnts)
+
     # Streaming dispatch: read host chunk → device_put → dispatch kernel →
     # DROP the input device reference immediately; block only once at the
     # end. Measured on the TPU transfer path: this free-running pattern
@@ -290,19 +316,33 @@ def compute_profiles_batched(
         for ci, (pos, stop, needed, row0, row1,
                  prior_index_full) in enumerate(chunks):
             if use_band:
-                # Minimal-transfer path: counts on host (C++ fused pass over the
-                # memmap, releases the GIL) run CONCURRENTLY with band gathering
-                # and the host->device transfer; only band rows ship.
-                counts = count_pool.submit(
-                    stage_times.wrap("counts_host", _multi_read),
-                    lambda a, b: count_fn(a, b, background_scalar,
-                                          noise_threshold),
-                    needed,
-                )
+                # Minimal-transfer path: only band rows ship. Preferred
+                # staging is the FUSED native pass (band + counts in ONE
+                # sweep — half the host DRAM traffic; the host is
+                # memory-bound, so two overlapped passes still pay twice).
+                counts = None
+                if read_band_counts is not None:
+                    with stage_times.stage("read_gather"):
+                        fused_rc = _multi_read_fused(needed)
+                    if fused_rc is None:
+                        read_band_counts = None  # stale .so: stop probing
+                    else:
+                        host, counts = fused_rc
+                if counts is None:
+                    # Two-pass fallback: counts on host (C++ pass over the
+                    # memmap, releases the GIL) run CONCURRENTLY with band
+                    # gathering and the host->device transfer.
+                    counts = count_pool.submit(
+                        stage_times.wrap("counts_host", _multi_read),
+                        lambda a, b: count_fn(a, b, background_scalar,
+                                              noise_threshold),
+                        needed,
+                    )
+                    with stage_times.stage("read_gather"):
+                        host = np.ascontiguousarray(_multi_read(
+                            lambda a, b: read_band(a, b, band_rows), needed
+                        ))
                 with stage_times.stage("read_gather"):
-                    host = np.ascontiguousarray(_multi_read(
-                        lambda a, b: read_band(a, b, band_rows), needed
-                    ))
                     host, prior_index_full = _pad_batch(host, prior_index_full)
                 with stage_times.stage("h2d"):
                     dev = jax.device_put(host)
@@ -885,6 +925,9 @@ def track_video(
         read_packed=read_packed,
         read_band=read_band,
         count_fn=count_fn,
+        read_band_counts=(
+            video.band_bytes_and_counts if read_band is not None else None
+        ),
         band_bit_depth=storage_depth,
         keep_device=scan == "device",
         need_intensity=detection_method != "combined" and use_frame_diff,

@@ -489,6 +489,19 @@ class PhotonVideo:
         10/12/16-bit fast paths; None when unavailable)."""
         return self._require_reader().count_above(start, stop, background, threshold)
 
+    def band_bytes_and_counts(
+        self, start: int, stop: int, rows: np.ndarray,
+        background: float, threshold: float,
+        out: Optional[np.ndarray] = None,
+    ):
+        """Fused staging pass: band rows AND above-noise counts in ONE
+        sweep over the packed payload (``(band, counts)``; ``None`` when
+        the fused native path is unavailable — callers fall back to
+        :meth:`band_bytes` + :meth:`count_above`)."""
+        return self._require_reader().band_bytes_and_counts(
+            start, stop, rows, background, threshold, out=out
+        )
+
     def frame_bytes(self, start: int, stop: Optional[int] = None) -> np.ndarray:
         """Packed payload bytes of frames [start, stop): the TPU staging path.
 

@@ -586,21 +586,28 @@ def test_long_skip_gap_reads_stay_bounded(tmp_path):
     spans = []
     with open_video(str(meta)) as video:
         orig_band = video.band_bytes
+        orig_fused = video.band_bytes_and_counts
         orig_batch = video.read_batch
 
         def spy_band(a, b, rows):
             spans.append(b - a)
             return orig_band(a, b, rows)
 
+        def spy_fused(a, b, rows, bg, thr, out=None):
+            spans.append(b - a)
+            return orig_fused(a, b, rows, bg, thr, out=out)
+
         def spy_batch(a, b):
             spans.append(b - a)
             return orig_batch(a, b)
 
         video.band_bytes = spy_band
+        video.band_bytes_and_counts = spy_fused
         video.read_batch = spy_batch
         out = track_video(video, FlameDetectorConfig(), 0.001,
                           skip_frames=skip, chunk_size=32)
         video.band_bytes = orig_band
+        video.band_bytes_and_counts = orig_fused
         video.read_batch = orig_batch
         exact = track_video(video, FlameDetectorConfig(), 0.001,
                             skip_frames=skip, chunk_size=32)
