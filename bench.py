@@ -12,6 +12,13 @@ reference-equivalent serial scipy chain (full-frame grey_opening →
 gaussian_filter → sobel → gradient per frame) measured on this host and
 extrapolated per-frame.
 
+``--mode both`` (the driver default) measures one library of ``--videos``
+recordings TWO ways on alternating repeats: the per-file loop (the
+reference's execution shape, one recording at a time) and the batched
+library scan. Identical inputs and wire bytes per repeat, so dev-tunnel
+weather cancels from the ratio; ``--mode single`` keeps the legacy
+one-recording probe.
+
 Usage: python bench.py [--frames N] [--height H] [--width W] [--repeat R]
 """
 
@@ -117,6 +124,33 @@ def run_tpu_pipeline(meta_path, config, chunk_size=256, scan="device",
             stage_times=stage_times,
         )
     return out
+
+
+def run_per_file_pipeline(lib, config, chunk_size=None, scan="device",
+                          stage_times=None):
+    """Per-file comparator: the reference's execution shape — one
+    recording at a time (`process_videos.py:1308`) — over the SAME
+    library the batched mode processes.
+
+    Both modes then move identical bytes per repeat, so link weather
+    cancels from the single-vs-library ratio in expectation. (Comparing
+    the batched library against ONE 60 MB video was structurally biased:
+    under the tunnel's ~20x minute-scale rate swings, best-of-N lets a
+    small payload fit inside a lucky burst while a 478 MB batch must
+    integrate across the weather — BENCH_r03's 2x 'library loss' was
+    that measurement artifact, not pipeline cost.)
+
+    Returns (outputs, summed scan_phase seconds).
+    """
+    outs = []
+    scan_s = 0.0
+    for cihx in sorted(Path(lib).glob("*.cihx")):
+        out = run_tpu_pipeline(cihx, config, chunk_size, scan,
+                               stage_times=stage_times)
+        if out.phase_timings:
+            scan_s += out.phase_timings["scan_s"]
+        outs.append(out)
+    return outs, scan_s
 
 
 def time_scipy_baseline(meta_path, config, n_sample: int) -> float:
@@ -296,7 +330,12 @@ def run_bench(args, config) -> dict:
 
         run_single = args.mode in ("both", "single")
         run_library = args.mode in ("both", "library")
-        if run_single:
+        # In --mode both, the single-side comparator is the PER-FILE LOOP
+        # over the same library (see run_per_file_pipeline) — identical
+        # inputs and wire bytes per repeat. --mode single keeps the legacy
+        # one-recording shape for quick probes.
+        per_file_loop = args.mode == "both"
+        if run_single or run_library:
             meta = build_recording(tmpdir, args.frames, args.height, args.width)
         if run_library:
             # Full-length recordings, one per video: the production shape a
@@ -308,7 +347,7 @@ def run_bench(args, config) -> dict:
             per_video = args.frames
             lib = _build_library(
                 tmpdir, args.videos, per_video, args.height, args.width,
-                source=meta if run_single else None,
+                source=meta,
             )
             total_frames = per_video * args.videos
 
@@ -316,41 +355,126 @@ def run_bench(args, config) -> dict:
         # tunnel's effective transfer rate drifts by the minute, so timing
         # all of one mode before the other would bake weather drift into
         # the single-vs-library ratio; interleaving samples both modes
-        # under the same weather.
-        if run_single:
-            run_tpu_pipeline(meta, config, args.chunk_size, args.scan)
-        if run_library:
-            run_collection_pipeline(lib, config)
-        best_s, best_st_s = float("inf"), None
+        # under the same weather. The order within each repeat also flips
+        # so neither mode systematically inherits the link state the other
+        # leaves behind (large transfers bloat the tunnel with minutes of
+        # recovery time).
+        best_s, best_st_s, best_scan_s = float("inf"), None, None
         best_l, best_st_l = float("inf"), None
-        for _ in range(args.repeat):
-            if run_single:
-                st = StageTimes()
-                t0 = time.perf_counter()
+        single_key = "per_file_s" if per_file_loop else "single_s"
+        samples: dict = {single_key: [], "library_s": []}
+
+        def _measure_single():
+            nonlocal best_s, best_st_s, best_scan_s
+            st = StageTimes()
+            t0 = time.perf_counter()
+            if per_file_loop:
+                outs_s, scan_s = run_per_file_pipeline(
+                    lib, config, args.chunk_size, args.scan, stage_times=st
+                )
+            else:
                 out = run_tpu_pipeline(
                     meta, config, args.chunk_size, args.scan, stage_times=st
                 )
-                dt = time.perf_counter() - t0
-                if dt < best_s:
-                    best_s, best_st_s = dt, st
-            if run_library:
-                st = StageTimes()
-                t0 = time.perf_counter()
-                outs = run_collection_pipeline(lib, config, stage_times=st)
-                dt = time.perf_counter() - t0
-                if dt < best_l:
-                    best_l, best_st_l = dt, st
+                outs_s, scan_s = [out], (out.phase_timings or {}).get(
+                    "scan_s"
+                )
+            dt = time.perf_counter() - t0
+            samples[single_key].append(round(dt, 3))
+            if dt < best_s:
+                # Stages AND phase timings travel together: publishing the
+                # best repeat's stages with another repeat's scan_phase
+                # produced physically impossible artifacts (scan_phase >
+                # end_to_end_s in BENCH_r03).
+                best_s, best_st_s, best_scan_s = dt, st, scan_s
+            return outs_s
+
+        def _measure_library():
+            nonlocal best_l, best_st_l
+            st = StageTimes()
+            t0 = time.perf_counter()
+            outs = run_collection_pipeline(lib, config, stage_times=st)
+            dt = time.perf_counter() - t0
+            samples["library_s"].append(round(dt, 3))
+            if dt < best_l:
+                best_l, best_st_l = dt, st
+            return outs
 
         if run_single:
-            single_fps = args.frames / best_s
+            if per_file_loop:
+                run_per_file_pipeline(lib, config, args.chunk_size, args.scan)
+            else:
+                run_tpu_pipeline(meta, config, args.chunk_size, args.scan)
+        if run_library:
+            run_collection_pipeline(lib, config)
+        outs_single: list = []
+        outs = []
+        for rep in range(args.repeat):
+            legs = []
+            if run_single:
+                legs.append("s")
+            if run_library:
+                legs.append("l")
+            if rep % 2:
+                legs.reverse()
+            for leg in legs:
+                if leg == "s":
+                    outs_single = _measure_single()
+                else:
+                    outs = _measure_library()
+        # Per-repeat wall-clock samples ride in the artifact so the
+        # variance/weather argument is carried by the driver JSON itself,
+        # not by prose (VERDICT r3 #8); doc ranges derive from these.
+        extra["samples"] = {k: v for k, v in samples.items() if v}
+        # Stage semantics, stated where the numbers live: each stage is
+        # host wall-clock inside that stage; overlapping pool threads SUM,
+        # so thread-pooled stages can exceed the mode's end_to_end_s.
+        extra["stages_note"] = (
+            "stages are from each mode's BEST repeat (cleanest run); "
+            "per-stage host wall-clock; library staging stages are summed "
+            "across overlapping pool threads and may exceed end_to_end_s"
+        )
+
+        # Central statistic: the MEDIAN of the interleaved, order-
+        # alternating repeats. Best-of-N is biased under the tunnel's
+        # multiplicative weather (~20x minute-scale rate swings): the min
+        # statistic rewards whichever mode's samples have higher
+        # dispersion with one lucky draw, not lower cost. The medians of
+        # two interleaved sample sets moving identical bytes estimate the
+        # same weather, so their ratio isolates pipeline cost. Best-based
+        # figures are still published alongside (*_fps_best) for
+        # continuity with rounds 1-3.
+        import statistics
+
+        med_s = statistics.median(samples[single_key]) if run_single else None
+        med_l = (
+            statistics.median(samples["library_s"]) if run_library else None
+        )
+        extra["statistic"] = (
+            "median of interleaved order-alternating repeats "
+            "(see samples); *_fps_best = legacy best-of"
+        )
+
+        if run_single:
+            single_frames = total_frames if per_file_loop else args.frames
+            single_fps = single_frames / med_s
+            extra["single_fps_best"] = round(single_frames / best_s, 1)
             extra["single_stages"] = best_st_s.as_dict(3)
-            if out.phase_timings:
-                extra["single_stages"]["scan_phase"] = out.phase_timings[
-                    "scan_s"
-                ]
+            extra["single_end_to_end_s"] = round(best_s, 3)
+            extra["single_median_s"] = round(med_s, 3)
+            if best_scan_s is not None:
+                extra["single_stages"]["scan_phase"] = round(best_scan_s, 4)
+            extra["single_mode"] = (
+                f"per-file loop over the same {args.videos}-recording "
+                "library (reference execution shape; identical inputs and "
+                "wire bytes to library mode per repeat)"
+                if per_file_loop else "one recording"
+            )
             print(
-                f"single: frames={args.frames} {args.height}x{args.width} "
-                f"end_to_end_s={best_s:.3f} rows={len(out.rows)} "
+                f"single[{'per-file' if per_file_loop else 'one-video'}]: "
+                f"frames={single_frames} {args.height}x{args.width} "
+                f"end_to_end_s={best_s:.3f} "
+                f"rows={len(outs_single[0].rows) if outs_single else 0} "
                 f"stages={extra['single_stages']}",
                 file=sys.stderr,
             )
@@ -364,8 +488,11 @@ def run_bench(args, config) -> dict:
                     file=sys.stderr,
                 )
         if run_library:
-            library_fps = total_frames / best_l
+            library_fps = total_frames / med_l
+            extra["library_fps_best"] = round(total_frames / best_l, 1)
             extra["library_stages"] = best_st_l.as_dict(3)
+            extra["library_end_to_end_s"] = round(best_l, 3)
+            extra["library_median_s"] = round(med_l, 3)
             print(
                 f"library: videos={args.videos} frames={total_frames} "
                 f"end_to_end_s={best_l:.3f} rows={len(outs[0].rows)} "
@@ -373,8 +500,6 @@ def run_bench(args, config) -> dict:
                 file=sys.stderr,
             )
 
-        if args.mode == "library":
-            meta = build_recording(tmpdir, 64, args.height, args.width)
         baseline_per_frame = time_scipy_baseline(
             meta, config, args.baseline_sample
         )
@@ -410,9 +535,10 @@ def _build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--height", type=int, default=128)
     parser.add_argument("--width", type=int, default=1024)
     parser.add_argument(
-        "--repeat", type=int, default=6,
-        help="best-of repeats (the dev-tunnel transfer path has ~3x "
-        "run-to-run variance; best-of damps it)",
+        "--repeat", type=int, default=8,
+        help="interleaved repeats; the headline uses the MEDIAN (the "
+        "dev-tunnel transfer path swings ~20x minute-to-minute, which "
+        "biases best-of toward the higher-variance mode)",
     )
     parser.add_argument("--baseline-sample", type=int, default=48)
     parser.add_argument("--chunk-size", type=int, default=None)
@@ -424,8 +550,10 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--mode", choices=("both", "single", "library"), default="both",
-        help="which pipeline shapes to measure; the headline value is the "
-        "library (vmapped whole-source) number when it runs",
+        help="which pipeline shapes to measure; 'both' compares the "
+        "per-file loop vs the batched scan over the SAME --videos-"
+        "recording library (identical bytes per repeat); the headline "
+        "value is the library (batched whole-source) number when it runs",
     )
     parser.add_argument(
         "--videos", type=int, default=8,

@@ -142,8 +142,14 @@ def process_video_file(
     verbose: bool = True,
     write_outputs: bool = True,
     save_images: Optional[bool] = None,
+    write_tables: bool = True,
 ) -> TrackingOutput:
     """Process one recording: track the flame front and write result tables.
+
+    ``write_tables=False`` keeps the figure outputs but skips the result
+    tables — the library driver uses this to add figures to recordings
+    whose tables the batched scan already wrote (the two scans' rows are
+    byte-identical by the backend parity contract).
 
     ``backend``:
       * 'tpu'    — batched device map phase + host float64 scan (default).
@@ -328,7 +334,8 @@ def process_video_file(
             if verbose:
                 print(f"  Frame images: {len(paths)} -> {frames_output_dir}")
 
-        if write_outputs and output_dir is not None and output.rows:
+        if write_outputs and write_tables and output_dir is not None \
+                and output.rows:
             _write_ddt_split_tables(output, output_dir, cihx_file.stem, verbose)
             if verbose:
                 print("\nResults summary:")
@@ -722,13 +729,23 @@ def process_video_source_library(
     shape batch into one vmapped on-device scan (one dispatch per shape
     group instead of per file, :func:`hsip_tpu.track.batch.
     track_collection_device`), with identical rows and tables to running
-    ``backend='device'`` per file. Per-frame figures and stacked sequences
-    are unavailable here (profiles never leave the device); table writing,
-    per-file calibration lookup, checkpoint/resume, and run summaries match
+    ``backend='device'`` per file. Table writing, per-file calibration
+    lookup, checkpoint/resume, and run summaries match
     :func:`process_video_source`. With ``processor``, whole recordings are
     distributed across processes first, then each process batches its own
     subset. In the run summary, library-mode ``wall_s`` is the batch wall
     clock apportioned evenly over the batch's recordings.
+
+    Figures (``save_frame_images`` / ``save_stacked_sequences``) ARE
+    produced: the throughput scan dead-code-eliminates the per-frame
+    detector internals a 12-panel figure draws (candidate markers, search
+    bounds, spline prediction), so after the batched scan each requesting
+    recording re-runs the per-file figure path (:func:`process_video_file`
+    with ``write_tables=False`` — the SAME functions the per-file driver
+    uses, so figures are data-identical to per-file mode by construction;
+    reference seam `process_videos.py:1474-1480`). The replay costs one
+    map phase per video, which matplotlib render time dominates 10-100x;
+    table throughput is unaffected when figures are off.
 
     With ``mesh`` (a Mesh carrying a ``'video'`` axis), each shape group's
     video axis also shards across devices.
@@ -744,11 +761,6 @@ def process_video_source_library(
     )
     if cihx_files is None:
         return []  # globally nothing — every rank takes this branch
-    if verbose and is_root and cihx_files and (
-        config.save_frame_images or config.save_stacked_sequences
-    ):
-        print("  Note: figures unavailable in library mode "
-              "(fully on-device scans)")
 
     ledger = _SourceLedger(config, detector_config, "library", processor,
                            resume)
@@ -829,6 +841,24 @@ def process_video_source_library(
                         _log.warning("failed to write %s: %s",
                                      video.filepath.name, exc)
                         ledger.add_failure(video.filepath.name, exc)
+
+                # Figures: per-video replay of the per-file figure path
+                # (see docstring). Each rank renders its own subset.
+                if config.save_frame_images or config.save_stacked_sequences:
+                    for video in videos:
+                        try:
+                            process_video_file(
+                                video.filepath, config, detector_config,
+                                backend="tpu", verbose=False,
+                                write_tables=False,
+                            )
+                            if verbose and is_root:
+                                print(f"  Figures: {video.filepath.name}")
+                        except Exception as exc:
+                            print(f"Warning: Could not render figures for "
+                                  f"{video.filepath.name}: {exc}")
+                            _log.warning("failed figures for %s: %s",
+                                         video.filepath.name, exc)
             finally:
                 collection.close_all()
     finally:

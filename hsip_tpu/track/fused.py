@@ -52,6 +52,92 @@ __all__ = ["track_uniform_videos_fused"]
 _MAX_FUSED_BYTES = 6 << 30
 
 
+@lru_cache(maxsize=1)
+def _puts_are_lazy() -> bool:
+    """Measure whether ``device_put`` stages lazily on this link.
+
+    One warm ~8 MB put: a lazily staged link (the dev tunnel) returns
+    from the put call in microseconds and pays the whole wire inside
+    ``block_until_ready``; an eager-DMA link (real PCIe) completes most
+    of the wire inside the put call itself. The ratio routes the library
+    staging shape (see :func:`_staging_mode`) — measured once per
+    process, ~tens of ms.
+    """
+    import time
+
+    import jax
+
+    x = np.ones((8 << 20,), np.uint8)
+    jax.block_until_ready(jax.device_put(x))  # warm the transfer path
+    t0 = time.perf_counter()
+    buf = jax.device_put(x)
+    t_put = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    jax.block_until_ready(buf)
+    t_block = time.perf_counter() - t0
+    return t_block > t_put
+
+
+def _staging_mode(mesh=None) -> str:
+    """Route the library staging shape: ``one_put`` vs ``put_train``.
+
+    The two link families genuinely prefer different shapes (VERDICT r3
+    #1), so this is a measured routing decision, not a bet:
+
+    - lazily staged puts (dev tunnel): the wire moves only when the one
+      program consumes its inputs, so a put train buys no overlap — ONE
+      batched put minimizes handshakes and host bookkeeping.
+    - eager-DMA puts (real PCIe): per-video puts issued as each gather
+      lands overlap transfer k with gather k+1 — the train hides most of
+      the wire behind host staging.
+
+    ``HSIP_STAGING`` ∈ {auto, one_put, put_train} overrides the probe.
+    Mesh runs always stage one sharded put (the train's per-device
+    assembly isn't implemented — each video's bytes must land on its
+    shard's device, which NamedSharding already does in one call).
+    """
+    if mesh is not None:
+        return "one_put"
+    mode = os.environ.get("HSIP_STAGING", "auto")
+    if mode in ("one_put", "put_train"):
+        return mode
+    return "one_put" if _puts_are_lazy() else "put_train"
+
+
+# ONE reusable host staging buffer for one_put mode. Allocating a fresh
+# multi-hundred-MB array per call made every call re-pay the kernel's
+# first-touch page zeroing (the dev VM memcpys at 0.1-0.3 GB/s, so ~478 MB
+# of fault-zeroing cost seconds per repeat in BENCH_r03). Reuse is safe:
+# the one_put path blocks the transfer inside its h2d stage, so the buffer
+# is idle by the time the call returns. Keyed on shape; only the latest
+# shape is retained (the library loop reuses one shape for a whole group).
+_STAGING_POOL: dict = {}
+
+
+def _pooled_staging(shape) -> np.ndarray:
+    buf = _STAGING_POOL.get("buf")
+    if buf is None or buf.shape != shape:
+        _STAGING_POOL["buf"] = buf = np.empty(shape, np.uint8)
+    return buf
+
+
+def _gather_workers(n_videos: int) -> int:
+    """Concurrent per-video gathers for the library staging pool.
+
+    Each native gather is already internally parallel (the codec floors
+    OpenMP at 16 threads for page-fault I/O concurrency), so stacking
+    several of them oversubscribes a small host hard — on the 1-CPU dev
+    VM, 4 concurrent gathers summed ~8.5 s where one-at-a-time costs
+    ~0.1 s/video (BENCH_r03). Default: serialize and let the codec's own
+    threads do the overlapping. ``HSIP_GATHER_WORKERS`` overrides for
+    many-core hosts where genuinely parallel gathers win.
+    """
+    env = os.environ.get("HSIP_GATHER_WORKERS")
+    if env:
+        return max(1, min(int(env), n_videos))
+    return 1
+
+
 def _fused_budget_bytes(n_videos: int, n_max: int, w: int, band_rows: int,
                         depth: int) -> int:
     """Payload + dominant intermediates for the fused program, in bytes.
@@ -83,6 +169,7 @@ def _fused_program(
     frames_per_step: int,
     mesh=None,
     video_axis: str = "video",
+    staging: str = "one_put",
 ):
     """Build (and cache) the one jitted device program for a static config.
 
@@ -90,6 +177,17 @@ def _fused_program(
     host-prepared scan-side arrays and returns ONLY the (V, n_max) integer
     positions — everything else (profiles, advisory stop latches) is dead
     code XLA eliminates, so no intermediate ever crosses the link.
+
+    ``staging`` selects the payload calling convention (see
+    :func:`_staging_mode` for the routing):
+
+    - ``"one_put"``: ONE batched (V, n_max, B, row_nbytes) array — one
+      transfer, the right shape for high-latency links with lazily staged
+      puts (the dev tunnel).
+    - ``"put_train"``: a TUPLE of V per-video (n_max, B, row_nbytes)
+      arrays, each ``device_put`` as soon as its gather lands so transfer
+      k overlaps gather k+1 on eager-DMA links (real PCIe); the program
+      stacks them on device (an HBM-side copy, ~free next to the wire).
 
     With ``mesh`` the WHOLE program (unpack → band chain → scan) is
     ``shard_map``-ped over ``video_axis`` — each device decodes and tracks
@@ -112,8 +210,11 @@ def _fused_program(
             method_frac):
         # stacked: (V, n_max, B, row_nbytes) u8 — ONE host array, gathered
         # per-video straight into its slices (zero intermediate copies)
-        # and shipped as ONE transfer. Under shard_map V is the LOCAL
-        # video count.
+        # and shipped as ONE transfer — or, in put_train staging, a tuple
+        # of V per-video arrays stacked here on device. Under shard_map V
+        # is the LOCAL video count.
+        if staging == "put_train":
+            stacked = jnp.stack(stacked)
         V, n_max = stacked.shape[:2]
         # Frame j's differencing prior is frame j-1 of the SAME video
         # (j=0 has none). Rows past a video's true length are scan-masked
@@ -289,10 +390,23 @@ def track_uniform_videos_fused(
 
     rnb = w * depth0 // 8
     B = 2 * margin + 1
-    # np.zeros = calloc: pad rows stay untouched zero pages; the gathers
-    # are the only host writes the staging buffer ever costs. Mesh-pad
-    # videos (indices V..Vp) keep their all-zero payload slices.
-    big = np.zeros((Vp, n_max, B, rnb), np.uint8)
+    staging_mode = _staging_mode(mesh)
+    if staging_mode == "one_put":
+        # Pooled buffer: pad rows/videos may hold stale bytes, which is
+        # safe — the scan hard-gates every masked step on `empty`
+        # (device_scan.py `active`), so masked profile values are never
+        # consumed. Mesh-pad video slices are re-zeroed for determinism.
+        big = _pooled_staging((Vp, n_max, B, rnb))
+        if v_pad:
+            big[V:] = 0
+        targets = [big[i] for i in range(V)]
+    else:
+        # put_train: FRESH per-video buffers. A lazily staged link may
+        # still be reading a host buffer when a pool would hand it out
+        # again; fresh buffers make the train safe on every link family.
+        big = None
+        targets = [np.empty((n_max, B, rnb), np.uint8) for _ in range(V)]
+    dev_bufs: List = [None] * Vp
     bgs = np.zeros(Vp, np.float32)
     count_futs = [None] * V
     counts_done = [None] * V  # resolved counts from the fused one-pass
@@ -310,18 +424,28 @@ def track_uniform_videos_fused(
             # the staging hot path is memory-bound). Falls back to the
             # two-pass shape only on a stale .so / exotic container.
             fused_rc = video.band_bytes_and_counts(
-                0, n, rows, bg, noise, out=big[i, :n]
+                0, n, rows, bg, noise, out=targets[i][:n]
             )
             if fused_rc is not None:
                 counts_done[i] = fused_rc[1]
-                return
-            count_futs[i] = count_pool.submit(
-                stage_times.wrap("counts_host", count_fn), 0, n, bg, noise,
-            )
-            read_band(0, n, rows, out=big[i, :n])
+            else:
+                count_futs[i] = count_pool.submit(
+                    stage_times.wrap("counts_host", count_fn), 0, n, bg,
+                    noise,
+                )
+                read_band(0, n, rows, out=targets[i][:n])
+        if staging_mode == "put_train":
+            # Ship video i the moment its gather lands: on an eager-DMA
+            # link the put call IS the wire, so transfer i overlaps
+            # gather i+1. The host ref drops right after — jax keeps its
+            # own until the bytes are on device.
+            with stage_times.stage("h2d"):
+                dev_bufs[i] = jax.device_put(targets[i])
+            targets[i] = None
 
     with ThreadPoolExecutor(max_workers=1) as count_pool, \
-            ThreadPoolExecutor(max_workers=min(4, V)) as gather_pool:
+            ThreadPoolExecutor(
+                max_workers=_gather_workers(V)) as gather_pool:
         gather_futs = [gather_pool.submit(_gather_one, i) for i in range(V)]
         # Phase A: land EVERY gather before the put. The transfer's wire
         # pacing runs on the host CPU (transport stack), so host work
@@ -369,12 +493,20 @@ def track_uniform_videos_fused(
             ).max_displacement_px
             profiles_meta.append(_FusedMeta(fidx[i, :n], w))
 
-        # Phase B: ONE put of the whole batch — the CPU is idle (gathers
-        # and counts all resolved), no compute dispatched until the
-        # payload is in flight. Under a mesh the put is SHARDED: each
-        # device receives only its (Vp/n_shards) videos' bytes.
+        # Phase B: ship the payload. one_put: ONE put of the whole batch —
+        # the CPU is idle (gathers and counts all resolved), no compute
+        # dispatched until the payload is in flight; under a mesh the put
+        # is SHARDED so each device receives only its (Vp/n_shards)
+        # videos' bytes. put_train: every per-video put already rode out
+        # inside its gather (mesh-pad videos get zero payloads here).
         with stage_times.stage("h2d"):
-            if mesh is None:
+            if staging_mode == "put_train":
+                for i in range(V, Vp):
+                    dev_bufs[i] = jax.device_put(
+                        np.zeros((n_max, B, rnb), np.uint8)
+                    )
+                stacked_dev = tuple(dev_bufs)
+            elif mesh is None:
                 stacked_dev = jax.device_put(big)
             else:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -383,7 +515,18 @@ def track_uniform_videos_fused(
                     big,
                     NamedSharding(mesh, P(video_axis, None, None, None)),
                 )
-            del big
+            if staging_mode == "one_put":
+                # Block the ONE put here so "h2d" measures the wire and
+                # the later "d2h" measures device wait + fetch (device_put
+                # is lazily staged on some backends, which silently
+                # shifted wire time into d2h — BENCH_r03's misleading
+                # attribution). Perf-neutral for a single put: nothing
+                # else runs until the program that consumes it is
+                # dispatched right after. It also makes the pooled host
+                # buffer provably idle before the next fused call reuses
+                # it.
+                jax.block_until_ready(stacked_dev)
+            big = None
 
     from .pallas_scan import default_frames_per_step
 
@@ -405,6 +548,7 @@ def track_uniform_videos_fused(
         frames_per_step=default_frames_per_step(),
         mesh=mesh,
         video_axis=video_axis,
+        staging=staging_mode,
     )
     kernel_fraction = np.float32(
         config.threshold_fraction if method == "threshold"

@@ -45,6 +45,14 @@ def test_force_cpu_run_emits_labeled_json():
     assert result["single_video_fps"] > 0
     assert result["library_fps"] > 0
     assert "error" not in result
+    # --mode both compares the batched library against the PER-FILE loop
+    # over the same recordings (identical bytes per repeat); the artifact
+    # must say so and carry the per-repeat samples it claims variance from.
+    assert result["single_mode"].startswith("per-file loop")
+    assert result["samples"]["per_file_s"], result["samples"]
+    assert result["samples"]["library_s"], result["samples"]
+    assert result["single_end_to_end_s"] > 0
+    assert result["library_end_to_end_s"] > 0
 
 
 def test_child_timeout_on_cpu_emits_error_json():

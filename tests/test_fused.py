@@ -130,6 +130,51 @@ def test_fused_engages_under_mesh_and_matches(tmp_path):
         assert out.break_reason == exp.break_reason
 
 
+@pytest.mark.parametrize("staging", ["one_put", "put_train"])
+def test_fused_staging_modes_match(tmp_path, monkeypatch, staging):
+    """Both payload calling conventions (ONE batched put vs a per-video
+    put train) must be row-identical to the host scan — ragged lengths
+    included, so the pad rows a pooled/uninitialized buffer leaves as
+    garbage are proven scan-masked. Two back-to-back calls also exercise
+    one_put's pooled-buffer reuse."""
+    monkeypatch.setenv("HSIP_STAGING", staging)
+    lengths = (40, 25, 33)
+    for i, n in enumerate(lengths):
+        _write(tmp_path, f"nova-run-{i + 1}-001", n_frames=n, seed=40 + i)
+    config = FlameDetectorConfig()
+    expected = []
+    for i in range(len(lengths)):
+        with open_video(str(tmp_path / f"nova-run-{i + 1}-001.cihx")) as v:
+            expected.append(track_video(v, config, 1.0, 0.0, scan="host",
+                                        use_absolute_time=True))
+    with open_collection(str(tmp_path)) as coll:
+        videos = list(coll)
+        for _ in range(2):  # second call reuses the pooled staging buffer
+            outs = track_uniform_videos_fused(
+                videos, videos[0].frame_shape[1], config, None, True,
+            )
+            assert outs is not None
+            for out, exp in zip(outs, expected):
+                assert _rows(out) == _rows(exp)
+                assert out.break_reason == exp.break_reason
+
+
+def test_staging_mode_routing(monkeypatch):
+    """Mesh runs force one_put; HSIP_STAGING overrides the probe; auto
+    resolves via the measured put-laziness probe."""
+    from hsip_tpu.parallel import make_mesh
+    from hsip_tpu.track.fused import _puts_are_lazy, _staging_mode
+
+    monkeypatch.setenv("HSIP_STAGING", "put_train")
+    assert _staging_mode(None) == "put_train"
+    assert _staging_mode(make_mesh("video")) == "one_put"
+    monkeypatch.setenv("HSIP_STAGING", "one_put")
+    assert _staging_mode(None) == "one_put"
+    monkeypatch.setenv("HSIP_STAGING", "auto")
+    expected = "one_put" if _puts_are_lazy() else "put_train"
+    assert _staging_mode(None) == expected
+
+
 def test_fused_env_knob_disables(tmp_path, monkeypatch):
     _write(tmp_path, "nova-run-1-001")
     monkeypatch.setenv("HSIP_FUSED", "0")
