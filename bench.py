@@ -493,6 +493,16 @@ def run_bench(args, config) -> dict:
             extra["library_stages"] = best_st_l.as_dict(3)
             extra["library_end_to_end_s"] = round(best_l, 3)
             extra["library_median_s"] = round(med_l, 3)
+            # Host-staging roofline (VERDICT r3 #4): the no-wire ceiling on
+            # production hardware is the host side of staging — the fused
+            # native gather+count pass (read_gather; counts_host only on
+            # the two-pass fallback). Library gathers are serialized, so
+            # the stage sum IS wall-clock here.
+            lib_stages = best_st_l.as_dict(6)
+            host_s = (lib_stages.get("read_gather", 0.0)
+                      + lib_stages.get("counts_host", 0.0))
+            if host_s > 0:
+                extra["host_staging_fps"] = round(total_frames / host_s, 1)
             print(
                 f"library: videos={args.videos} frames={total_frames} "
                 f"end_to_end_s={best_l:.3f} rows={len(outs[0].rows)} "

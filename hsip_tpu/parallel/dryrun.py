@@ -222,7 +222,17 @@ def run_pipeline_dryrun(n_devices: int) -> int:
                     f"sharded table differs: {mt.name}"
                 )
 
+        from ..track.batch import LAST_GROUP_PATHS
+
         outs = run("out-mesh", use_mesh=True)
+        # The uniform-shape group must take the FUSED one-program path
+        # under the mesh (VERDICT r3 #7): a silent fallback to the chunked
+        # path would pass the byte-identity below while the artifact
+        # claimed the fused property. (The artifact tail names the path.)
+        mesh_paths = list(LAST_GROUP_PATHS)
+        assert mesh_paths == ["fused"], (
+            f"uniform-shape mesh group did not fuse: {mesh_paths}"
+        )
         run("out-single", use_mesh=False)
         compare("out-mesh", "out-single")
         # Named-detector variant: the sharded kernel step carries the
@@ -230,6 +240,6 @@ def run_pipeline_dryrun(n_devices: int) -> int:
         run("out-mesh-g", use_mesh=True, method="gradient")
         run("out-single-g", use_mesh=False, method="gradient")
         compare("out-mesh-g", "out-single-g")
-        return len(outs)
+        return len(outs), mesh_paths[0]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -41,6 +41,13 @@ __all__ = ["track_collection_device", "ScanHistory", "build_device_scan_output"]
 # mode — tests exercise the kernel path, incl. under shard_map, on CPU).
 _PALLAS_MODE = "auto"
 
+# Introspection: which library path each uniform-shape group took on the
+# most recent track_collection_device call — "fused" (one device program)
+# or "chunked" (general map-then-scan). The driver dryrun and the chip
+# tier assert the fused path actually engaged; a silent fallback would
+# pass parity while losing the perf property the bench claims.
+LAST_GROUP_PATHS: List[str] = []
+
 
 def _use_batched_kernel(v_per_device: int, w: int, method: str) -> bool:
     """Route a per-device video batch to the batched Pallas kernel or the
@@ -259,6 +266,7 @@ def track_collection_device(
     exceed end-to-end wall-clock (see StageTimes).
     """
     config = config or FlameDetectorConfig()
+    LAST_GROUP_PATHS.clear()
     videos = list(collection)
     if not videos:
         return []
@@ -339,7 +347,9 @@ def _track_uniform_videos(
         stage_times=stage_times, mesh=mesh, video_axis=video_axis,
     )
     if fused is not None:
+        LAST_GROUP_PATHS.append("fused")
         return fused
+    LAST_GROUP_PATHS.append("chunked")
 
     # --- map phase per video (chunked, packed on-device decode) ---
     # A small thread pool overlaps one video's HOST work (C++ counts + band

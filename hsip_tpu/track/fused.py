@@ -441,6 +441,13 @@ def track_uniform_videos_fused(
             # own until the bytes are on device.
             with stage_times.stage("h2d"):
                 dev_bufs[i] = jax.device_put(targets[i])
+                if _puts_are_lazy():
+                    # Lazily staged link: force the wire per video, inside
+                    # the train. One sustained whole-batch transfer
+                    # degrades the dev tunnel's effective rate (buffer
+                    # bloat), while per-video transfers separated by
+                    # gather gaps hold the per-file loop's measured rate.
+                    jax.block_until_ready(dev_bufs[i])
             targets[i] = None
 
     with ThreadPoolExecutor(max_workers=1) as count_pool, \

@@ -1,5 +1,6 @@
-"""Quoted doc numbers must match docs/evidence/headline.json (VERDICT r2
-weak #1 / next #8: one source of truth; stale claims fail loudly)."""
+"""Quoted doc numbers must be DERIVED from named evidence files (VERDICT
+r3 #3: no hand-typed numbers anywhere in the chain — a quoted range whose
+bound appears in no archived evidence file must be impossible)."""
 
 import json
 import subprocess
@@ -7,22 +8,88 @@ import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+TOOL = REPO / "tools" / "refresh_doc_numbers.py"
+
+
+def _check(cwd=REPO):
+    return subprocess.run(
+        [sys.executable, str(TOOL), "--check"],
+        capture_output=True, text=True, cwd=cwd,
+    )
 
 
 def test_doc_numbers_match_evidence():
-    proc = subprocess.run(
-        [sys.executable, str(REPO / "tools" / "refresh_doc_numbers.py"),
-         "--check"],
-        capture_output=True, text=True,
-    )
+    proc = _check()
     assert proc.returncode == 0, proc.stderr
 
 
-def test_headline_numbers_have_provenance():
+def test_every_headline_number_has_a_derivation():
     data = json.loads(
         (REPO / "docs" / "evidence" / "headline.json").read_text()
     )
     assert data["numbers"], "headline.json must carry the quoted numbers"
+    for key, spec in data["numbers"].items():
+        assert isinstance(spec, dict), f"{key}: bare string (hand-typed)"
+        assert ("field" in spec or "fields" in spec or "grep" in spec), (
+            f"{key}: no derivation — hand-typed numbers are not allowed"
+        )
+        if "grep" not in spec:
+            assert spec.get("files"), f"{key}: no evidence files named"
     prov = data.get("provenance", {})
     assert prov.get("captured"), "capture date missing"
     assert prov.get("source"), "evidence source missing"
+
+
+def test_tampered_number_fails_check(tmp_path):
+    """A hand-edited headline text (the '~1230' orphan class) must fail."""
+    import shutil
+
+    # Mirror just enough of the repo for the tool to run against.
+    work = tmp_path / "repo"
+    (work / "tools").mkdir(parents=True)
+    (work / "docs" / "evidence").mkdir(parents=True)
+    shutil.copy(TOOL, work / "tools" / "refresh_doc_numbers.py")
+    for src in (REPO / "docs" / "evidence").iterdir():
+        if src.is_file():
+            shutil.copy(src, work / "docs" / "evidence" / src.name)
+    for name in ("BENCH_r02.json", "BENCH_r03.json"):
+        if (REPO / name).exists():
+            shutil.copy(REPO / name, work / name)
+    head = work / "docs" / "evidence" / "headline.json"
+    data = json.loads(head.read_text())
+    data["numbers"]["r3_library_fps_range"]["text"] = "~1230-1530 frames/s"
+    head.write_text(json.dumps(data))
+    proc = subprocess.run(
+        [sys.executable, str(work / "tools" / "refresh_doc_numbers.py"),
+         "--check"],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 1
+    assert "r3_library_fps_range" in proc.stderr
+
+
+def test_underivable_number_fails_check(tmp_path):
+    """An entry with no derivation spec must fail --check outright."""
+    import shutil
+
+    work = tmp_path / "repo"
+    (work / "tools").mkdir(parents=True)
+    (work / "docs" / "evidence").mkdir(parents=True)
+    shutil.copy(TOOL, work / "tools" / "refresh_doc_numbers.py")
+    for src in (REPO / "docs" / "evidence").iterdir():
+        if src.is_file():
+            shutil.copy(src, work / "docs" / "evidence" / src.name)
+    for name in ("BENCH_r02.json", "BENCH_r03.json"):
+        if (REPO / name).exists():
+            shutil.copy(REPO / name, work / name)
+    head = work / "docs" / "evidence" / "headline.json"
+    data = json.loads(head.read_text())
+    data["numbers"]["freehand"] = {"text": "9999 frames/s"}
+    head.write_text(json.dumps(data))
+    proc = subprocess.run(
+        [sys.executable, str(work / "tools" / "refresh_doc_numbers.py"),
+         "--check"],
+        capture_output=True, text=True,
+    )
+    assert proc.returncode == 1
+    assert "freehand" in proc.stderr

@@ -258,4 +258,4 @@ def test_multichip_dryrun_pipeline():
     mesh writes tables byte-identical to the unsharded run."""
     from hsip_tpu.parallel.dryrun import run_pipeline_dryrun
 
-    assert run_pipeline_dryrun(8) == 3
+    assert run_pipeline_dryrun(8) == (3, "fused")
