@@ -15,9 +15,20 @@ op — there are no scalar-unit serialization points in the step body. The
 grid is ``(ceil(V/8), ceil(M/K))`` — video GROUPS major, frame groups
 minor, with K frames unrolled per sequential grid step
 (``frames_per_step``) — so a library batch of 8 videos scans in the SAME
-wall-clock as one video, and a single video is just a group padded with
-inert (all-empty) sublane videos. Per-video calibration, frame rate and
-displacement caps ride the sublane axis as resident (8, 1) blocks.
+wall-clock as one video. A single video takes the FOLDED layout instead
+of 7 inert pad sublanes: its profile row splits across the 8 sublanes as
+column groups, so every reduction touches one vreg instead of eight and
+each frame DMAs an eighth of the bytes. Per-video calibration, frame rate
+and displacement caps ride the sublane axis as resident (8, 1) blocks.
+
+Measured step latency (v5e, W=1024): ~2.2 µs/frame, FLAT across V=1..8,
+K=1..128, folded or not — ~5x the vmapped ``lax.scan`` at V=1. The step
+is LATENCY-bound, not throughput-bound: folding (8x less vector work and
+DMA) and register-batching the per-frame VMEM loads/stores each moved it
+<10%, so the residual is the state machine's serial dependency chain
+(detect → position → next frame's search window), which no layout change
+shortens. Both optimizations are kept — they shrink VMEM/DMA pressure at
+equal speed and win ~20% at V=8.
 
 Scope: all four detectors — 'combined' (the reference tracker —
 min-gradient + rightmost-Sobel) plus the three named profile methods
@@ -140,53 +151,90 @@ def supports_pallas_scan(width: int, method: str) -> bool:
     return method in ("combined", "threshold", "half_maximum", "gradient")
 
 
-def _lane_width(width: int) -> int:
-    """Profile row width padded up to the TPU lane count (128)."""
-    return -(-width // 128) * 128
+def _lane_width(width: int, folded: bool = False) -> int:
+    """Profile row width padded up to the TPU lane count (128) — or, for
+    the FOLDED V=1 layout, up to a full (8, 128) tile (1024) so the row
+    splits evenly into 8 sublane column-groups of a lane multiple each."""
+    unit = 128 * _SUBLANES if folded else 128
+    return -(-width // unit) * unit
 
 
-def _first_col(mask, cols):
-    """Per-row smallest column index where ``mask`` holds (``_BIG_I`` when
-    none): ``(8, W) -> (8, 1)``."""
+def _first_col(mask, cols, axes=1):
+    """Smallest column index where ``mask`` holds (``_BIG_I`` when none).
+    ``axes=1``: per-sublane-video, ``(8, W) -> (8, 1)``. ``axes=(0, 1)``
+    (folded layout): over the whole tile, ``-> (1, 1)``."""
     return jnp.min(
-        jnp.where(mask, cols, _BIG_I), axis=1, keepdims=True
+        jnp.where(mask, cols, _BIG_I), axis=axes, keepdims=True
     ).astype(jnp.int32)
 
 
-def _row_max(x):
-    return jnp.max(x, axis=1, keepdims=True)
+def _row_max(x, axes=1):
+    return jnp.max(x, axis=axes, keepdims=True)
 
 
-def _pl_threshold(prof, in_window, cols, fraction, min_intensity):
+def _pl_threshold(prof, in_window, cols, fraction, min_intensity, axes=1):
     """Kernel twin of ``device_scan._detect_window_threshold`` (first-
-    occurrence argmax done as an index-encoded reduction). All inputs ride
-    the sublane axis — one row per video — so every reduction is
-    ``axis=1``: ``(8, W) -> (8, 1)``."""
+    occurrence argmax done as an index-encoded reduction). With ``axes=1``
+    inputs ride the sublane axis — one row per video, ``(8, W) -> (8, 1)``;
+    with ``axes=(0, 1)`` (folded V=1 layout) the tile holds ONE video's
+    column groups and every reduction spans it, ``-> (1, 1)`` (broadcast
+    back against the (8, 1) state downstream)."""
     masked = jnp.where(in_window, prof, _NEG)
-    peak = _row_max(masked)
-    peak_idx = _first_col(masked == peak, cols)
+    peak = _row_max(masked, axes)
+    peak_idx = _first_col(masked == peak, cols, axes)
     below = jnp.logical_not(in_window & (prof >= fraction * peak))
-    first_below = _first_col((cols >= peak_idx) & below, cols)
-    window_end = _row_max(jnp.where(in_window, cols, -1)).astype(jnp.int32)
+    first_below = _first_col((cols >= peak_idx) & below, cols, axes)
+    window_end = _row_max(
+        jnp.where(in_window, cols, -1), axes
+    ).astype(jnp.int32)
     edge = jnp.where(first_below > window_end, window_end, first_below - 1)
     ok = (peak > min_intensity) & (edge >= peak_idx)
     return jnp.where(ok, edge, jnp.int32(-1))
 
 
-def _pl_half_maximum(prof, in_window, cols, fraction, min_intensity):
+def _pl_half_maximum(prof, in_window, cols, fraction, min_intensity, axes=1):
     """Kernel twin of ``device_scan._detect_window_half_maximum``."""
     masked = jnp.where(in_window, prof, _NEG)
-    peak = _row_max(masked)
-    peak_idx = _first_col(masked == peak, cols)
+    peak = _row_max(masked, axes)
+    peak_idx = _first_col(masked == peak, cols, axes)
     below = in_window & (cols >= peak_idx) & (prof < fraction * peak)
-    first_below = _first_col(below, cols)
-    window_end = _row_max(jnp.where(in_window, cols, -1)).astype(jnp.int32)
+    first_below = _first_col(below, cols, axes)
+    window_end = _row_max(
+        jnp.where(in_window, cols, -1), axes
+    ).astype(jnp.int32)
     edge = jnp.where(first_below > window_end, window_end, first_below - 1)
     ok = (peak > min_intensity) & (edge >= peak_idx)
     return jnp.where(ok, edge, jnp.int32(-1))
 
 
-def _pl_gradient(prof, in_window, cols, s0, s1, min_strength, width):
+def _fold_neighbors(prof):
+    """Flat-order neighbor tiles for the FOLDED layout.
+
+    Folded flat index f = sublane*L + lane, so the left neighbor of lane 0
+    is the PREVIOUS sublane's last lane (and symmetrically on the right) —
+    a plain lane roll would wrap within each column group. Compose a
+    sublane roll for the group-boundary lanes. The wrap at the extreme
+    ends (flat cols 0 and 8L-1) is inert for the same reason as the
+    unfolded kernel's: those columns are outside every window or replaced
+    by the one-sided boundary differences.
+    """
+    S, L = prof.shape
+    lane = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
+    left = jnp.where(
+        lane == 0,
+        pltpu.roll(pltpu.roll(prof, 1, 0), 1, 1),
+        pltpu.roll(prof, 1, 1),
+    )
+    right = jnp.where(
+        lane == L - 1,
+        pltpu.roll(pltpu.roll(prof, S - 1, 0), L - 1, 1),
+        pltpu.roll(prof, L - 1, 1),
+    )
+    return left, right
+
+
+def _pl_gradient(prof, in_window, cols, s0, s1, min_strength, width,
+                 axes=1):
     """Kernel twin of ``device_scan._detect_window_gradient``.
 
     Same TwoSum double-float carry and lexicographic (hi, lo) argmin —
@@ -195,20 +243,25 @@ def _pl_gradient(prof, in_window, cols, s0, s1, min_strength, width):
     land only at columns that are either outside every window or replaced
     by the one-sided boundary differences, so the wraparound is inert.
     Per-video profile reads at the window edges are one-hot masked row
-    sums (exact: a single lane contributes per row).
+    sums (exact: a single lane contributes per row). The folded layout
+    (``axes=(0, 1)``) swaps in flat-order neighbors and whole-tile
+    reductions/one-hot sums.
     """
     from .device_scan import _two_sum
 
-    wl = prof.shape[1]
-    left = pltpu.roll(prof, 1, 1)        # lane i <- prof[i-1]
-    right = pltpu.roll(prof, wl - 1, 1)  # lane i <- prof[i+1]
+    if axes == 1:
+        wl = prof.shape[1]
+        left = pltpu.roll(prof, 1, 1)        # lane i <- prof[i-1]
+        right = pltpu.roll(prof, wl - 1, 1)  # lane i <- prof[i+1]
+    else:
+        left, right = _fold_neighbors(prof)
     c_hi, c_lo = _two_sum(right, -left)
     c_hi, c_lo = c_hi * 0.5, c_lo * 0.5  # *0.5 is exact
 
     def at(idx):
         idx = jnp.clip(idx, 0, width - 1)
         return jnp.sum(
-            jnp.where(cols == idx, prof, 0.0), axis=1, keepdims=True
+            jnp.where(cols == idx, prof, 0.0), axis=axes, keepdims=True
         )
 
     l_hi, l_lo = _two_sum(at(s0 + 1), -at(s0))
@@ -220,10 +273,10 @@ def _pl_gradient(prof, in_window, cols, s0, s1, min_strength, width):
     g_hi = jnp.where(in_window, g_hi, _POS)
     g_lo = jnp.where(in_window, g_lo, _POS)
 
-    m_hi = jnp.min(g_hi, axis=1, keepdims=True)
+    m_hi = jnp.min(g_hi, axis=axes, keepdims=True)
     tie = g_hi == m_hi
-    m_lo = jnp.min(jnp.where(tie, g_lo, _POS), axis=1, keepdims=True)
-    pos = _first_col(tie & (g_lo == m_lo), cols)
+    m_lo = jnp.min(jnp.where(tie, g_lo, _POS), axis=axes, keepdims=True)
+    pos = _first_col(tie & (g_lo == m_lo), cols, axes)
 
     def _lt(threshold):
         return (m_hi < threshold) | ((m_hi == threshold) & (m_lo < 0))
@@ -233,15 +286,26 @@ def _pl_gradient(prof, in_window, cols, s0, s1, min_strength, width):
 
 
 def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
-                 frames_per_step=1, lane_width=None, method="combined"):
+                 frames_per_step=1, lane_width=None, method="combined",
+                 folded=False):
     # `w` (the LOGICAL width) drives every search/exit bound; the rows in
     # VMEM are `wl` lanes wide, with pad lanes masked out by `in_window`
     # (s1 <= w - edge_margin < w <= wl, so cols >= w never enter a
     # window and never win a reduction).
+    #
+    # `folded` (the V=1 fast layout): the profile tile's 8 sublanes hold
+    # ONE video's row split into 8 column groups of wl/8 lanes — every
+    # reduction spans the whole tile (1 vreg per vector op instead of 8,
+    # and 8x less DMA per frame than a sublane-video tile with 7 inert
+    # rows). The step machinery is IDENTICAL: whole-tile reductions give
+    # (1, 1) candidates that broadcast against the (8, 1) state vectors
+    # (every sublane carries the same video's state), so outputs equal the
+    # unfolded kernel's bit for bit — host reads sublane 0.
     w = width
     wl = lane_width if lane_width is not None else width
     K = frames_per_step
     S = _SUBLANES
+    raxes = (0, 1) if folded else 1
 
     # 'combined' consumes two profile rows (sobel, gradient); the named
     # methods consume one (intensity) — the kernel arity follows.
@@ -276,7 +340,15 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
         calibration = cal_ref[0, 0]   # (8, 1) f32 — per sublane video
         frame_rate = fr_ref[0, 0]     # (8, 1) f32
         max_disp = md_ref[0, 0]       # (8, 1) i32
-        cols = jax.lax.broadcasted_iota(jnp.int32, (S, wl), 1)
+        if folded:
+            # Column index of folded element [s, l] = s*(wl/8) + l.
+            Lf = wl // S
+            cols = (
+                jax.lax.broadcasted_iota(jnp.int32, (S, Lf), 0) * Lf
+                + jax.lax.broadcasted_iota(jnp.int32, (S, Lf), 1)
+            )
+        else:
+            cols = jax.lax.broadcasted_iota(jnp.int32, (S, wl), 1)
 
         # State loads ONCE per grid step; the K unrolled frames thread it
         # through registers and store once at the end.
@@ -296,13 +368,23 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
         stop_reason = out_stop_reason[0, 0]
         clear_vc = out_clear_vc[0, 0]
 
+        # Per-step scalars load ONCE per grid step ((1, K, 8, 1) blocks)
+        # and slice in registers; per-frame out rows accumulate in
+        # registers and store once at the end. The step body's critical
+        # path is LATENCY-bound (folding cut vector work and DMA 8x with
+        # no time change), so per-frame VMEM round-trips are minimized.
+        fidx_all = fidx_ref[...]
+        empty_all = empty_ref[...]
+        prior_all = prior_ref[...]
+        acc_final, acc_rec, acc_post, acc_s0, acc_s1 = [], [], [], [], []
+
         # K frames per grid step (statically unrolled): amortizes the
         # per-step grid + DMA overhead; K=1 is the plain per-frame scan.
         for j in range(K):
             step_idx = i * K + j
-            frame = fidx_ref[0, j]      # (8, 1) i32
-            is_empty = empty_ref[0, j]  # (8, 1) i32
-            prior_ok = prior_ref[0, j]  # (8, 1) i32
+            frame = fidx_all[0, j]      # (8, 1) i32
+            is_empty = empty_all[0, j]  # (8, 1) i32
+            prior_ok = prior_all[0, j]  # (8, 1) i32
 
             # Tracking continues past the f32 stop decision (advisory only):
             # the authoritative exit/velocity-drop truncation is recomputed
@@ -330,23 +412,23 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
             # in the sublane group evaluates its own window in one VPU op.
             in_window = (cols >= s0) & (cols < s1)
             if method == "combined":
-                sob = prof_refs[0][0, j]    # (8, W) — sublane = video
-                grad = prof_refs[1][0, j]
+                sob = prof_refs[0][0, j]    # (8, W): sublane = video, or
+                grad = prof_refs[1][0, j]   # (8, W/8) column groups folded
 
                 grad_m = jnp.where(in_window, grad, _POS)
-                gmin = jnp.min(grad_m, axis=1, keepdims=True)
+                gmin = jnp.min(grad_m, axis=raxes, keepdims=True)
                 # First-occurrence argmin as an index reduction (exact).
                 pos_g = jnp.min(
                     jnp.where(grad_m == gmin, cols, _BIG_I),
-                    axis=1, keepdims=True,
+                    axis=raxes, keepdims=True,
                 ).astype(jnp.int32)
                 g_ok = window_nonempty & (gmin < -min_grad)
 
                 abs_sob = jnp.where(in_window, jnp.abs(sob), _NEG)
-                smax = jnp.max(abs_sob, axis=1, keepdims=True)
+                smax = jnp.max(abs_sob, axis=raxes, keepdims=True)
                 above = in_window & (abs_sob > smax * sobel_frac)
                 pos_s = jnp.max(
-                    jnp.where(above, cols, -1), axis=1, keepdims=True
+                    jnp.where(above, cols, -1), axis=raxes, keepdims=True
                 ).astype(jnp.int32)
                 s_ok = window_nonempty & (smax > min_grad) & (pos_s >= 0)
 
@@ -355,15 +437,18 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
                 )
             elif method == "threshold":
                 final = _pl_threshold(
-                    prof_refs[0][0, j], in_window, cols, method_frac, min_grad
+                    prof_refs[0][0, j], in_window, cols, method_frac,
+                    min_grad, raxes,
                 )
             elif method == "half_maximum":
                 final = _pl_half_maximum(
-                    prof_refs[0][0, j], in_window, cols, method_frac, min_grad
+                    prof_refs[0][0, j], in_window, cols, method_frac,
+                    min_grad, raxes,
                 )
             elif method == "gradient":
                 final = _pl_gradient(
-                    prof_refs[0][0, j], in_window, cols, s0, s1, min_grad, w
+                    prof_refs[0][0, j], in_window, cols, s0, s1, min_grad,
+                    w, raxes,
                 )
             else:
                 raise ValueError(f"Unknown detection method: {method!r}")
@@ -415,12 +500,14 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
             recorded = detected & jnp.logical_not(stopped_now)
             is_post = (new_ddt >= 0) & (frame >= new_ddt)
 
-            # ---- per-step outputs ((8, 1) vector stores) ----
-            out_final[0, j] = final
-            out_rec[0, j] = recorded.astype(jnp.int32)
-            out_post[0, j] = is_post.astype(jnp.int32)
-            out_s0[0, j] = s0
-            out_s1[0, j] = s1
+            # ---- per-step outputs (accumulated; ONE store per ref below)
+            acc_final.append(jnp.broadcast_to(final, (S, 1)))
+            acc_rec.append(jnp.broadcast_to(recorded.astype(jnp.int32),
+                                            (S, 1)))
+            acc_post.append(jnp.broadcast_to(is_post.astype(jnp.int32),
+                                             (S, 1)))
+            acc_s0.append(jnp.broadcast_to(s0, (S, 1)))
+            acc_s1.append(jnp.broadcast_to(s1, (S, 1)))
 
             # ---- event latches (register-threaded, write-once) ----
             first_stop = stopped_now & (stop_step < 0)
@@ -440,6 +527,13 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
             vl_ok, vp_ok = new_vl_ok, new_vp_ok
             n_entries, ddt = new_n_entries, new_ddt
             v_latest, v_prev = new_v_latest, new_v_prev
+
+        # ---- per-frame output stores, ONE per ref per grid step ----
+        out_final[0] = jnp.stack(acc_final)
+        out_rec[0] = jnp.stack(acc_rec)
+        out_post[0] = jnp.stack(acc_post)
+        out_s0[0] = jnp.stack(acc_s0)
+        out_s1[0] = jnp.stack(acc_s1)
 
         # ---- state/latch stores ONCE per grid step ----
         lanes_i = jax.lax.broadcasted_iota(jnp.int32, (S, _N_I32), 1)
@@ -471,6 +565,7 @@ def _make_kernel(width, edge_margin_px, search_window_px, exit_margin_px,
         "interpret",
         "frames_per_step",
         "method",
+        "fold",
     ),
 )
 def pallas_tracking_scan_batched(
@@ -494,10 +589,22 @@ def pallas_tracking_scan_batched(
     method: str = "combined",
     intensity_lines: jnp.ndarray = None,   # (V, M, W) f32 — named methods
     method_fraction: jnp.ndarray = 0.5,    # threshold/half_maximum fraction
+    fold: bool = None,
 ) -> DeviceScanResult:
     """Whole-batch tracking scan: one kernel, grid (V, ceil(M/K)), state
     resets per video. Result fields are (V, M) / (V,) — the same structure
     as ``vmap(device_tracking_scan)``, to which it is bit-identical.
+
+    ``fold`` (static; default auto = fold iff V == 1,
+    ``HSIP_PALLAS_FOLD=0`` disables): the V=1 FOLDED layout splits the one
+    video's profile row across all 8 sublanes (column groups) instead of
+    padding 7 inert sublane videos — whole-tile reductions touch 1 vreg
+    per vector op instead of 8 and each frame DMAs wl floats instead of
+    8·wl (VERDICT r3 #6; per-sublane *dynamic window* slices are not
+    expressible on TPU — no per-sublane lane gather — and a shared-window
+    slice would need a full-width fallback for pre-detection frames;
+    folding needs neither). Bit-identical by the same contract as
+    everything else here.
 
     ``method`` (static) selects the detector, mirroring
     :func:`hsip_tpu.track.device_scan.device_tracking_scan`: 'combined'
@@ -530,10 +637,19 @@ def pallas_tracking_scan_batched(
         empty = jnp.pad(empty, ((0, 0), (0, pad)), constant_values=True)
         has_prior = jnp.pad(has_prior, ((0, 0), (0, pad)),
                             constant_values=True)
+    if fold is None:
+        import os
+
+        fold = (n_videos == 1
+                and os.environ.get("HSIP_PALLAS_FOLD", "1") != "0")
+    if fold and n_videos != 1:
+        raise ValueError("fold=True requires a single-video batch")
     # Lane padding: rows widen to a 128 multiple so any width lowers; the
     # pad lanes are outside every search window (masked by column index
     # against the LOGICAL width's bounds), so reductions never see them.
-    wl = _lane_width(w)
+    # The folded layout pads to a 1024 multiple so the row splits into 8
+    # equal lane-multiple column groups.
+    wl = _lane_width(w, folded=fold)
     if wl != w:
         profiles = [
             jnp.pad(p, ((0, 0), (0, 0), (0, wl - w))) for p in profiles
@@ -546,32 +662,61 @@ def pallas_tracking_scan_batched(
         jnp.asarray(method_fraction, jnp.float32),
     ])
 
-    # ---- sublane grouping: pad V to a multiple of 8, 8 videos per (8, W)
-    # tile. Pad videos are inert (all-empty, so their state never leaves
-    # init) and sliced away below. ----
     S = _SUBLANES
-    v_pad = (-n_videos) % S
-    vp = n_videos + v_pad
-    n_groups = vp // S
-    if v_pad:
-        frame_indices = jnp.pad(frame_indices, ((0, v_pad), (0, 0)))
-        empty = jnp.pad(empty, ((0, v_pad), (0, 0)), constant_values=True)
-        has_prior = jnp.pad(has_prior, ((0, v_pad), (0, 0)),
+    if fold:
+        # ---- FOLDED V=1 layout: the 8 sublanes hold the ONE video's row
+        # split into 8 column groups (tile (8, wl/8)); per-step scalars
+        # broadcast identically across sublanes, so every sublane carries
+        # the same video's state and sublane 0 is the answer. ----
+        n_groups, v_pad, vp = 1, 0, 1
+        tile_lanes = wl // S
+
+        def group_scalar(x, dtype):
+            x = jnp.asarray(x, dtype).reshape(1)
+            return jnp.broadcast_to(x[:, None, None, None], (1, 1, S, 1))
+
+        def group_step(x, dtype):
+            return jnp.broadcast_to(
+                x.astype(dtype)[:, :, None, None], (1, m_pad, S, 1)
+            )
+
+        prof4 = [p.reshape(1, m_pad, S, tile_lanes) for p in profiles]
+    else:
+        # ---- sublane grouping: pad V to a multiple of 8, 8 videos per
+        # (8, W) tile. Pad videos are inert (all-empty, so their state
+        # never leaves init) and sliced away below. ----
+        v_pad = (-n_videos) % S
+        vp = n_videos + v_pad
+        n_groups = vp // S
+        tile_lanes = wl
+        if v_pad:
+            frame_indices = jnp.pad(frame_indices, ((0, v_pad), (0, 0)))
+            empty = jnp.pad(empty, ((0, v_pad), (0, 0)),
                             constant_values=True)
-        profiles = [jnp.pad(p, ((0, v_pad), (0, 0), (0, 0)))
-                    for p in profiles]
+            has_prior = jnp.pad(has_prior, ((0, v_pad), (0, 0)),
+                                constant_values=True)
+            profiles = [jnp.pad(p, ((0, v_pad), (0, 0), (0, 0)))
+                        for p in profiles]
 
-    def group_scalar(x, dtype):
-        # (V,) per-video param -> (G, 1, 8, 1) resident sublane vectors.
-        x = jnp.asarray(x, dtype).reshape(n_videos)
-        x = jnp.pad(x, (0, v_pad), constant_values=1)
-        return x.reshape(n_groups, 1, S, 1)
+        def group_scalar(x, dtype):
+            # (V,) per-video param -> (G, 1, 8, 1) resident sublane vectors.
+            x = jnp.asarray(x, dtype).reshape(n_videos)
+            x = jnp.pad(x, (0, v_pad), constant_values=1)
+            return x.reshape(n_groups, 1, S, 1)
 
-    def group_step(x, dtype):
-        # (Vp, M) per-step scalar -> (G, M, 8, 1): sublane = video.
-        return jnp.transpose(
-            x.astype(dtype).reshape(n_groups, S, m_pad), (0, 2, 1)
-        ).reshape(n_groups, m_pad, S, 1)
+        def group_step(x, dtype):
+            # (Vp, M) per-step scalar -> (G, M, 8, 1): sublane = video.
+            return jnp.transpose(
+                x.astype(dtype).reshape(n_groups, S, m_pad), (0, 2, 1)
+            ).reshape(n_groups, m_pad, S, 1)
+
+        # (Vp, M, wl) -> (G, M, 8, wl): one transpose, XLA keeps the lanes.
+        prof4 = [
+            jnp.transpose(
+                p.reshape(n_groups, S, m_pad, wl), (0, 2, 1, 3)
+            )
+            for p in profiles
+        ]
 
     cal = group_scalar(calibration, jnp.float32)
     fr = group_scalar(frame_rate, jnp.float32)
@@ -579,17 +724,10 @@ def pallas_tracking_scan_batched(
     fidx = group_step(frame_indices, jnp.int32)
     empty_i = group_step(empty, jnp.int32)
     prior_i = group_step(has_prior, jnp.int32)
-    # (Vp, M, wl) -> (G, M, 8, wl): one transpose, XLA keeps the lane axis.
-    prof4 = [
-        jnp.transpose(
-            p.reshape(n_groups, S, m_pad, wl), (0, 2, 1, 3)
-        )
-        for p in profiles
-    ]
 
     kernel = _make_kernel(width, edge_margin_px, search_window_px,
                           exit_margin_px, frames_per_step=K,
-                          lane_width=wl, method=method)
+                          lane_width=wl, method=method, folded=fold)
 
     # Lowering rules (enforced by Mosaic): blocks' last two dims must
     # equal the array's — hence (G, M, 8, 1) step arrays with (1, K, 8, 1)
@@ -608,7 +746,8 @@ def pallas_tracking_scan_batched(
             resident,   # max_displacement
         ] + [
             # sobel+gradient ('combined') or intensity (named methods)
-            pl.BlockSpec((1, K, S, wl), lambda g, i, *pf: (g, i, 0, 0))
+            pl.BlockSpec((1, K, S, tile_lanes),
+                         lambda g, i, *pf: (g, i, 0, 0))
             for _ in prof4
         ],
         out_specs=[
@@ -646,14 +785,22 @@ def pallas_tracking_scan_batched(
         compiler_params=compiler_params,
     )(params_f, fidx, empty_i, prior_i, cal, fr, md, *prof4)
 
-    def ungroup_step(x):
-        # (G, M, 8, 1) -> (V, m)
-        return jnp.transpose(x[..., 0], (0, 2, 1)).reshape(
-            vp, m_pad
-        )[:n_videos, :m]
+    if fold:
+        def ungroup_step(x):
+            # (1, M, 8, 1), every sublane identical -> (1, m)
+            return x[0, :, 0, 0].reshape(1, m_pad)[:, :m]
 
-    def ungroup_latch(x):
-        return x.reshape(vp)[:n_videos]
+        def ungroup_latch(x):
+            return x.reshape(S)[:1]
+    else:
+        def ungroup_step(x):
+            # (G, M, 8, 1) -> (V, m)
+            return jnp.transpose(x[..., 0], (0, 2, 1)).reshape(
+                vp, m_pad
+            )[:n_videos, :m]
+
+        def ungroup_latch(x):
+            return x.reshape(vp)[:n_videos]
 
     finals = ungroup_step(finals)
     recs = ungroup_step(recs)

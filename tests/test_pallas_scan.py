@@ -63,6 +63,114 @@ def test_pallas_scan_random_profiles():
         _run_both(fidx, sob, grad, empty, prior, width=W, **_KW)
 
 
+def test_folded_matches_unfolded_v1():
+    """The V=1 FOLDED layout (profile row split across the 8 sublanes)
+    must be bit-identical to the sublane-video layout with 7 inert pads —
+    across widths that fold exactly (1024), pad within one tile (250,
+    640), and span two folded tiles (1500)."""
+    from hsip_tpu.track.pallas_scan import pallas_tracking_scan_batched
+
+    rng = np.random.default_rng(17)
+    for W in (1024, 250, 640, 1500):
+        M = int(rng.integers(16, 60))
+        sob = rng.normal(0, 30, (1, M, W)).astype(np.float32)
+        grad = rng.normal(0, 15, (1, M, W)).astype(np.float32)
+        empty = jnp.asarray(rng.random((1, M)) < 0.15)
+        prior = np.ones((1, M), bool)
+        prior[0, 0] = False
+        fidx = np.arange(M, dtype=np.int32).reshape(1, M)
+        kw = dict(
+            width=W,
+            min_gradient_strength=np.float32(10.0),
+            sobel_threshold_fraction=np.float32(0.1),
+            ddt_velocity_jump=np.float32(1250.0),
+            calibration=np.ones(1, np.float32) * 0.001,
+            frame_rate=np.ones(1, np.float32) * 100_000.0,
+            max_displacement_px=np.ones(1, np.int32) * 3,
+            interpret=True,
+        )
+        a = pallas_tracking_scan_batched(
+            fidx, sob, grad, empty, jnp.asarray(prior), fold=False, **kw
+        )
+        b = pallas_tracking_scan_batched(
+            fidx, sob, grad, empty, jnp.asarray(prior), fold=True, **kw
+        )
+        _assert_identical(a, b)
+
+
+@pytest.mark.parametrize("method", ["threshold", "half_maximum", "gradient"])
+def test_folded_named_methods_match(method):
+    """Folded layout parity for the named detectors — 'gradient' covers
+    the fold-boundary neighbor fix (_fold_neighbors)."""
+    from hsip_tpu.track.pallas_scan import pallas_tracking_scan_batched
+
+    rng = np.random.default_rng(23)
+    for W in (250, 1024):
+        M = 40
+        intens = np.abs(rng.normal(40, 30, (1, M, W))).astype(np.float32)
+        zeros = np.zeros((1, M, W), np.float32)
+        empty = jnp.asarray(rng.random((1, M)) < 0.1)
+        prior = np.ones((1, M), bool)
+        fidx = np.arange(M, dtype=np.int32).reshape(1, M)
+        kw = dict(
+            width=W,
+            min_gradient_strength=np.float32(5.0),
+            sobel_threshold_fraction=np.float32(0.1),
+            ddt_velocity_jump=np.float32(1250.0),
+            calibration=np.ones(1, np.float32) * 0.001,
+            frame_rate=np.ones(1, np.float32) * 100_000.0,
+            max_displacement_px=np.ones(1, np.int32) * 3,
+            interpret=True,
+            method=method,
+            intensity_lines=intens,
+            method_fraction=np.float32(0.5),
+        )
+        a = pallas_tracking_scan_batched(
+            fidx, zeros, zeros, empty, jnp.asarray(prior), fold=False, **kw
+        )
+        b = pallas_tracking_scan_batched(
+            fidx, zeros, zeros, empty, jnp.asarray(prior), fold=True, **kw
+        )
+        _assert_identical(a, b)
+
+
+def test_fold_env_knob(monkeypatch):
+    """HSIP_PALLAS_FOLD=0 disables auto-folding; fold=True at V>1 is an
+    error (the folded tile holds exactly one video's column groups)."""
+    from hsip_tpu.track.pallas_scan import pallas_tracking_scan_batched
+
+    rng = np.random.default_rng(5)
+    M, W = 16, 256
+    sob = rng.normal(0, 30, (2, M, W)).astype(np.float32)
+    kw = dict(
+        width=W,
+        min_gradient_strength=np.float32(10.0),
+        sobel_threshold_fraction=np.float32(0.1),
+        ddt_velocity_jump=np.float32(1250.0),
+        calibration=np.ones(2, np.float32),
+        frame_rate=np.ones(2, np.float32) * 1e5,
+        max_displacement_px=np.ones(2, np.int32) * 3,
+        interpret=True,
+    )
+    fidx = np.tile(np.arange(M, dtype=np.int32), (2, 1))
+    empty = jnp.zeros((2, M), bool)
+    prior = jnp.ones((2, M), bool)
+    with pytest.raises(ValueError, match="fold"):
+        pallas_tracking_scan_batched(
+            fidx, sob, sob, empty, prior, fold=True, **kw
+        )
+    # env off: V=1 auto-routing must pick the unfolded layout (proved by
+    # parity anyway; this pins the knob actually being read).
+    monkeypatch.setenv("HSIP_PALLAS_FOLD", "0")
+    kw1 = dict(kw, calibration=kw["calibration"][:1],
+               frame_rate=kw["frame_rate"][:1],
+               max_displacement_px=kw["max_displacement_px"][:1])
+    res = pallas_tracking_scan_batched(
+        fidx[:1], sob[:1], sob[:1], empty[:1], prior[:1], **kw1
+    )
+    assert np.asarray(res.final_position).shape == (1, M)
+
+
 def _video_profiles(flame, n=40, width=256, height=32):
     from hsip_tpu.track.scan import compute_profiles_batched
 

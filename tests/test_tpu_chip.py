@@ -457,6 +457,14 @@ _CHIP_PALLAS_SCAN = textwrap.dedent(
     print(f"PALLAS_US_PER_STEP {pls_us:.2f}")
     assert pls_us < lax_us / 2, (
         f"pallas scan not 2x faster: {pls_us:.2f} vs {lax_us:.2f} us/step")
+    # Tightened absolute gate (VERDICT r3 #6): the folded V=1 kernel with
+    # register-batched per-frame loads/stores measures 2.2-2.4 us/step on
+    # v5e (vs lax.scan's ~11). 2.2 us is the step's LATENCY floor, not a
+    # throughput limit — folding cut vector work and DMA 8x with no time
+    # change, and batching the per-frame VMEM round-trips moved it <10% —
+    # so 4.5 us trips on real regressions (lost fold, per-frame syncs)
+    # while leaving ~2x headroom for chip contention.
+    assert pls_us < 4.5, f"pallas V=1 scan regressed: {pls_us:.2f} us/step"
     print("PALLAS_SCAN_PERF_OK")
     """
 )
