@@ -454,6 +454,21 @@ def run_bench(args, config) -> dict:
             "median of interleaved order-alternating repeats "
             "(see samples); *_fps_best = legacy best-of"
         )
+        if run_single and run_library:
+            # Per-repeat pairing shares weather WITHIN each repeat, so the
+            # pairwise ratio isolates pipeline cost better than the two
+            # medians' quotient. > 1 means the batched library beat the
+            # per-file loop inside that repeat.
+            pair_ratios = sorted(
+                pf / lb for pf, lb in
+                zip(samples[single_key], samples["library_s"])
+            )
+            extra["library_speedup_pairwise_median"] = round(
+                statistics.median(pair_ratios), 3
+            )
+            extra["library_speedup_pairs"] = [
+                round(r, 3) for r in pair_ratios
+            ]
 
         if run_single:
             single_frames = total_frames if per_file_loop else args.frames
