@@ -121,6 +121,73 @@ def _pooled_staging(shape) -> np.ndarray:
     return buf
 
 
+# Introspection for tests: did the last fused call ship a clipped payload?
+_LAST_CLIPPED = False
+
+
+def _pooled_clip(shape) -> np.ndarray:
+    """Second pooled host buffer for the clipped payload (same reuse
+    contract as :func:`_pooled_staging` — the one_put path blocks the
+    transfer before returning)."""
+    buf = _STAGING_POOL.get("clip")
+    if buf is None or buf.shape != shape:
+        _STAGING_POOL["clip"] = buf = np.empty(shape, np.uint8)
+    return buf
+
+
+def _clip_threshold() -> float:
+    """Coverage above which the empty-range clip is not worth its copy.
+
+    ``HSIP_CLIP_EMPTY`` overrides (a float in (0, 1]; ``off``/``0``
+    disables). Default 0.7: the clip costs one host memcpy of exactly the
+    shipped bytes, so it must buy back ≥30% of the wire to clearly win.
+    """
+    raw = os.environ.get("HSIP_CLIP_EMPTY", "0.7")
+    if raw in ("off", "0"):
+        return 0.0
+    try:
+        return float(raw)
+    except ValueError:
+        return 0.7
+
+
+def _clip_ranges(empty: np.ndarray, lengths, n_max: int):
+    """Per-video non-empty ranges for the wire clip, or None to skip.
+
+    Returns ``(lo, L_each, L)`` — each video's range start
+    ``max(0, first_nonempty - 1)`` (keeping the first signal frame's
+    differencing prior in-range), per-video range lengths, and the padded
+    common length — when total coverage is below the threshold; ``None``
+    when the batch is dense (ship-everything stays zero-copy) or the clip
+    is disabled.
+    """
+    thr = _clip_threshold()
+    if thr <= 0.0:
+        return None
+    Vp = empty.shape[0]
+    lo = np.zeros(Vp, np.int64)
+    L_each = np.zeros(Vp, np.int64)
+    for i, n in enumerate(lengths):
+        nz = np.flatnonzero(~empty[i, :n])
+        if nz.size == 0:
+            continue  # all-empty video: nothing ships, rows stay masked
+        lo[i] = max(0, int(nz[0]) - 1)
+        L_each[i] = int(nz[-1]) - lo[i] + 1
+    total = int(L_each.sum())
+    if total == 0 or total / float(Vp * n_max) > thr:
+        return None
+    # Bucket the padded length to a power of two (clamped to n_max): the
+    # fused program jit-caches on shape, and ragged clip lengths would
+    # otherwise trigger a compile per library (the documented remote-
+    # compile stall trap). Pow-2 buckets bound the shape variety to
+    # log2(n_max) programs.
+    L = max(1, int(L_each.max()))
+    L = min(n_max, 1 << (L - 1).bit_length())
+    if L / float(n_max) > thr:
+        return None  # bucketing ate the saving; ship-everything is free
+    return lo, L_each, L
+
+
 def _gather_workers(n_videos: int) -> int:
     """Concurrent per-video gathers for the library staging pool.
 
@@ -500,6 +567,56 @@ def track_uniform_videos_fused(
             ).max_displacement_px
             profiles_meta.append(_FusedMeta(fidx[i, :n], w))
 
+        # --- empty-range wire clip (one_put only) ---
+        # The reference's is_empty_frame skip avoids PROCESSING dark
+        # frames but still reads them (`process_videos.py:743-763`); here
+        # the counts land during the fused gather pass, so videos with
+        # dark preambles/tails can additionally skip the WIRE and device
+        # compute: ship only each video's [first_nonempty-1, last]
+        # range (the -1 keeps the first signal frame's differencing
+        # prior in-range) and scatter the scan outputs back to full
+        # length on host. Rows outside the range are empty by definition
+        # — the scan hard-gates them, so outputs are bit-identical. The
+        # clip engages only when it pays (coverage below HSIP_CLIP_EMPTY,
+        # default 0.7): dense videos take the unchanged zero-copy path.
+        # put_train ships each video during its gather (before the batch
+        # ranges are known) and targets eager-DMA links where the wire is
+        # cheap, so it never clips.
+        clip = None
+        if staging_mode == "one_put":
+            clip = _clip_ranges(empty, [len(v) for v in videos], n_max)
+        if clip is not None:
+            with stage_times.stage("clip_copy"):
+                lo, L_each, L = clip
+                small = _pooled_clip((Vp, L, B, rnb))
+                fidx_c = np.zeros((Vp, L), np.int32)
+                fidx_c[:] = n_max + np.arange(L, dtype=np.int32)
+                empty_c = np.ones((Vp, L), bool)
+                prior_c = np.ones((Vp, L), bool)
+                for i in range(Vp):
+                    li = L_each[i]
+                    if li == 0:
+                        continue
+                    small[i, :li] = big[i, lo[i]:lo[i] + li]
+                    fidx_c[i, :li] = fidx[i, lo[i]:lo[i] + li]
+                    fidx_c[i, li:] = fidx_c[i, li - 1] + np.arange(
+                        1, L - li + 1, dtype=np.int32
+                    )
+                    empty_c[i, :li] = empty[i, lo[i]:lo[i] + li]
+                    prior_c[i, :li] = has_prior[i, lo[i]:lo[i] + li]
+                    if lo[i] > 0 and (method == "combined" or use_frame_diff):
+                        # The clip's row 0 is an empty frame whose profile
+                        # is never read; mark it prior-less like row 0 of
+                        # a full run (the program derives the actual
+                        # differencing prior from array position).
+                        prior_c[i, 0] = False
+                ship, fidx_s, empty_s, prior_s = small, fidx_c, empty_c, \
+                    prior_c
+        else:
+            ship, fidx_s, empty_s, prior_s = big, fidx, empty, has_prior
+        global _LAST_CLIPPED
+        _LAST_CLIPPED = clip is not None
+
         # Phase B: ship the payload. one_put: ONE put of the whole batch —
         # the CPU is idle (gathers and counts all resolved), no compute
         # dispatched until the payload is in flight; under a mesh the put
@@ -514,12 +631,12 @@ def track_uniform_videos_fused(
                     )
                 stacked_dev = tuple(dev_bufs)
             elif mesh is None:
-                stacked_dev = jax.device_put(big)
+                stacked_dev = jax.device_put(ship)
             else:
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 stacked_dev = jax.device_put(
-                    big,
+                    ship,
                     NamedSharding(mesh, P(video_axis, None, None, None)),
                 )
             if staging_mode == "one_put":
@@ -533,7 +650,7 @@ def track_uniform_videos_fused(
                 # buffer provably idle before the next fused call reuses
                 # it.
                 jax.block_until_ready(stacked_dev)
-            big = None
+            big = ship = None
 
     from .pallas_scan import default_frames_per_step
 
@@ -563,7 +680,7 @@ def track_uniform_videos_fused(
     )
     with stage_times.stage("device_dispatch"):
         finals_dev = program(
-            stacked_dev, bgs, fidx, empty, has_prior,
+            stacked_dev, bgs, fidx_s, empty_s, prior_s,
             cals, fpss, mds,
             np.float32(config.frame_diff_threshold),
             np.float32(config.min_gradient_strength),
@@ -572,6 +689,20 @@ def track_uniform_videos_fused(
             kernel_fraction,
         )
     del stacked_dev
+
+    if clip is not None:
+        # Scatter the clipped scan outputs back to full length so every
+        # downstream consumer (float64 reconstruction, truncation, empty
+        # counting) sees exactly the arrays an unclipped run produces.
+        lo, L_each, _L = clip
+        with stage_times.stage("d2h"):
+            fin = np.asarray(finals_dev)
+        full = np.full((Vp, n_max), -1, np.int32)
+        for i in range(Vp):
+            li = int(L_each[i])
+            if li:
+                full[i, lo[i]:lo[i] + li] = fin[i, :li]
+        finals_dev = full
 
     res = _FusedResult(finals_dev)
     return _batch._outputs_from_scan(

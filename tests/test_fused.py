@@ -175,6 +175,120 @@ def test_staging_mode_routing(monkeypatch):
     assert _staging_mode(None) == expected
 
 
+def test_clip_skips_dark_ranges_bit_identically(tmp_path, monkeypatch):
+    """Videos with long dark preambles ship only their non-empty range
+    (the reference merely skips PROCESSING dark frames,
+    process_videos.py:743-763 — the fused path also skips their wire and
+    device compute) with rows byte-identical to the host scan. A fully
+    dark video rides along (nothing ships for it)."""
+    import hsip_tpu.track.fused as fused_mod
+
+    monkeypatch.setenv("HSIP_STAGING", "one_put")
+    # Ignition deep into the recording: a ~60% dark preamble.
+    specs = [(64, 40, 50), (64, 44, 51)]
+    for i, (n, ign, seed) in enumerate(specs):
+        flame = FlameSpec(x0=25.0, v0_px=384 / 30, accel_px=0.0,
+                          ignition_frame=ign, seed=seed)
+        frames, _ = synthesize_flame_video(n, height=64, width=384,
+                                           flame=flame)
+        spec = CihxSpec(width=384, height=64, total_frames=n,
+                        record_rate=100_000, bit_depth=12)
+        write_recording(tmp_path, f"nova-run-{i + 1}-001", frames, spec=spec)
+    # All-dark rider: zero frames of signal end to end.
+    dark = np.zeros((64, 64, 384), np.uint16)
+    write_recording(tmp_path, "nova-run-3-001", dark,
+                    spec=CihxSpec(width=384, height=64, total_frames=64,
+                                  record_rate=100_000, bit_depth=12))
+    config = FlameDetectorConfig()
+    expected = []
+    for i in range(3):
+        with open_video(str(tmp_path / f"nova-run-{i + 1}-001.cihx")) as v:
+            expected.append(track_video(v, config, 1.0, 0.0, scan="host",
+                                        use_absolute_time=True))
+    with open_collection(str(tmp_path)) as coll:
+        videos = list(coll)
+        outs = track_uniform_videos_fused(
+            videos, videos[0].frame_shape[1], config, None, True,
+        )
+    assert outs is not None
+    assert fused_mod._LAST_CLIPPED, "dark-preamble batch must take the clip"
+    for out, exp in zip(outs, expected):
+        assert _rows(out) == _rows(exp)
+        assert out.break_reason == exp.break_reason
+        assert out.empty_frame_count == exp.empty_frame_count
+    assert not outs[2].rows  # the all-dark video records nothing
+
+    # Dense batch: the clip must stand down (ship-everything is zero-copy).
+    for f in tmp_path.glob("nova-run-*"):
+        f.unlink()
+    _write(tmp_path, "nova-run-1-001", seed=60)
+    with open_collection(str(tmp_path)) as coll:
+        videos = list(coll)
+        outs = track_uniform_videos_fused(
+            videos, videos[0].frame_shape[1], config, None, True,
+        )
+    assert outs is not None and outs[0].rows
+    assert not fused_mod._LAST_CLIPPED
+
+
+def test_clip_env_knob_disables(tmp_path, monkeypatch):
+    import hsip_tpu.track.fused as fused_mod
+
+    monkeypatch.setenv("HSIP_STAGING", "one_put")
+    monkeypatch.setenv("HSIP_CLIP_EMPTY", "off")
+    flame = FlameSpec(x0=25.0, v0_px=384 / 20, accel_px=0.0,
+                      ignition_frame=44, seed=52)
+    frames, _ = synthesize_flame_video(64, height=64, width=384, flame=flame)
+    write_recording(tmp_path, "nova-run-1-001", frames,
+                    spec=CihxSpec(width=384, height=64, total_frames=64,
+                                  record_rate=100_000, bit_depth=12))
+    config = FlameDetectorConfig()
+    with open_video(str(tmp_path / "nova-run-1-001.cihx")) as v:
+        exp = track_video(v, config, 1.0, 0.0, scan="host",
+                          use_absolute_time=True)
+    with open_collection(str(tmp_path)) as coll:
+        videos = list(coll)
+        outs = track_uniform_videos_fused(
+            videos, videos[0].frame_shape[1], config, None, True,
+        )
+    assert outs is not None and not fused_mod._LAST_CLIPPED
+    assert _rows(outs[0]) == _rows(exp)
+
+
+def test_clip_under_mesh_matches(tmp_path, monkeypatch):
+    """Clipped payload + sharded put + shard_map program: rows identical
+    to the host scan (pad videos ride as inert clip rows)."""
+    from hsip_tpu.parallel import make_mesh
+
+    import hsip_tpu.track.fused as fused_mod
+
+    monkeypatch.setenv("HSIP_STAGING", "one_put")
+    for i, (ign, seed) in enumerate(((40, 70), (46, 71), (42, 72))):
+        flame = FlameSpec(x0=25.0, v0_px=384 / 30, accel_px=0.0,
+                          ignition_frame=ign, seed=seed)
+        frames, _ = synthesize_flame_video(64, height=64, width=384,
+                                           flame=flame)
+        write_recording(
+            tmp_path, f"nova-run-{i + 1}-001", frames,
+            spec=CihxSpec(width=384, height=64, total_frames=64,
+                          record_rate=100_000, bit_depth=12))
+    config = FlameDetectorConfig()
+    expected = []
+    for i in range(3):
+        with open_video(str(tmp_path / f"nova-run-{i + 1}-001.cihx")) as v:
+            expected.append(track_video(v, config, 1.0, 0.0, scan="host",
+                                        use_absolute_time=True))
+    mesh = make_mesh("video")
+    with open_collection(str(tmp_path)) as coll:
+        videos = list(coll)
+        outs = track_uniform_videos_fused(
+            videos, videos[0].frame_shape[1], config, None, True, mesh=mesh,
+        )
+    assert outs is not None and fused_mod._LAST_CLIPPED
+    for out, exp in zip(outs, expected):
+        assert _rows(out) == _rows(exp)
+
+
 def test_fused_env_knob_disables(tmp_path, monkeypatch):
     _write(tmp_path, "nova-run-1-001")
     monkeypatch.setenv("HSIP_FUSED", "0")

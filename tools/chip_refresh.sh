@@ -30,7 +30,7 @@ timeout 1800 python tools/chip_autotune.py --videos 1 2 4 8 | tee "$SWEEP_LOG"
 K=$(grep -oE 'HSIP_PALLAS_SCAN_K=[0-9]+' "$SWEEP_LOG" | tail -1 | cut -d= -f2 || true)
 K=${K:-8}  # matches default_frames_per_step()'s unset prior
 V=$(grep -oE 'HSIP_PALLAS_BATCH_MAX_V=[0-9]+' "$SWEEP_LOG" | tail -1 | cut -d= -f2 || true)
-V=${V:-2}  # matches batched_kernel_max_videos()'s unset default
+V=${V:-8}  # matches batched_kernel_max_videos()'s unset default
 
 echo "== bench.py (both modes, tuned K=$K, kernel batch max V=$V) =="
 # The outer bound must cover bench's worst case: preflight (~150 s) plus
