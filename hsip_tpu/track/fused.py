@@ -396,6 +396,11 @@ def track_uniform_videos_fused(
     only its shard, and the whole program runs under ``shard_map``
     (tables byte-identical to the unsharded run by the same contract as
     every other backend).
+
+    Videos with dark preambles/tails additionally skip the wire and the
+    device compute for their empty ranges (the empty-range clip — see
+    the inline section below and :func:`_clip_ranges`); outputs stay
+    bit-identical because both scan backends hard-gate empty rows.
     """
     import jax
 
@@ -450,9 +455,12 @@ def track_uniform_videos_fused(
     # --- host staging: EVERY video gathers straight into its slice of ONE
     # batched (V, n_max, B, row_nbytes) array (the C++ gather's `out`
     # path — zero intermediate copies), so the device sees ONE transfer
-    # with no inter-put gaps. Gathers overlap on a small pool (the dev
-    # VM's one CPU stalls erratically — overlap hides a stalled gather
-    # behind its neighbors); counts free-run on their own worker. ---
+    # with no inter-put gaps. Gathers run one at a time by default: each
+    # native gather is already internally parallel (the codec floors
+    # OpenMP at 16 threads), and stacking several oversubscribed the
+    # 1-CPU dev host ~10x (read_gather 8.5 s -> 0.8 s per 16k frames) —
+    # HSIP_GATHER_WORKERS re-enables concurrency on many-core hosts. The
+    # counts pool serves only the two-pass fallback (stale .so). ---
     from concurrent.futures import ThreadPoolExecutor
 
     rnb = w * depth0 // 8
