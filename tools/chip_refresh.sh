@@ -19,7 +19,9 @@ cd "$(dirname "$0")/.."
 echo "== HSIP_TPU_CHIP tier =="
 # -s: the tier's [chip] measurement echoes (KERNEL_MS, *_US_PER_STEP)
 # must reach this log on PASSING tests, not just failures.
-timeout 1800 env HSIP_TPU_CHIP=1 python -m pytest tests/test_tpu_chip.py -v -rs -s
+# 2700 s outer bound: two heavy subprocess checks can each run to their
+# 900 s weather-tolerant cap before the quick ones.
+timeout 2700 env HSIP_TPU_CHIP=1 python -m pytest tests/test_tpu_chip.py -v -rs -s
 
 echo "== Pallas scan sweep (pick HSIP_PALLAS_SCAN_K + batch crossover) =="
 SWEEP_LOG=$(mktemp)
