@@ -81,17 +81,22 @@ def _puts_are_lazy() -> bool:
 def _staging_mode(mesh=None) -> str:
     """Route the library staging shape: ``one_put`` vs ``put_train``.
 
-    The two link families genuinely prefer different shapes (VERDICT r3
-    #1), so this is a measured routing decision, not a bet:
+    BOTH link families prefer the per-video put train (measured, r4):
 
-    - lazily staged puts (dev tunnel): the wire moves only when the one
-      program consumes its inputs, so a put train buys no overlap — ONE
-      batched put minimizes handshakes and host bookkeeping.
     - eager-DMA puts (real PCIe): per-video puts issued as each gather
       lands overlap transfer k with gather k+1 — the train hides most of
       the wire behind host staging.
+    - lazily staged puts (dev tunnel): per-video puts left UNBLOCKED
+      until the one fused program demands them transfer CONCURRENTLY —
+      interleaved A/B on the live tunnel (480 MB, 5 reps each):
+      one blocked put 34 MB/s; 8 lazy puts consumed by one program
+      69 MB/s; the per-file loop's free-run 64–85 MB/s; a per-video
+      *blocked* train 34 MB/s. The r3 "buffer bloat" theory that routed
+      lazy links to one_put is disproven — concurrency of in-flight
+      transfers, not put size, sets the tunnel's rate, and it is what
+      lets library mode match the per-file loop's wire.
 
-    ``HSIP_STAGING`` ∈ {auto, one_put, put_train} overrides the probe.
+    ``HSIP_STAGING`` ∈ {auto, one_put, put_train} overrides.
     Mesh runs always stage one sharded put (the train's per-device
     assembly isn't implemented — each video's bytes must land on its
     shard's device, which NamedSharding already does in one call).
@@ -101,16 +106,18 @@ def _staging_mode(mesh=None) -> str:
     mode = os.environ.get("HSIP_STAGING", "auto")
     if mode in ("one_put", "put_train"):
         return mode
-    return "one_put" if _puts_are_lazy() else "put_train"
+    return "put_train"
 
 
-# ONE reusable host staging buffer for one_put mode. Allocating a fresh
-# multi-hundred-MB array per call made every call re-pay the kernel's
-# first-touch page zeroing (the dev VM memcpys at 0.1-0.3 GB/s, so ~478 MB
-# of fault-zeroing cost seconds per repeat in BENCH_r03). Reuse is safe:
-# the one_put path blocks the transfer inside its h2d stage, so the buffer
-# is idle by the time the call returns. Keyed on shape; only the latest
-# shape is retained (the library loop reuses one shape for a whole group).
+# ONE reusable host staging buffer, shared by both staging modes.
+# Allocating a fresh multi-hundred-MB array per call made every call
+# re-pay the kernel's first-touch page zeroing (the dev VM memcpys at
+# 0.1-0.3 GB/s, so ~478 MB of fault-zeroing cost seconds per repeat in
+# BENCH_r03). Reuse is safe in BOTH modes: one_put blocks the transfer
+# inside its h2d stage, and put_train blocks every per-video input
+# buffer right after the program dispatch — either way the pool is idle
+# before the call returns. Keyed on shape; only the latest shape is
+# retained (the library loop reuses one shape for a whole group).
 _STAGING_POOL: dict = {}
 
 
@@ -249,12 +256,15 @@ def _fused_program(
     :func:`_staging_mode` for the routing):
 
     - ``"one_put"``: ONE batched (V, n_max, B, row_nbytes) array — one
-      transfer, the right shape for high-latency links with lazily staged
-      puts (the dev tunnel).
+      transfer; mesh runs use it (one sharded put lands each shard's
+      videos on its device).
     - ``"put_train"``: a TUPLE of V per-video (n_max, B, row_nbytes)
-      arrays, each ``device_put`` as soon as its gather lands so transfer
-      k overlaps gather k+1 on eager-DMA links (real PCIe); the program
-      stacks them on device (an HBM-side copy, ~free next to the wire).
+      arrays, each ``device_put`` as soon as its gather lands — transfer
+      k overlaps gather k+1 on eager-DMA links (real PCIe), and on
+      lazily staged links (the dev tunnel) the unblocked puts transfer
+      CONCURRENTLY at program demand (measured ~2x one blocked put); the
+      program stacks them on device (an HBM-side copy, ~free next to
+      the wire).
 
     With ``mesh`` the WHOLE program (unpack → band chain → scan) is
     ``shard_map``-ped over ``video_axis`` — each device decodes and tracks
@@ -453,9 +463,11 @@ def track_uniform_videos_fused(
     rows = reflect_indices(h // 2, margin, h)
 
     # --- host staging: EVERY video gathers straight into its slice of ONE
-    # batched (V, n_max, B, row_nbytes) array (the C++ gather's `out`
-    # path — zero intermediate copies), so the device sees ONE transfer
-    # with no inter-put gaps. Gathers run one at a time by default: each
+    # batched (V, n_max, B, row_nbytes) pooled array (the C++ gather's
+    # `out` path — zero intermediate copies); one_put ships it as ONE
+    # transfer, put_train device_puts per-video views of it (lazy links
+    # transfer them concurrently at program demand). Gathers run one at a
+    # time by default: each
     # native gather is already internally parallel (the codec floors
     # OpenMP at 16 threads), and stacking several oversubscribed the
     # 1-CPU dev host ~10x (read_gather 8.5 s -> 0.8 s per 16k frames) —
@@ -466,21 +478,17 @@ def track_uniform_videos_fused(
     rnb = w * depth0 // 8
     B = 2 * margin + 1
     staging_mode = _staging_mode(mesh)
-    if staging_mode == "one_put":
-        # Pooled buffer: pad rows/videos may hold stale bytes, which is
-        # safe — the scan hard-gates every masked step on `empty`
-        # (device_scan.py `active`), so masked profile values are never
-        # consumed. Mesh-pad video slices are re-zeroed for determinism.
-        big = _pooled_staging((Vp, n_max, B, rnb))
-        if v_pad:
-            big[V:] = 0
-        targets = [big[i] for i in range(V)]
-    else:
-        # put_train: FRESH per-video buffers. A lazily staged link may
-        # still be reading a host buffer when a pool would hand it out
-        # again; fresh buffers make the train safe on every link family.
-        big = None
-        targets = [np.empty((n_max, B, rnb), np.uint8) for _ in range(V)]
+    # Pooled buffer for BOTH modes: pad rows/videos may hold stale bytes,
+    # which is safe — the scan hard-gates every masked step on `empty`
+    # (device_scan.py `active`), so masked profile values are never
+    # consumed. Mesh-pad video slices are re-zeroed for determinism.
+    # put_train device_puts per-video VIEWS of this buffer; the pool is
+    # provably idle at return because the train blocks every input
+    # buffer right after the program dispatch.
+    big = _pooled_staging((Vp, n_max, B, rnb))
+    if v_pad:
+        big[V:] = 0
+    targets = [big[i] for i in range(V)]
     dev_bufs: List = [None] * Vp
     bgs = np.zeros(Vp, np.float32)
     count_futs = [None] * V
@@ -512,32 +520,27 @@ def track_uniform_videos_fused(
         if staging_mode == "put_train":
             # Ship video i the moment its gather lands: on an eager-DMA
             # link the put call IS the wire, so transfer i overlaps
-            # gather i+1. The host ref drops right after — jax keeps its
-            # own until the bytes are on device.
+            # gather i+1. On a lazily staged link the put returns in
+            # microseconds and the transfers run CONCURRENTLY once the
+            # fused program demands them — do NOT block per video here
+            # (a blocked train measured 34 MB/s on the tunnel where the
+            # concurrent lazy train holds 69-85 MB/s).
             with stage_times.stage("h2d"):
                 dev_bufs[i] = jax.device_put(targets[i])
-                if _puts_are_lazy():
-                    # Lazily staged link: force the wire per video, inside
-                    # the train. One sustained whole-batch transfer
-                    # degrades the dev tunnel's effective rate (buffer
-                    # bloat), while per-video transfers separated by
-                    # gather gaps hold the per-file loop's measured rate.
-                    jax.block_until_ready(dev_bufs[i])
-            targets[i] = None
 
     with ThreadPoolExecutor(max_workers=1) as count_pool, \
             ThreadPoolExecutor(
                 max_workers=_gather_workers(V)) as gather_pool:
         gather_futs = [gather_pool.submit(_gather_one, i) for i in range(V)]
-        # Phase A: land EVERY gather before the put. The transfer's wire
-        # pacing runs on the host CPU (transport stack), so host work
-        # concurrent with it slows the wire itself.
+        # Phase A: land EVERY gather (one_put: before its ONE put — the
+        # transfer's wire pacing runs on the host CPU, so host work
+        # concurrent with it slows the wire; put_train: the per-video
+        # puts already rode out inside the gathers, lazily on the tunnel).
         for fut in gather_futs:
             fut.result()
 
         # --- host-side scan metadata (resolves the count futures) BEFORE
-        # the put train, for the same reason: the train should own the
-        # CPU outright ---
+        # any blocking transfer, so the wire owns the CPU outright ---
         fidx = np.zeros((Vp, n_max), np.int32)
         fidx[:] = np.arange(n_max, dtype=np.int32)  # pad videos: inert rows
         empty = np.ones((Vp, n_max), bool)
@@ -587,11 +590,13 @@ def track_uniform_videos_fused(
         # — the scan hard-gates them, so outputs are bit-identical. The
         # clip engages only when it pays (coverage below HSIP_CLIP_EMPTY,
         # default 0.7): dense videos take the unchanged zero-copy path.
-        # put_train ships each video during its gather (before the batch
-        # ranges are known) and targets eager-DMA links where the wire is
-        # cheap, so it never clips.
+        # put_train clips too when puts are LAZY (the per-video puts
+        # issued during the gather haven't moved a byte yet — dropping
+        # them and re-putting the clipped slices is free); on an
+        # eager-DMA link the full bytes already crossed during the
+        # gather, so clipping there would only add wire.
         clip = None
-        if staging_mode == "one_put":
+        if staging_mode == "one_put" or _puts_are_lazy():
             clip = _clip_ranges(empty, [len(v) for v in videos], n_max)
         if clip is not None:
             with stage_times.stage("clip_copy"):
@@ -630,13 +635,14 @@ def track_uniform_videos_fused(
         # dispatched until the payload is in flight; under a mesh the put
         # is SHARDED so each device receives only its (Vp/n_shards)
         # videos' bytes. put_train: every per-video put already rode out
-        # inside its gather (mesh-pad videos get zero payloads here).
+        # inside its gather (mesh always routes to one_put, so the train
+        # never has pad videos) — unless the clip engaged, in which case
+        # the full-length lazy puts never moved a byte and are swapped
+        # for puts of the clipped per-video slices here.
         with stage_times.stage("h2d"):
             if staging_mode == "put_train":
-                for i in range(V, Vp):
-                    dev_bufs[i] = jax.device_put(
-                        np.zeros((n_max, B, rnb), np.uint8)
-                    )
+                if clip is not None:
+                    dev_bufs = [jax.device_put(ship[i]) for i in range(Vp)]
                 stacked_dev = tuple(dev_bufs)
             elif mesh is None:
                 stacked_dev = jax.device_put(ship)
@@ -696,6 +702,14 @@ def track_uniform_videos_fused(
             np.float32(config.ddt_velocity_jump_m_s),
             kernel_fraction,
         )
+    if staging_mode == "put_train":
+        # Block the INPUT train only now, AFTER the dispatch demanded all
+        # the lazy transfers — they run concurrently (the measured 2x over
+        # one blocked put) — and attribute the wait to "h2d" where it
+        # belongs. This also makes the pooled host staging buffers
+        # provably idle before the next fused call reuses them.
+        with stage_times.stage("h2d"):
+            jax.block_until_ready(stacked_dev)
     del stacked_dev
 
     if clip is not None:

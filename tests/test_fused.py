@@ -160,10 +160,13 @@ def test_fused_staging_modes_match(tmp_path, monkeypatch, staging):
 
 
 def test_staging_mode_routing(monkeypatch):
-    """Mesh runs force one_put; HSIP_STAGING overrides the probe; auto
-    resolves via the measured put-laziness probe."""
+    """Mesh runs force one_put; HSIP_STAGING overrides; auto resolves to
+    the per-video put train — measured fastest on BOTH link families
+    (eager DMA overlaps the gathers; lazy links transfer the unblocked
+    train concurrently at program demand, ~2x one blocked put on the
+    tunnel)."""
     from hsip_tpu.parallel import make_mesh
-    from hsip_tpu.track.fused import _puts_are_lazy, _staging_mode
+    from hsip_tpu.track.fused import _staging_mode
 
     monkeypatch.setenv("HSIP_STAGING", "put_train")
     assert _staging_mode(None) == "put_train"
@@ -171,8 +174,8 @@ def test_staging_mode_routing(monkeypatch):
     monkeypatch.setenv("HSIP_STAGING", "one_put")
     assert _staging_mode(None) == "one_put"
     monkeypatch.setenv("HSIP_STAGING", "auto")
-    expected = "one_put" if _puts_are_lazy() else "put_train"
-    assert _staging_mode(None) == expected
+    assert _staging_mode(None) == "put_train"
+    assert _staging_mode(make_mesh("video")) == "one_put"
 
 
 def test_clip_skips_dark_ranges_bit_identically(tmp_path, monkeypatch):
@@ -229,6 +232,46 @@ def test_clip_skips_dark_ranges_bit_identically(tmp_path, monkeypatch):
         )
     assert outs is not None and outs[0].rows
     assert not fused_mod._LAST_CLIPPED
+
+
+def test_clip_under_put_train_matches(tmp_path, monkeypatch):
+    """The put train clips too when puts are lazy: the full-length lazy
+    puts are dropped untransferred and the clipped per-video slices ship
+    instead — rows identical to the host scan, dark rider included."""
+    import hsip_tpu.track.fused as fused_mod
+
+    monkeypatch.setenv("HSIP_STAGING", "put_train")
+    monkeypatch.setattr(fused_mod, "_puts_are_lazy", lambda: True)
+    specs = [(64, 40, 80), (64, 44, 81)]
+    for i, (n, ign, seed) in enumerate(specs):
+        flame = FlameSpec(x0=25.0, v0_px=384 / 30, accel_px=0.0,
+                          ignition_frame=ign, seed=seed)
+        frames, _ = synthesize_flame_video(n, height=64, width=384,
+                                           flame=flame)
+        spec = CihxSpec(width=384, height=64, total_frames=n,
+                        record_rate=100_000, bit_depth=12)
+        write_recording(tmp_path, f"nova-run-{i + 1}-001", frames, spec=spec)
+    dark = np.zeros((64, 64, 384), np.uint16)
+    write_recording(tmp_path, "nova-run-3-001", dark,
+                    spec=CihxSpec(width=384, height=64, total_frames=64,
+                                  record_rate=100_000, bit_depth=12))
+    config = FlameDetectorConfig()
+    expected = []
+    for i in range(3):
+        with open_video(str(tmp_path / f"nova-run-{i + 1}-001.cihx")) as v:
+            expected.append(track_video(v, config, 1.0, 0.0, scan="host",
+                                        use_absolute_time=True))
+    with open_collection(str(tmp_path)) as coll:
+        videos = list(coll)
+        outs = track_uniform_videos_fused(
+            videos, videos[0].frame_shape[1], config, None, True,
+        )
+    assert outs is not None
+    assert fused_mod._LAST_CLIPPED, "lazy put train must take the clip"
+    for out, exp in zip(outs, expected):
+        assert _rows(out) == _rows(exp)
+        assert out.break_reason == exp.break_reason
+    assert not outs[2].rows
 
 
 def test_clip_env_knob_disables(tmp_path, monkeypatch):
