@@ -45,7 +45,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 HEADLINE = REPO / "docs" / "evidence" / "headline.json"
 DOCS = ("README.md", "PARITY.md", "BASELINE.md", "docs/ROUND3.md",
-        "docs/ROUND4.md")
+        "docs/ROUND4.md", "docs/DESIGN.md")
 
 _MARK = re.compile(r"<!--num:([a-z0-9_]+)-->(.*?)<!--/num-->", re.S)
 
