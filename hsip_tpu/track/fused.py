@@ -1,4 +1,4 @@
-"""Whole-library fused tracking: V videos, ONE device executable.
+"""Whole-library fused tracking: V videos, G pipelined device programs.
 
 The general library path (:mod:`hsip_tpu.track.batch`) runs a per-video
 map phase (one kernel dispatch per chunk per video) before the batched
@@ -15,29 +15,44 @@ XLA programs; one HBM-resident intermediate graph; no host round-trips):
 1. HOST: per-video band gather + packed noise counts (C++ codec),
    free-running ``device_put`` train of the packed payloads — nothing
    else is dispatched while payloads stream.
-2. DEVICE, one jitted program: pad + stack the payload batch, unpack the
-   packed bits, background-subtract, frame-difference against per-video
-   priors, the fused Gaussian+morphology+Sobel band chain, then the
-   sublane-batched tracking scan (8 videos per tile) — profiles never
+2. DEVICE, one jitted program per group: pad + stack the payload batch,
+   unpack the packed bits, background-subtract, frame-difference against
+   per-video priors, the fused Gaussian+morphology+Sobel band chain, then
+   the sublane-batched tracking scan (8 videos per tile) — profiles never
    leave HBM.
-3. HOST: ONE blocking fetch of the (V, n) integer positions; float64
-   velocity/truncation reconstruction (`build_device_scan_output`)
+3. HOST: ONE blocking fetch per group of the (V, n) integer positions;
+   float64 velocity/truncation reconstruction (`build_device_scan_output`)
    exactly as every other backend.
+
+**Staging↔compute pipelining** (the production-hardware headline lever):
+on links where host staging is the bottleneck rather than the wire, the
+library splits into G sub-batch programs (:func:`_fused_group_count`).
+Group g is gathered, shipped and DISPATCHED before group g+1's gather
+begins, and no result is fetched until every group is in flight — so
+group g's device compute runs under group g+1's host gather. Host
+staging (~19.7k fps) and device compute (~23.7k fps) are comparable on
+the measured hardware, so the serial sum costs ~1.8x the pipelined wall;
+G=4 hides ~3/4 of the compute. The dev tunnel (wire-bound, lazily
+staged puts) keeps ONE program: grouping would split the concurrent lazy
+put train that sets its transfer rate (docs/evidence/wire_ab_r4.log).
 
 Bit-parity: the device chain is the same `band_to_profiles` +
 `pallas_tracking_scan_batched` / vmapped `device_tracking_scan` every
-other path uses; outputs are REQUIRED to be identical to the per-video
+other path uses; per-video results are independent, so grouping cannot
+change them — outputs are REQUIRED to be identical to the per-video
 host scan (tested in tests/test_fused.py).
 
 Reference seam: this replaces the reference's per-video loop
 (`/root/reference/scripts/process_videos.py:1308`) — the whole library
-is one device program instead of V sequential CPU pipelines.
+is G device programs instead of V sequential CPU pipelines.
 """
 
 from __future__ import annotations
 
 import os
-from functools import lru_cache, partial
+import threading
+import time
+from functools import lru_cache
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -47,9 +62,13 @@ from .tracker import FlameTracker
 
 __all__ = ["track_uniform_videos_fused"]
 
-# Device-memory budget for one fused dispatch: packed payloads + the f32
-# band + profile intermediates must fit HBM comfortably (v5e: 16 GiB).
-_MAX_FUSED_BYTES = 6 << 30
+# Device-memory budget for the fused dispatch(es): packed payloads + the
+# f32 band + profile intermediates must fit HBM comfortably (v5e:
+# 16 GiB). 8 GiB admits a 16-video x 2048-frame x 1024-px library
+# (~6.5 GB) as one fused batch while leaving half the HBM free; when the
+# pipelined grouping engages, at most ~2 groups' intermediates are live
+# at once, so the full-batch check is strictly conservative.
+_MAX_FUSED_BYTES = 8 << 30
 
 
 @lru_cache(maxsize=1)
@@ -60,11 +79,10 @@ def _puts_are_lazy() -> bool:
     from the put call in microseconds and pays the whole wire inside
     ``block_until_ready``; an eager-DMA link (real PCIe) completes most
     of the wire inside the put call itself. The ratio routes the library
-    staging shape (see :func:`_staging_mode`) — measured once per
-    process, ~tens of ms.
+    staging shape (see :func:`_staging_mode`) and the pipelined group
+    count (:func:`_fused_group_count`) — measured once per process,
+    ~tens of ms.
     """
-    import time
-
     import jax
 
     x = np.ones((8 << 20,), np.uint8)
@@ -96,50 +114,100 @@ def _staging_mode(mesh=None) -> str:
       transfers, not put size, sets the tunnel's rate, and it is what
       lets library mode match the per-file loop's wire.
 
+    Mesh runs get the same routing: ``put_train`` there means PER-SHARD
+    trains — each shard's videos assemble on its own device the moment
+    that shard's gathers land (n_shards concurrent transfers, the same
+    concurrency-wins finding), then one global array is built from the
+    per-device shards with zero data movement. ``one_put`` stages one
+    sharded transfer instead.
+
     ``HSIP_STAGING`` ∈ {auto, one_put, put_train} overrides.
-    Mesh runs always stage one sharded put (the train's per-device
-    assembly isn't implemented — each video's bytes must land on its
-    shard's device, which NamedSharding already does in one call).
     """
-    if mesh is not None:
-        return "one_put"
     mode = os.environ.get("HSIP_STAGING", "auto")
     if mode in ("one_put", "put_train"):
         return mode
     return "put_train"
 
 
-# ONE reusable host staging buffer, shared by both staging modes.
+def _fused_group_count(n_videos: int, mesh=None) -> int:
+    """Pipelined sub-batch program count G for the fused library.
+
+    G > 1 overlaps group g+1's host gather with group g's device compute
+    (staging↔compute pipelining): each group is staged, shipped and
+    dispatched before the next group's gather begins, and no result is
+    fetched until every group is in flight. The serial exposure is
+    ~(1/G)·(first gather + last compute), so G=4 hides ~3/4 of the
+    device compute behind host staging.
+
+    Default routing by link family: eager-DMA links (real PCIe — where
+    host staging, not the wire, bounds end-to-end) pipeline with
+    ``min(4, V)`` groups; lazily staged links (the dev tunnel) keep ONE
+    program, because the tunnel is wire-bound (compute is <5% of its
+    end-to-end) and grouping would split the concurrent lazy put train
+    that sets its transfer rate (docs/evidence/wire_ab_r4.log). Mesh
+    runs keep one (sharded) dispatch — the video axis is already spread
+    over devices. ``HSIP_FUSED_GROUPS`` overrides (an integer;
+    ``auto`` = this rule).
+    """
+    if mesh is not None or n_videos < 2:
+        return 1
+    env = os.environ.get("HSIP_FUSED_GROUPS", "auto")
+    if env != "auto":
+        try:
+            return max(1, min(int(env), n_videos))
+        except ValueError:
+            return 1
+    if _puts_are_lazy():
+        return 1
+    return min(4, n_videos)
+
+
+# Reusable host staging buffers, shared by both staging modes.
 # Allocating a fresh multi-hundred-MB array per call made every call
 # re-pay the kernel's first-touch page zeroing (the dev VM memcpys at
 # 0.1-0.3 GB/s, so ~478 MB of fault-zeroing cost seconds per repeat in
 # BENCH_r03). Reuse is safe in BOTH modes: one_put blocks the transfer
 # inside its h2d stage, and put_train blocks every per-video input
 # buffer right after the program dispatch — either way the pool is idle
-# before the call returns. Keyed on shape; only the latest shape is
-# retained (the library loop reuses one shape for a whole group).
+# before the next gather touches it. Keyed on (kind, shape); pipelined
+# groups alternate between at most two shapes (equal groups ±1 video),
+# so a small bounded pool avoids re-allocating every group.
 _STAGING_POOL: dict = {}
+_STAGING_POOL_MAX = 4  # ≤2 shapes per kind (buf/clip) in practice
+
+
+def _pooled(kind: str, shape) -> np.ndarray:
+    key = (kind, tuple(shape))
+    buf = _STAGING_POOL.get(key)
+    if buf is None:
+        while len(_STAGING_POOL) >= _STAGING_POOL_MAX:
+            _STAGING_POOL.pop(next(iter(_STAGING_POOL)))
+        _STAGING_POOL[key] = buf = np.empty(shape, np.uint8)
+    return buf
 
 
 def _pooled_staging(shape) -> np.ndarray:
-    buf = _STAGING_POOL.get("buf")
-    if buf is None or buf.shape != shape:
-        _STAGING_POOL["buf"] = buf = np.empty(shape, np.uint8)
-    return buf
+    return _pooled("buf", shape)
+
+
+def _pooled_clip(shape) -> np.ndarray:
+    """Second pooled host buffer for the clipped payload (same reuse
+    contract as :func:`_pooled_staging`: BOTH staging modes guarantee
+    the pool is idle before the call returns — one_put blocks the
+    transfer inside its h2d stage; put_train blocks the shipped inputs
+    right after the program dispatch)."""
+    return _pooled("clip", shape)
 
 
 # Introspection for tests: did the last fused call ship a clipped payload?
 _LAST_CLIPPED = False
 
-
-def _pooled_clip(shape) -> np.ndarray:
-    """Second pooled host buffer for the clipped payload (same reuse
-    contract as :func:`_pooled_staging` — the one_put path blocks the
-    transfer before returning)."""
-    buf = _STAGING_POOL.get("clip")
-    if buf is None or buf.shape != shape:
-        _STAGING_POOL["clip"] = buf = np.empty(shape, np.uint8)
-    return buf
+# Introspection for tests/tools: per-group pipeline timeline of the last
+# fused call. One dict per group: gather/ship/dispatch host timestamps
+# (perf_counter) plus finals_ready_t stamped when that group's results
+# are fetched. tools/pipeline_trace.py renders it; the overlap claim
+# (gather g+1 under program g) is read straight off these numbers.
+_LAST_PIPELINE_TRACE: List[dict] = []
 
 
 def _clip_threshold() -> float:
@@ -256,15 +324,16 @@ def _fused_program(
     :func:`_staging_mode` for the routing):
 
     - ``"one_put"``: ONE batched (V, n_max, B, row_nbytes) array — one
-      transfer; mesh runs use it (one sharded put lands each shard's
-      videos on its device).
-    - ``"put_train"``: a TUPLE of V per-video (n_max, B, row_nbytes)
-      arrays, each ``device_put`` as soon as its gather lands — transfer
-      k overlaps gather k+1 on eager-DMA links (real PCIe), and on
-      lazily staged links (the dev tunnel) the unblocked puts transfer
-      CONCURRENTLY at program demand (measured ~2x one blocked put); the
-      program stacks them on device (an HBM-side copy, ~free next to
-      the wire).
+      transfer (sharded under a mesh). Mesh put_train runs also use this
+      convention: their per-shard trains assemble into the same one
+      global array before dispatch (zero data movement).
+    - ``"put_train"`` (no mesh): a TUPLE of V per-video
+      (n_max, B, row_nbytes) arrays, each ``device_put`` as soon as its
+      gather lands — transfer k overlaps gather k+1 on eager-DMA links
+      (real PCIe), and on lazily staged links (the dev tunnel) the
+      unblocked puts transfer CONCURRENTLY at program demand (measured
+      ~2x one blocked put); the program stacks them on device (an
+      HBM-side copy, ~free next to the wire).
 
     With ``mesh`` the WHOLE program (unpack → band chain → scan) is
     ``shard_map``-ped over ``video_axis`` — each device decodes and tracks
@@ -378,6 +447,29 @@ def _fused_program(
     ))
 
 
+def _shard_putters(mesh, video_axis: str, shape):
+    """Per-shard device assignment for the mesh put train.
+
+    Returns ``(vg, devices)``: the per-shard video count and the device
+    owning each shard s (videos ``[s*vg, (s+1)*vg)``), in shard order —
+    exactly the placement ``NamedSharding(mesh, P(video_axis, ...))``
+    would produce, so the per-device arrays assemble into the sharded
+    global array with zero data movement.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(
+        mesh, P(video_axis, *([None] * (len(shape) - 1)))
+    )
+    idx_map = sharding.addressable_devices_indices_map(tuple(shape))
+    n_shards = len(idx_map)
+    vg = shape[0] // n_shards
+    devices = [None] * n_shards
+    for dev, idx in idx_map.items():
+        devices[idx[0].start // vg] = dev
+    return vg, devices, sharding
+
+
 def track_uniform_videos_fused(
     videos,
     w: int,
@@ -399,18 +491,32 @@ def track_uniform_videos_fused(
     - no per-video skip lists;
     - the fused program's PER-DEVICE footprint fits the HBM budget.
 
+    On staging-bound links the library is split into G pipelined groups
+    (:func:`_fused_group_count`): each group is gathered, shipped and
+    dispatched before the next group's gather starts, and results are
+    fetched only after every group is in flight — device compute runs
+    under the next group's host staging. Per-video results are
+    independent, so grouping is output-invariant by construction.
+
     With ``mesh`` the video axis is sharded: the batch pads to a multiple
     of the axis size with inert videos (all-empty frames — the scan
-    records nothing for them), the ONE staged payload is ``device_put``
-    with a :class:`~jax.sharding.NamedSharding` so each device receives
-    only its shard, and the whole program runs under ``shard_map``
-    (tables byte-identical to the unsharded run by the same contract as
-    every other backend).
+    records nothing for them), the staged payload lands with a
+    :class:`~jax.sharding.NamedSharding` so each device receives only its
+    shard — via ONE sharded put, or per-shard put trains when
+    ``put_train`` routing is active (each shard ships the moment its
+    gathers land; n_shards concurrent transfers) — and the whole program
+    runs under ``shard_map`` (tables byte-identical to the unsharded run
+    by the same contract as every other backend).
 
     Videos with dark preambles/tails additionally skip the wire and the
     device compute for their empty ranges (the empty-range clip — see
-    the inline section below and :func:`_clip_ranges`); outputs stay
-    bit-identical because both scan backends hard-gate empty rows.
+    :func:`_clip_ranges`); outputs stay bit-identical because both scan
+    backends hard-gate empty rows. The clip engages when its copy can be
+    traded against unshipped bytes: always for ``one_put`` (the batched
+    put hasn't been issued yet), and for lazily staged put trains without
+    a mesh (the per-video puts haven't moved a byte and are re-issued
+    clipped); eager-DMA trains already paid the full wire inside the
+    gathers, so clipping there would only add traffic.
     """
     import jax
 
@@ -450,10 +556,9 @@ def track_uniform_videos_fused(
         return None
     n_shards = 1 if mesh is None else int(mesh.shape[video_axis])
     V = len(videos)
-    v_pad = (-V) % n_shards
-    Vp = V + v_pad
     n_max = max(len(v) for v in videos)
-    if (_fused_budget_bytes(Vp, n_max, w, 2 * margin + 1, depth0)
+    Vp_total = V + ((-V) % n_shards)
+    if (_fused_budget_bytes(Vp_total, n_max, w, 2 * margin + 1, depth0)
             > _MAX_FUSED_BYTES * n_shards):
         return None
 
@@ -461,276 +566,382 @@ def track_uniform_videos_fused(
         stage_times = StageTimes()
 
     rows = reflect_indices(h // 2, margin, h)
-
-    # --- host staging: EVERY video gathers straight into its slice of ONE
-    # batched (V, n_max, B, row_nbytes) pooled array (the C++ gather's
-    # `out` path — zero intermediate copies); one_put ships it as ONE
-    # transfer, put_train device_puts per-video views of it (lazy links
-    # transfer them concurrently at program demand). Gathers run one at a
-    # time by default: each
-    # native gather is already internally parallel (the codec floors
-    # OpenMP at 16 threads), and stacking several oversubscribed the
-    # 1-CPU dev host ~10x (read_gather 8.5 s -> 0.8 s per 16k frames) —
-    # HSIP_GATHER_WORKERS re-enables concurrency on many-core hosts. The
-    # counts pool serves only the two-pass fallback (stale .so). ---
-    from concurrent.futures import ThreadPoolExecutor
-
     rnb = w * depth0 // 8
     B = 2 * margin + 1
     staging_mode = _staging_mode(mesh)
-    # Pooled buffer for BOTH modes: pad rows/videos may hold stale bytes,
-    # which is safe — the scan hard-gates every masked step on `empty`
-    # (device_scan.py `active`), so masked profile values are never
-    # consumed. Mesh-pad video slices are re-zeroed for determinism.
-    # put_train device_puts per-video VIEWS of this buffer; the pool is
-    # provably idle at return because the train blocks every input
-    # buffer right after the program dispatch.
-    big = _pooled_staging((Vp, n_max, B, rnb))
-    if v_pad:
-        big[V:] = 0
-    targets = [big[i] for i in range(V)]
-    dev_bufs: List = [None] * Vp
-    bgs = np.zeros(Vp, np.float32)
-    count_futs = [None] * V
-    counts_done = [None] * V  # resolved counts from the fused one-pass
-
-    def _gather_one(i):
-        video = videos[i]
-        read_band, count_fn, _d = staging[i]
-        n = len(video)
-        with stage_times.stage("read_gather"):
-            bg = float(np.max(video[0]))
-            bgs[i] = bg
-            noise = max(NOISE_THRESHOLD_FLOOR, bg * 0.5)
-            # Fused native pass: band rows AND counts in ONE sweep over the
-            # packed payload (half the host DRAM traffic of gather+count —
-            # the staging hot path is memory-bound). Falls back to the
-            # two-pass shape only on a stale .so / exotic container.
-            fused_rc = video.band_bytes_and_counts(
-                0, n, rows, bg, noise, out=targets[i][:n]
-            )
-            if fused_rc is not None:
-                counts_done[i] = fused_rc[1]
-            else:
-                count_futs[i] = count_pool.submit(
-                    stage_times.wrap("counts_host", count_fn), 0, n, bg,
-                    noise,
-                )
-                read_band(0, n, rows, out=targets[i][:n])
-        if staging_mode == "put_train":
-            # Ship video i the moment its gather lands: on an eager-DMA
-            # link the put call IS the wire, so transfer i overlaps
-            # gather i+1. On a lazily staged link the put returns in
-            # microseconds and the transfers run CONCURRENTLY once the
-            # fused program demands them — do NOT block per video here
-            # (a blocked train measured 34 MB/s on the tunnel where the
-            # concurrent lazy train holds 69-85 MB/s).
-            with stage_times.stage("h2d"):
-                dev_bufs[i] = jax.device_put(targets[i])
-
-    with ThreadPoolExecutor(max_workers=1) as count_pool, \
-            ThreadPoolExecutor(
-                max_workers=_gather_workers(V)) as gather_pool:
-        gather_futs = [gather_pool.submit(_gather_one, i) for i in range(V)]
-        # Phase A: land EVERY gather (one_put: before its ONE put — the
-        # transfer's wire pacing runs on the host CPU, so host work
-        # concurrent with it slows the wire; put_train: the per-video
-        # puts already rode out inside the gathers, lazily on the tunnel).
-        for fut in gather_futs:
-            fut.result()
-
-        # --- host-side scan metadata (resolves the count futures) BEFORE
-        # any blocking transfer, so the wire owns the CPU outright ---
-        fidx = np.zeros((Vp, n_max), np.int32)
-        fidx[:] = np.arange(n_max, dtype=np.int32)  # pad videos: inert rows
-        empty = np.ones((Vp, n_max), bool)
-        has_prior = np.ones((Vp, n_max), bool)
-        cals = np.ones(Vp, np.float32)
-        fpss = np.ones(Vp, np.float32)
-        mds = np.ones(Vp, np.int32)
-        calibs: List[Tuple[float, float]] = []
-        profiles_meta = []
-        for i, video in enumerate(videos):
-            n = len(video)
-            fidx[i, :n] = np.arange(n, dtype=np.int32)
-            fidx[i, n:] = n + np.arange(n_max - n, dtype=np.int32)
-            counts = np.asarray(
-                counts_done[i] if counts_done[i] is not None
-                else count_futs[i].result(),
-                dtype=np.int64,
-            )
-            empty[i, :n] = counts / float(h * w) < MIN_SIGNAL_FRACTION
-            # First processed frame has no differencing prior. Named
-            # methods on raw profiles need no prior at all.
-            if method == "combined" or use_frame_diff:
-                has_prior[i, 0] = False
-            if source_config is not None:
-                cal, off = source_config.get_calibration_for_file(
-                    video.filepath.name
-                )
-            else:
-                cal, off = 1.0, 0.0
-            calibs.append((cal, off))
-            cals[i] = cal
-            fpss[i] = video.frame_rate
-            mds[i] = FlameTracker(
-                config, video.frame_rate, cal
-            ).max_displacement_px
-            profiles_meta.append(_FusedMeta(fidx[i, :n], w))
-
-        # --- empty-range wire clip (one_put only) ---
-        # The reference's is_empty_frame skip avoids PROCESSING dark
-        # frames but still reads them (`process_videos.py:743-763`); here
-        # the counts land during the fused gather pass, so videos with
-        # dark preambles/tails can additionally skip the WIRE and device
-        # compute: ship only each video's [first_nonempty-1, last]
-        # range (the -1 keeps the first signal frame's differencing
-        # prior in-range) and scatter the scan outputs back to full
-        # length on host. Rows outside the range are empty by definition
-        # — the scan hard-gates them, so outputs are bit-identical. The
-        # clip engages only when it pays (coverage below HSIP_CLIP_EMPTY,
-        # default 0.7): dense videos take the unchanged zero-copy path.
-        # put_train clips too when puts are LAZY (the per-video puts
-        # issued during the gather haven't moved a byte yet — dropping
-        # them and re-putting the clipped slices is free); on an
-        # eager-DMA link the full bytes already crossed during the
-        # gather, so clipping there would only add wire.
-        clip = None
-        if staging_mode == "one_put" or _puts_are_lazy():
-            clip = _clip_ranges(empty, [len(v) for v in videos], n_max)
-        if clip is not None:
-            with stage_times.stage("clip_copy"):
-                lo, L_each, L = clip
-                small = _pooled_clip((Vp, L, B, rnb))
-                fidx_c = np.zeros((Vp, L), np.int32)
-                fidx_c[:] = n_max + np.arange(L, dtype=np.int32)
-                empty_c = np.ones((Vp, L), bool)
-                prior_c = np.ones((Vp, L), bool)
-                for i in range(Vp):
-                    li = L_each[i]
-                    if li == 0:
-                        continue
-                    small[i, :li] = big[i, lo[i]:lo[i] + li]
-                    fidx_c[i, :li] = fidx[i, lo[i]:lo[i] + li]
-                    fidx_c[i, li:] = fidx_c[i, li - 1] + np.arange(
-                        1, L - li + 1, dtype=np.int32
-                    )
-                    empty_c[i, :li] = empty[i, lo[i]:lo[i] + li]
-                    prior_c[i, :li] = has_prior[i, lo[i]:lo[i] + li]
-                    if lo[i] > 0 and (method == "combined" or use_frame_diff):
-                        # The clip's row 0 is an empty frame whose profile
-                        # is never read; mark it prior-less like row 0 of
-                        # a full run (the program derives the actual
-                        # differencing prior from array position).
-                        prior_c[i, 0] = False
-                ship, fidx_s, empty_s, prior_s = small, fidx_c, empty_c, \
-                    prior_c
-        else:
-            ship, fidx_s, empty_s, prior_s = big, fidx, empty, has_prior
-        global _LAST_CLIPPED
-        _LAST_CLIPPED = clip is not None
-
-        # Phase B: ship the payload. one_put: ONE put of the whole batch —
-        # the CPU is idle (gathers and counts all resolved), no compute
-        # dispatched until the payload is in flight; under a mesh the put
-        # is SHARDED so each device receives only its (Vp/n_shards)
-        # videos' bytes. put_train: every per-video put already rode out
-        # inside its gather (mesh always routes to one_put, so the train
-        # never has pad videos) — unless the clip engaged, in which case
-        # the full-length lazy puts never moved a byte and are swapped
-        # for puts of the clipped per-video slices here.
-        with stage_times.stage("h2d"):
-            if staging_mode == "put_train":
-                if clip is not None:
-                    dev_bufs = [jax.device_put(ship[i]) for i in range(Vp)]
-                stacked_dev = tuple(dev_bufs)
-            elif mesh is None:
-                stacked_dev = jax.device_put(ship)
-            else:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                stacked_dev = jax.device_put(
-                    ship,
-                    NamedSharding(mesh, P(video_axis, None, None, None)),
-                )
-            if staging_mode == "one_put":
-                # Block the ONE put here so "h2d" measures the wire and
-                # the later "d2h" measures device wait + fetch (device_put
-                # is lazily staged on some backends, which silently
-                # shifted wire time into d2h — BENCH_r03's misleading
-                # attribution). Perf-neutral for a single put: nothing
-                # else runs until the program that consumes it is
-                # dispatched right after. It also makes the pooled host
-                # buffer provably idle before the next fused call reuses
-                # it.
-                jax.block_until_ready(stacked_dev)
-            big = ship = None
 
     from .pallas_scan import default_frames_per_step
 
     pallas_interpret = _batch._PALLAS_MODE == "interpret"
-    use_pallas_scan = _batch._use_batched_kernel(Vp // n_shards, w, method)
-    program = _fused_program(
-        width=w,
-        bit_depth=depth0,
-        morphology_kernel_size=config.morphology_kernel_size,
-        gaussian_sigma=config.gaussian_sigma,
-        use_pallas_band=is_tpu_backend(),
-        method=method,
-        use_frame_diff=use_frame_diff,
-        use_pallas_scan=use_pallas_scan,
-        pallas_interpret=pallas_interpret,
-        edge_margin_px=config.edge_margin_px,
-        search_window_px=config.search_window_px,
-        exit_margin_px=config.exit_margin_px,
-        frames_per_step=default_frames_per_step(),
-        mesh=mesh,
-        video_axis=video_axis,
-        staging=staging_mode,
-    )
-    kernel_fraction = np.float32(
-        config.threshold_fraction if method == "threshold"
-        else config.half_maximum_fraction
-    )
-    with stage_times.stage("device_dispatch"):
-        finals_dev = program(
-            stacked_dev, bgs, fidx_s, empty_s, prior_s,
-            cals, fpss, mds,
-            np.float32(config.frame_diff_threshold),
-            np.float32(config.min_gradient_strength),
-            np.float32(config.sobel_threshold_fraction),
-            np.float32(config.ddt_velocity_jump_m_s),
-            kernel_fraction,
+
+    def _stage_dispatch_group(group: List[int]) -> dict:
+        """Gather, ship and DISPATCH one video group; no result fetch.
+
+        Returns everything :func:`_finish_group` needs. On return the
+        pooled host buffers are idle (one_put blocks its transfer inside
+        h2d; put_train blocks the shipped inputs right after the
+        dispatch), so the caller may immediately stage the next group —
+        which is the pipelining: this group's program executes on device
+        while the next group gathers on host.
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
+        trace = {"gather_start_t": time.perf_counter()}
+        g_videos = [videos[i] for i in group]
+        g_staging = [staging[i] for i in group]
+        Vg = len(g_videos)
+        v_pad = (-Vg) % n_shards
+        Vp = Vg + v_pad
+
+        # --- host staging: EVERY video gathers straight into its slice of
+        # ONE batched (Vp, n_max, B, row_nbytes) pooled array (the C++
+        # gather's `out` path — zero intermediate copies). Pad rows/videos
+        # may hold stale bytes, which is safe — the scan hard-gates every
+        # masked step on `empty`, so masked profile values are never
+        # consumed. Mesh-pad video slices are re-zeroed for determinism.
+        big = _pooled_staging((Vp, n_max, B, rnb))
+        if v_pad:
+            big[Vg:] = 0
+        targets = [big[i] for i in range(Vg)]
+        dev_bufs: List = [None] * Vp
+        shard_bufs: List = [None] * n_shards
+        bgs = np.zeros(Vp, np.float32)
+        count_futs = [None] * Vg
+        counts_done = [None] * Vg  # resolved counts from the fused one-pass
+
+        mesh_train = staging_mode == "put_train" and mesh is not None
+        if mesh_train:
+            vg_shard, shard_devices, sharding = _shard_putters(
+                mesh, video_axis, (Vp, n_max, B, rnb)
+            )
+            # Videos remaining per shard before its slice can ship; the
+            # pad videos of the last shard are zeroed above, so only real
+            # gathers gate it. Guarded by a lock: HSIP_GATHER_WORKERS > 1
+            # completes gathers out of order.
+            shard_left = [
+                max(0, min((s + 1) * vg_shard, Vg) - s * vg_shard)
+                for s in range(n_shards)
+            ]
+            shard_lock = threading.Lock()
+            # Pad-only shards (zeroed above) have no gather to trigger
+            # their ship — put them on the wire now.
+            for s in range(n_shards):
+                if shard_left[s] == 0:
+                    with stage_times.stage("h2d"):
+                        shard_bufs[s] = jax.device_put(
+                            big[s * vg_shard:(s + 1) * vg_shard],
+                            shard_devices[s],
+                        )
+
+        def _gather_one(i):
+            video = g_videos[i]
+            read_band, count_fn, _d = g_staging[i]
+            n = len(video)
+            with stage_times.stage("read_gather"):
+                bg = float(np.max(video[0]))
+                bgs[i] = bg
+                noise = max(NOISE_THRESHOLD_FLOOR, bg * 0.5)
+                # Fused native pass: band rows AND counts in ONE sweep over
+                # the packed payload (half the host DRAM traffic of
+                # gather+count — the staging hot path is memory-bound).
+                # Falls back to the two-pass shape only on a stale .so /
+                # exotic container.
+                fused_rc = video.band_bytes_and_counts(
+                    0, n, rows, bg, noise, out=targets[i][:n]
+                )
+                if fused_rc is not None:
+                    counts_done[i] = fused_rc[1]
+                else:
+                    count_futs[i] = count_pool.submit(
+                        stage_times.wrap("counts_host", count_fn), 0, n, bg,
+                        noise,
+                    )
+                    read_band(0, n, rows, out=targets[i][:n])
+            if staging_mode == "put_train":
+                # Ship the moment the bytes are ready: on an eager-DMA
+                # link the put call IS the wire, so transfer i overlaps
+                # gather i+1. On a lazily staged link the put returns in
+                # microseconds and the transfers run CONCURRENTLY once the
+                # fused program demands them — do NOT block per video here
+                # (a blocked train measured 34 MB/s on the tunnel where
+                # the concurrent lazy train holds 69-85 MB/s).
+                if mesh_train:
+                    # Per-SHARD train: ship shard s to its own device the
+                    # moment its last gather lands.
+                    s = i // vg_shard
+                    with shard_lock:
+                        shard_left[s] -= 1
+                        ready = shard_left[s] == 0
+                    if ready:
+                        with stage_times.stage("h2d"):
+                            shard_bufs[s] = jax.device_put(
+                                big[s * vg_shard:(s + 1) * vg_shard],
+                                shard_devices[s],
+                            )
+                else:
+                    with stage_times.stage("h2d"):
+                        dev_bufs[i] = jax.device_put(targets[i])
+
+        with ThreadPoolExecutor(max_workers=1) as count_pool, \
+                ThreadPoolExecutor(
+                    max_workers=_gather_workers(Vg)) as gather_pool:
+            gather_futs = [
+                gather_pool.submit(_gather_one, i) for i in range(Vg)
+            ]
+            # Phase A: land EVERY gather (one_put: before its ONE put — the
+            # transfer's wire pacing runs on the host CPU, so host work
+            # concurrent with it slows the wire; put_train: the per-video/
+            # per-shard puts already rode out inside the gathers, lazily on
+            # the tunnel).
+            for fut in gather_futs:
+                fut.result()
+            trace["gather_end_t"] = time.perf_counter()
+
+            # --- host-side scan metadata (resolves the count futures)
+            # BEFORE any blocking transfer, so the wire owns the CPU
+            # outright ---
+            fidx = np.zeros((Vp, n_max), np.int32)
+            fidx[:] = np.arange(n_max, dtype=np.int32)  # pad videos: inert
+            empty = np.ones((Vp, n_max), bool)
+            has_prior = np.ones((Vp, n_max), bool)
+            cals = np.ones(Vp, np.float32)
+            fpss = np.ones(Vp, np.float32)
+            mds = np.ones(Vp, np.int32)
+            calibs: List[Tuple[float, float]] = []
+            profiles_meta = []
+            for i, video in enumerate(g_videos):
+                n = len(video)
+                fidx[i, :n] = np.arange(n, dtype=np.int32)
+                fidx[i, n:] = n + np.arange(n_max - n, dtype=np.int32)
+                counts = np.asarray(
+                    counts_done[i] if counts_done[i] is not None
+                    else count_futs[i].result(),
+                    dtype=np.int64,
+                )
+                empty[i, :n] = counts / float(h * w) < MIN_SIGNAL_FRACTION
+                # First processed frame has no differencing prior. Named
+                # methods on raw profiles need no prior at all.
+                if method == "combined" or use_frame_diff:
+                    has_prior[i, 0] = False
+                if source_config is not None:
+                    cal, off = source_config.get_calibration_for_file(
+                        video.filepath.name
+                    )
+                else:
+                    cal, off = 1.0, 0.0
+                calibs.append((cal, off))
+                cals[i] = cal
+                fpss[i] = video.frame_rate
+                mds[i] = FlameTracker(
+                    config, video.frame_rate, cal
+                ).max_displacement_px
+                profiles_meta.append(_FusedMeta(fidx[i, :n], w))
+
+            # --- empty-range wire clip ---
+            # The reference's is_empty_frame skip avoids PROCESSING dark
+            # frames but still reads them (`process_videos.py:743-763`);
+            # here the counts land during the fused gather pass, so videos
+            # with dark preambles/tails can additionally skip the WIRE and
+            # device compute: ship only each video's [first_nonempty-1,
+            # last] range (the -1 keeps the first signal frame's
+            # differencing prior in-range) and scatter the scan outputs
+            # back to full length on host. Rows outside the range are
+            # empty by definition — the scan hard-gates them, so outputs
+            # are bit-identical. The clip engages only when it pays
+            # (coverage below HSIP_CLIP_EMPTY, default 0.7) AND the full
+            # bytes haven't already crossed: one_put hasn't issued its put
+            # yet; a LAZY put train's per-video puts haven't moved a byte
+            # (dropping them and re-putting the clipped slices is free).
+            # On an eager-DMA train (mesh or not) the wire is already
+            # paid, so clipping would only add traffic.
+            clip = None
+            if staging_mode == "one_put" or (
+                mesh is None and _puts_are_lazy()
+            ):
+                clip = _clip_ranges(empty, [len(v) for v in g_videos], n_max)
+            if clip is not None:
+                with stage_times.stage("clip_copy"):
+                    lo, L_each, L = clip
+                    small = _pooled_clip((Vp, L, B, rnb))
+                    fidx_c = np.zeros((Vp, L), np.int32)
+                    fidx_c[:] = n_max + np.arange(L, dtype=np.int32)
+                    empty_c = np.ones((Vp, L), bool)
+                    prior_c = np.ones((Vp, L), bool)
+                    for i in range(Vp):
+                        li = L_each[i]
+                        if li == 0:
+                            continue
+                        small[i, :li] = big[i, lo[i]:lo[i] + li]
+                        fidx_c[i, :li] = fidx[i, lo[i]:lo[i] + li]
+                        fidx_c[i, li:] = fidx_c[i, li - 1] + np.arange(
+                            1, L - li + 1, dtype=np.int32
+                        )
+                        empty_c[i, :li] = empty[i, lo[i]:lo[i] + li]
+                        prior_c[i, :li] = has_prior[i, lo[i]:lo[i] + li]
+                        if lo[i] > 0 and (
+                            method == "combined" or use_frame_diff
+                        ):
+                            # The clip's row 0 is an empty frame whose
+                            # profile is never read; mark it prior-less
+                            # like row 0 of a full run (the program derives
+                            # the actual differencing prior from array
+                            # position).
+                            prior_c[i, 0] = False
+                    ship, fidx_s, empty_s, prior_s = small, fidx_c, \
+                        empty_c, prior_c
+            else:
+                ship, fidx_s, empty_s, prior_s = big, fidx, empty, has_prior
+            global _LAST_CLIPPED
+            _LAST_CLIPPED = _LAST_CLIPPED or clip is not None
+
+            # Phase B: ship the payload. one_put: ONE put of the whole
+            # batch — the CPU is idle (gathers and counts all resolved), no
+            # compute dispatched until the payload is in flight; under a
+            # mesh the put is SHARDED so each device receives only its
+            # videos' bytes. put_train: every per-video (or per-shard) put
+            # already rode out inside its gather — unless the clip engaged,
+            # in which case the full-length lazy puts never moved a byte
+            # and are swapped for puts of the clipped per-video slices
+            # here.
+            with stage_times.stage("h2d"):
+                if mesh_train:
+                    stacked_dev = jax.make_array_from_single_device_arrays(
+                        (Vp, n_max, B, rnb), sharding, shard_bufs
+                    )
+                elif staging_mode == "put_train":
+                    if clip is not None:
+                        dev_bufs = [jax.device_put(ship[i])
+                                    for i in range(Vp)]
+                    stacked_dev = tuple(dev_bufs)
+                elif mesh is None:
+                    stacked_dev = jax.device_put(ship)
+                else:
+                    from jax.sharding import NamedSharding, PartitionSpec \
+                        as P
+
+                    stacked_dev = jax.device_put(
+                        ship,
+                        NamedSharding(
+                            mesh, P(video_axis, None, None, None)
+                        ),
+                    )
+                if staging_mode == "one_put":
+                    # Block the ONE put here so "h2d" measures the wire and
+                    # the later blocking fetch measures device wait + fetch
+                    # (device_put is lazily staged on some backends, which
+                    # silently shifted wire time into d2h — BENCH_r03's
+                    # misleading attribution). Perf-neutral for a single
+                    # put: nothing else runs until the program that
+                    # consumes it is dispatched right after. It also makes
+                    # the pooled host buffer provably idle before the next
+                    # group/call reuses it.
+                    jax.block_until_ready(stacked_dev)
+                big = ship = None
+
+        use_pallas_scan = _batch._use_batched_kernel(
+            Vp // n_shards, w, method
         )
-    if staging_mode == "put_train":
-        # Block the INPUT train only now, AFTER the dispatch demanded all
-        # the lazy transfers — they run concurrently (the measured 2x over
-        # one blocked put) — and attribute the wait to "h2d" where it
-        # belongs. This also makes the pooled host staging buffers
-        # provably idle before the next fused call reuses them.
-        with stage_times.stage("h2d"):
-            jax.block_until_ready(stacked_dev)
-    del stacked_dev
+        program = _fused_program(
+            width=w,
+            bit_depth=depth0,
+            morphology_kernel_size=config.morphology_kernel_size,
+            gaussian_sigma=config.gaussian_sigma,
+            use_pallas_band=is_tpu_backend(),
+            method=method,
+            use_frame_diff=use_frame_diff,
+            use_pallas_scan=use_pallas_scan,
+            pallas_interpret=pallas_interpret,
+            edge_margin_px=config.edge_margin_px,
+            search_window_px=config.search_window_px,
+            exit_margin_px=config.exit_margin_px,
+            frames_per_step=default_frames_per_step(),
+            mesh=mesh,
+            video_axis=video_axis,
+            staging="one_put" if mesh_train else staging_mode,
+        )
+        kernel_fraction = np.float32(
+            config.threshold_fraction if method == "threshold"
+            else config.half_maximum_fraction
+        )
+        trace["dispatch_t"] = time.perf_counter()
+        with stage_times.stage("device_dispatch"):
+            finals_dev = program(
+                stacked_dev, bgs, fidx_s, empty_s, prior_s,
+                cals, fpss, mds,
+                np.float32(config.frame_diff_threshold),
+                np.float32(config.min_gradient_strength),
+                np.float32(config.sobel_threshold_fraction),
+                np.float32(config.ddt_velocity_jump_m_s),
+                kernel_fraction,
+            )
+        if staging_mode == "put_train":
+            # Block the INPUT train (or the per-shard arrays) only now,
+            # AFTER the dispatch demanded all the lazy transfers — they
+            # run concurrently (the measured 2x over one blocked put) —
+            # and attribute the wait to "h2d" where it belongs. This also
+            # makes the pooled host staging buffers provably idle before
+            # the next group/call reuses them; the program itself keeps
+            # executing on device while the host moves on.
+            with stage_times.stage("h2d"):
+                jax.block_until_ready(stacked_dev)
+        del stacked_dev
+        trace["inputs_ready_t"] = time.perf_counter()
+        _LAST_PIPELINE_TRACE.append(trace)
 
-    if clip is not None:
-        # Scatter the clipped scan outputs back to full length so every
-        # downstream consumer (float64 reconstruction, truncation, empty
-        # counting) sees exactly the arrays an unclipped run produces.
-        lo, L_each, _L = clip
-        with stage_times.stage("d2h"):
-            fin = np.asarray(finals_dev)
-        full = np.full((Vp, n_max), -1, np.int32)
-        for i in range(Vp):
-            li = int(L_each[i])
-            if li:
-                full[i, lo[i]:lo[i] + li] = fin[i, :li]
-        finals_dev = full
+        return {
+            "finals_dev": finals_dev,
+            "videos": g_videos,
+            "profiles_meta": profiles_meta,
+            "fidx": fidx,
+            "empty": empty,
+            "calibs": calibs,
+            "clip": clip,
+            "Vp": Vp,
+            "trace": trace,
+        }
 
-    res = _FusedResult(finals_dev)
-    return _batch._outputs_from_scan(
-        res, videos, profiles_meta, fidx, empty, calibs, use_absolute_time,
-        config, stage_times=stage_times,
-    )
+    def _finish_group(rec) -> List:
+        finals_dev = rec["finals_dev"]
+        clip = rec["clip"]
+        if clip is not None:
+            # Scatter the clipped scan outputs back to full length so
+            # every downstream consumer (float64 reconstruction,
+            # truncation, empty counting) sees exactly the arrays an
+            # unclipped run produces.
+            lo, L_each, _L = clip
+            with stage_times.stage("d2h"):
+                fin = np.asarray(finals_dev)
+            full = np.full((rec["Vp"], n_max), -1, np.int32)
+            for i in range(rec["Vp"]):
+                li = int(L_each[i])
+                if li:
+                    full[i, lo[i]:lo[i] + li] = fin[i, :li]
+            finals_dev = full
+        outs = _batch._outputs_from_scan(
+            _FusedResult(finals_dev), rec["videos"], rec["profiles_meta"],
+            rec["fidx"], rec["empty"], rec["calibs"], use_absolute_time,
+            config, stage_times=stage_times,
+        )
+        rec["trace"]["finals_ready_t"] = time.perf_counter()
+        return outs
+
+    global _LAST_CLIPPED
+    _LAST_CLIPPED = False
+    _LAST_PIPELINE_TRACE.clear()
+
+    n_groups = _fused_group_count(V, mesh)
+    bounds = np.linspace(0, V, n_groups + 1).astype(int)
+    groups = [list(range(bounds[g], bounds[g + 1]))
+              for g in range(n_groups) if bounds[g + 1] > bounds[g]]
+
+    # The pipeline: stage+dispatch every group back to back (group g's
+    # program executes under group g+1's host gather), then fetch results
+    # in order — the only blocking device waits of the whole call.
+    pending = [_stage_dispatch_group(g) for g in groups]
+    outputs: List = []
+    for rec in pending:
+        outputs.extend(_finish_group(rec))
+    return outputs
 
 
 class _FusedMeta:

@@ -159,23 +159,81 @@ def test_fused_staging_modes_match(tmp_path, monkeypatch, staging):
                 assert out.break_reason == exp.break_reason
 
 
+def test_fused_pipelined_groups_match(tmp_path, monkeypatch):
+    """G>1 pipelined sub-batch programs (stage+dispatch group g, then
+    gather g+1 while g computes; fetch only at the end) must be
+    row-identical to the host scan — per-video results are independent,
+    so grouping is output-invariant by construction. The pipeline trace
+    must show one record per group, dispatched strictly before the next
+    group's gather ends (the overlap window exists)."""
+    import hsip_tpu.track.fused as fused_mod
+
+    monkeypatch.setenv("HSIP_FUSED_GROUPS", "3")
+    lengths = (40, 25, 33, 37, 29)
+    for i, n in enumerate(lengths):
+        _write(tmp_path, f"nova-run-{i + 1}-001", n_frames=n, seed=90 + i)
+    config = FlameDetectorConfig()
+    expected = []
+    for i in range(len(lengths)):
+        with open_video(str(tmp_path / f"nova-run-{i + 1}-001.cihx")) as v:
+            expected.append(track_video(v, config, 1.0, 0.0, scan="host",
+                                        use_absolute_time=True))
+    with open_collection(str(tmp_path)) as coll:
+        videos = list(coll)
+        outs = track_uniform_videos_fused(
+            videos, videos[0].frame_shape[1], config, None, True,
+        )
+    assert outs is not None and len(outs) == len(lengths)
+    for out, exp in zip(outs, expected):
+        assert _rows(out) == _rows(exp)
+        assert out.break_reason == exp.break_reason
+        assert out.empty_frame_count == exp.empty_frame_count
+    trace = fused_mod._LAST_PIPELINE_TRACE
+    assert len(trace) == 3
+    for g in range(len(trace) - 1):
+        # Group g is dispatched before group g+1's gather starts: the
+        # device works under the next group's host staging.
+        assert trace[g]["dispatch_t"] <= trace[g + 1]["gather_start_t"]
+    # Results are fetched only after every group is in flight.
+    assert all("finals_ready_t" in t for t in trace)
+    assert trace[0]["finals_ready_t"] >= trace[-1]["dispatch_t"]
+
+
+def test_fused_group_count_routing(monkeypatch):
+    from hsip_tpu.parallel import make_mesh
+    from hsip_tpu.track.fused import _fused_group_count
+
+    monkeypatch.setenv("HSIP_FUSED_GROUPS", "4")
+    assert _fused_group_count(8, None) == 4
+    assert _fused_group_count(3, None) == 3  # clamped to V
+    assert _fused_group_count(1, None) == 1
+    # Mesh runs keep one sharded dispatch regardless of the override.
+    assert _fused_group_count(8, make_mesh("video")) == 1
+    monkeypatch.setenv("HSIP_FUSED_GROUPS", "auto")
+    import hsip_tpu.track.fused as fused_mod
+
+    monkeypatch.setattr(fused_mod, "_puts_are_lazy", lambda: True)
+    assert fused_mod._fused_group_count(8, None) == 1  # wire-bound: 1 train
+    monkeypatch.setattr(fused_mod, "_puts_are_lazy", lambda: False)
+    assert fused_mod._fused_group_count(8, None) == 4  # staging-bound: pipe
+
+
 def test_staging_mode_routing(monkeypatch):
-    """Mesh runs force one_put; HSIP_STAGING overrides; auto resolves to
-    the per-video put train — measured fastest on BOTH link families
-    (eager DMA overlaps the gathers; lazy links transfer the unblocked
-    train concurrently at program demand, ~2x one blocked put on the
-    tunnel)."""
+    """HSIP_STAGING overrides; auto resolves to the put train on BOTH
+    link families and under a mesh (where it means PER-SHARD trains —
+    the r4 wire finding: concurrency of in-flight transfers, not put
+    size, sets the rate; one sharded put forfeits it)."""
     from hsip_tpu.parallel import make_mesh
     from hsip_tpu.track.fused import _staging_mode
 
     monkeypatch.setenv("HSIP_STAGING", "put_train")
     assert _staging_mode(None) == "put_train"
-    assert _staging_mode(make_mesh("video")) == "one_put"
+    assert _staging_mode(make_mesh("video")) == "put_train"
     monkeypatch.setenv("HSIP_STAGING", "one_put")
     assert _staging_mode(None) == "one_put"
     monkeypatch.setenv("HSIP_STAGING", "auto")
     assert _staging_mode(None) == "put_train"
-    assert _staging_mode(make_mesh("video")) == "one_put"
+    assert _staging_mode(make_mesh("video")) == "put_train"
 
 
 def test_clip_skips_dark_ranges_bit_identically(tmp_path, monkeypatch):

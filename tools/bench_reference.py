@@ -37,6 +37,9 @@ import time
 from pathlib import Path
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
+# hsip_tpu runs from the source tree (not installed); `python tools/...`
+# puts tools/ on sys.path, so the root must be added explicitly.
+sys.path.insert(0, str(REPO_ROOT))
 
 
 def _load_reference(with_figures: bool):

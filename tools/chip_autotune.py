@@ -22,8 +22,15 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
+
+# `python tools/chip_autotune.py` puts tools/ (not the repo root) on
+# sys.path, and hsip_tpu is used from the source tree, not installed —
+# without this line the round-4 unattended ladder died right here with
+# ModuleNotFoundError.
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def _make_profiles(v, m, w, rng):
