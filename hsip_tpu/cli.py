@@ -183,10 +183,11 @@ def build_parser() -> argparse.ArgumentParser:
         choices=("tpu", "device", "exact"),
         default=None,
         help="tpu: device map + host scan; device: fully on-device "
-             "tracking (no per-frame figures); exact: serial float64 host. "
+             "tracking (per-frame figures render via a row-identical "
+             "host-scan replay); exact: serial float64 host. "
              "Default: auto — 'device' when per-frame figures are off, "
-             "else 'tpu'. Incompatible with --library (which always runs "
-             "the vmapped device path)",
+             "else 'tpu' (same rows, no replay cost). Incompatible with "
+             "--library (which always runs the vmapped device path)",
     )
     parser.add_argument(
         "--library",

@@ -154,7 +154,8 @@ def process_video_file(
     ``backend``:
       * 'tpu'    — batched device map phase + host float64 scan (default).
       * 'device' — map phase AND tracking scan on device (lax.scan); profiles
-                   never leave the chip. No per-frame viz hooks.
+                   never leave the chip. Figure requests are served by a
+                   host-scan replay (row-identical by the parity contract).
       * 'exact'  — frame-at-a-time host float64 :class:`FlameDetector`
                    (bit-exact anchor; also used for full-frame visualization).
     """
@@ -199,12 +200,6 @@ def process_video_file(
         output_dir = Path(config.output_dir) if config.output_dir else None
         frames_output_dir = None
         do_images = config.save_frame_images if save_images is None else save_images
-        if backend == "device" and do_images:
-            # The fully on-device scan exposes no per-frame hook.
-            if verbose:
-                print("  Note: per-frame figures unavailable with "
-                      "backend='device'")
-            do_images = False
         if write_outputs and output_dir is not None:
             output_dir.mkdir(parents=True, exist_ok=True)
             if do_images or config.save_stacked_sequences:
@@ -267,6 +262,7 @@ def process_video_file(
             def progress(staged, total):  # noqa: ANN001
                 print(f"  Staged {staged}/{total} frames...")
 
+        viz_tracker = None  # tracker whose history feeds the figures
         if backend in ("tpu", "device"):
             output = track_video(
                 video,
@@ -276,12 +272,34 @@ def process_video_file(
                 skip_frames=config.skip_frames,
                 use_absolute_time=config.use_absolute_time,
                 background_scalar=background_scalar,
-                on_result=on_result,
+                on_result=None if backend == "device" else on_result,
                 detection_method=config.detection_method,
                 use_frame_diff=config.use_frame_diff,
                 scan="device" if backend == "device" else "host",
                 progress=progress,
             )
+            if backend == "device" and on_result is not None:
+                # The fully on-device scan emits only integer positions —
+                # no per-frame hook. Figures are collected from a host-scan
+                # REPLAY instead (the same shape library mode uses for its
+                # figures): row-identical by the backend parity contract,
+                # so the 12-panel diagnostics the reference always renders
+                # (process_videos.py:1474-1480) exist for every backend
+                # flag here too.
+                replay = track_video(
+                    video,
+                    detector_config,
+                    calibration_m_per_px=file_calibration,
+                    position_offset_m=file_position_offset,
+                    skip_frames=config.skip_frames,
+                    use_absolute_time=config.use_absolute_time,
+                    background_scalar=background_scalar,
+                    on_result=on_result,
+                    detection_method=config.detection_method,
+                    use_frame_diff=config.use_frame_diff,
+                    scan="host",
+                )
+                viz_tracker = replay.tracker
         elif backend == "exact":
             output = _track_video_exact(
                 video,
@@ -322,7 +340,7 @@ def process_video_file(
             paths = viz.render_diagnostics_parallel(
                 str(cihx_file),
                 viz_tasks,
-                output.tracker.position_history,
+                (viz_tracker or output.tracker).position_history,
                 video.frame_rate,
                 file_calibration,
                 background_scalar,

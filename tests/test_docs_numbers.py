@@ -40,6 +40,38 @@ def test_every_headline_number_has_a_derivation():
     assert prov.get("source"), "evidence source missing"
 
 
+def test_chip_claims_cite_archived_evidence():
+    """Every 'on the real chip'-class claim in ROUND4+.md must name an
+    archived docs/evidence/ log that exists, or carry an explicit
+    '(unarchived' marker (VERDICT r4 #4: round 4 asserted on-chip
+    results whose logs lived in /tmp; tier/sweep evidence now gets the
+    same discipline as bench numbers)."""
+    import re
+
+    ev = REPO / "docs" / "evidence"
+    claim_re = re.compile(r"real chip|on[- ]chip|on the chip", re.I)
+    cite_re = re.compile(r"docs/evidence/([\w.\-]+)")
+    for doc in sorted(REPO.glob("docs/ROUND*.md")):
+        if doc.name < "ROUND4":  # rule starts where the discipline does
+            continue
+        paragraphs = doc.read_text().split("\n\n")
+        for para in paragraphs:
+            if not claim_re.search(para):
+                continue
+            cited = cite_re.findall(para)
+            if "(unarchived" in para:
+                continue
+            assert cited, (
+                f"{doc.name}: on-chip claim cites no docs/evidence/ log "
+                f"and carries no '(unarchived' marker:\n{para[:400]}"
+            )
+            for name in cited:
+                assert (ev / name).exists(), (
+                    f"{doc.name} cites docs/evidence/{name}, which does "
+                    "not exist"
+                )
+
+
 def test_tampered_number_fails_check(tmp_path):
     """A hand-edited headline text (the '~1230' orphan class) must fail."""
     import shutil

@@ -56,11 +56,13 @@ V=${V:-8}  # matches batched_kernel_max_videos()'s unset default
 # The outer bound must cover bench's worst case: preflight (~150 s) plus
 # one TPU child AND one labeled CPU retry, each capped at --child-timeout
 # (a tunnel that answers the preflight and dies mid-run burns the full
-# child budget before the retry starts). 150 + 2*900 < 3600, and 900 s
-# still fits a healthy chip run with tunnel-slowed first compiles.
+# child budget before the retry starts). 150 + 2*1400 < 3600. 1400 s
+# fits the 12 interleaved pairs + the V=16 amortization point at healthy
+# weather (~1000 s measured shape); the bench's own deadline guard drops
+# the V=16 point first when weather eats the budget.
 run_step bench "$EV/bench_${TAG}.log" \
   3600 env HSIP_PALLAS_SCAN_K="$K" HSIP_PALLAS_BATCH_MAX_V="$V" \
-  python bench.py --child-timeout 900
+  python bench.py --child-timeout 1400
 
 echo "== ladder summary (tuned K=$K, kernel batch max V=$V) =="
 rc=0

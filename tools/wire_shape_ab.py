@@ -38,11 +38,16 @@ def main() -> None:
     consume1 = jax.jit(lambda x: jnp.sum(x, dtype=jnp.uint32))
     consume_n = jax.jit(
         lambda xs: sum(jnp.sum(x, dtype=jnp.uint32) for x in xs))
-    w = jax.device_put(np.ones((8 << 20,), np.uint8))
+    # Warm with the TIMED shapes (jit caches on shape): warming on
+    # stand-in sizes left a recompile inside rep 0 of the freerun/
+    # lazy_tuple sections, biasing against the modes that won (ADVICE
+    # r4) — the wire cost of a real-shape warm-up is what it costs.
+    w = jax.device_put(per[0])
     jax.block_until_ready(consume1(w))
     del w
-    jax.block_until_ready(consume_n(tuple(
-        jax.device_put(np.ones((1024,), np.uint8)) for _ in range(V))))
+    bufs = tuple(jax.device_put(p) for p in per)
+    jax.block_until_ready(consume_n(bufs))
+    del bufs
 
     def one():
         t0 = time.perf_counter()
