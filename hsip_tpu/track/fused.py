@@ -609,7 +609,16 @@ def track_uniform_videos_fused(
         count_futs = [None] * Vg
         counts_done = [None] * Vg  # resolved counts from the fused one-pass
 
-        mesh_train = staging_mode == "put_train" and mesh is not None
+        # Per-shard trains assume exactly one device per video shard; a
+        # mesh with extra axes replicates shards across devices, which
+        # make_array_from_single_device_arrays would need one array per
+        # DEVICE for — route that (no current caller builds one) to the
+        # sharded one_put, which NamedSharding handles for any mesh.
+        mesh_train = (staging_mode == "put_train" and mesh is not None
+                      and mesh.devices.size == n_shards)
+        eff_staging = staging_mode
+        if mesh is not None and not mesh_train:
+            eff_staging = "one_put"
         if mesh_train:
             vg_shard, shard_devices, sharding = _shard_putters(
                 mesh, video_axis, (Vp, n_max, B, rnb)
@@ -657,7 +666,7 @@ def track_uniform_videos_fused(
                         noise,
                     )
                     read_band(0, n, rows, out=targets[i][:n])
-            if staging_mode == "put_train":
+            if eff_staging == "put_train":
                 # Ship the moment the bytes are ready: on an eager-DMA
                 # link the put call IS the wire, so transfer i overlaps
                 # gather i+1. On a lazily staged link the put returns in
@@ -755,7 +764,7 @@ def track_uniform_videos_fused(
             # On an eager-DMA train (mesh or not) the wire is already
             # paid, so clipping would only add traffic.
             clip = None
-            if staging_mode == "one_put" or (
+            if eff_staging == "one_put" or (
                 mesh is None and _puts_are_lazy()
             ):
                 clip = _clip_ranges(empty, [len(v) for v in g_videos], n_max)
@@ -808,7 +817,7 @@ def track_uniform_videos_fused(
                     stacked_dev = jax.make_array_from_single_device_arrays(
                         (Vp, n_max, B, rnb), sharding, shard_bufs
                     )
-                elif staging_mode == "put_train":
+                elif eff_staging == "put_train":
                     if clip is not None:
                         dev_bufs = [jax.device_put(ship[i])
                                     for i in range(Vp)]
@@ -825,7 +834,7 @@ def track_uniform_videos_fused(
                             mesh, P(video_axis, None, None, None)
                         ),
                     )
-                if staging_mode == "one_put":
+                if eff_staging == "one_put":
                     # Block the ONE put here so "h2d" measures the wire and
                     # the later blocking fetch measures device wait + fetch
                     # (device_put is lazily staged on some backends, which
@@ -874,7 +883,7 @@ def track_uniform_videos_fused(
                 np.float32(config.ddt_velocity_jump_m_s),
                 kernel_fraction,
             )
-        if staging_mode == "put_train":
+        if eff_staging == "put_train":
             # Block the INPUT train (or the per-shard arrays) only now,
             # AFTER the dispatch demanded all the lazy transfers — they
             # run concurrently (the measured 2x over one blocked put) —

@@ -130,6 +130,39 @@ def test_fused_engages_under_mesh_and_matches(tmp_path):
         assert out.break_reason == exp.break_reason
 
 
+def test_fused_multi_axis_mesh_falls_back_to_sharded_put(tmp_path,
+                                                         monkeypatch):
+    """A mesh with axes beyond the video axis replicates shards across
+    devices — the per-shard put train assumes one device per shard, so
+    such a mesh must route to the sharded one_put (NamedSharding handles
+    any mesh) and stay row-identical to the host scan."""
+    import jax
+    import numpy as np_
+    from jax.sharding import Mesh
+
+    monkeypatch.setenv("HSIP_STAGING", "put_train")
+    lengths = (40, 25, 33)
+    for i, n in enumerate(lengths):
+        _write(tmp_path, f"nova-run-{i + 1}-001", n_frames=n, seed=120 + i)
+    config = FlameDetectorConfig()
+    expected = []
+    for i in range(len(lengths)):
+        with open_video(str(tmp_path / f"nova-run-{i + 1}-001.cihx")) as v:
+            expected.append(track_video(v, config, 1.0, 0.0, scan="host",
+                                        use_absolute_time=True))
+    mesh = Mesh(
+        np_.array(jax.devices()[:8]).reshape(2, 4), ("video", "aux")
+    )
+    with open_collection(str(tmp_path)) as coll:
+        videos = list(coll)
+        outs = track_uniform_videos_fused(
+            videos, videos[0].frame_shape[1], config, None, True, mesh=mesh,
+        )
+    assert outs is not None
+    for out, exp in zip(outs, expected):
+        assert _rows(out) == _rows(exp)
+
+
 @pytest.mark.parametrize("staging", ["one_put", "put_train"])
 def test_fused_staging_modes_match(tmp_path, monkeypatch, staging):
     """Both payload calling conventions (ONE batched put vs a per-video
