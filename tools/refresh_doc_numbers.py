@@ -45,7 +45,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 HEADLINE = REPO / "docs" / "evidence" / "headline.json"
 DOCS = ("README.md", "PARITY.md", "BASELINE.md", "docs/ROUND3.md",
-        "docs/ROUND4.md", "docs/DESIGN.md")
+        "docs/ROUND4.md", "docs/ROUND5.md", "docs/DESIGN.md")
 
 _MARK = re.compile(r"<!--num:([a-z0-9_]+)-->(.*?)<!--/num-->", re.S)
 
@@ -60,7 +60,7 @@ def _payload(path: Path) -> dict:
 def _extract(d: dict, dotted: str):
     v = d
     for part in dotted.split("."):
-        v = v[part]
+        v = v[int(part)] if isinstance(v, list) else v[part]
     return v
 
 
