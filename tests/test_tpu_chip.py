@@ -273,6 +273,90 @@ def test_library_mode_parity_on_chip(tmp_path):
     assert "LIBRARY_OK" in proc.stdout, proc.stdout
 
 
+_CHIP_FUSED_GROUPS = textwrap.dedent(
+    """
+    import os
+    import sys
+    import numpy as np
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        print("NO_TPU")
+        sys.exit(0)
+
+    from hsip_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
+    # The fused library's round-5 staging variants on the REAL chip:
+    # pipelined sub-batch grouping (G>1) and both payload calling
+    # conventions must be row-identical to G=1/auto — grouping and
+    # staging shape are output-invariant by construction, and this pins
+    # it with the compiled Mosaic band kernel + Pallas scan rather than
+    # the interpret-mode twins the CPU suite exercises.
+    import tempfile
+    from pathlib import Path
+    from hsip_tpu import open_collection
+    from hsip_tpu.io import (
+        CihxSpec, FlameSpec, synthesize_flame_video, write_recording,
+    )
+    from hsip_tpu.track import FlameDetectorConfig
+    import hsip_tpu.track.fused as fused
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d = Path(tmp) / "library"
+        for i, (ign, seed) in enumerate(
+            ((2, 31), (4, 32), (3, 33), (5, 34), (2, 35))
+        ):
+            fr, _ = synthesize_flame_video(
+                48, height=48, width=512,
+                flame=FlameSpec(x0=26.0, v0_px=7.0, ignition_frame=ign,
+                                seed=seed),
+            )
+            write_recording(d, f"nova-run-{i + 1}-001", fr,
+                            spec=CihxSpec(width=512, height=48,
+                                          total_frames=48,
+                                          record_rate=100_000,
+                                          bit_depth=12))
+        config = FlameDetectorConfig()
+        results = {}
+        for label, env in (
+            ("auto", {}),
+            ("groups3", {"HSIP_FUSED_GROUPS": "3"}),
+            ("one_put", {"HSIP_STAGING": "one_put"}),
+            ("train", {"HSIP_STAGING": "put_train"}),
+        ):
+            for k in ("HSIP_FUSED_GROUPS", "HSIP_STAGING"):
+                os.environ.pop(k, None)
+            os.environ.update(env)
+            with open_collection(str(d)) as coll:
+                videos = list(coll)
+                outs = fused.track_uniform_videos_fused(
+                    videos, videos[0].frame_shape[1], config, None, True,
+                )
+            assert outs is not None, f"{label}: fused path declined"
+            if label == "groups3":
+                assert len(fused._LAST_PIPELINE_TRACE) == 3, (
+                    len(fused._LAST_PIPELINE_TRACE)
+                )
+            results[label] = [
+                ([(r[0], r[2]) for r in o.rows], o.break_reason) for o in outs
+            ]
+        base = results["auto"]
+        for label, rows in results.items():
+            assert rows == base, f"{label} rows differ from auto on chip"
+        assert base[0][0], "no rows recorded"  # sanity
+
+    print("FUSED_GROUPS_OK")
+    """
+)
+
+
+def test_fused_grouping_and_staging_parity_on_chip(tmp_path):
+    proc = _run_chip_subprocess(tmp_path, _CHIP_FUSED_GROUPS)
+    assert "FUSED_GROUPS_OK" in proc.stdout, proc.stdout
+
+
 _CHIP_SCAN_PERF = textwrap.dedent(
     """
     import sys, time
