@@ -411,6 +411,16 @@ def run_bench(args, config) -> dict:
         outs_single: list = []
         outs = []
         for rep in range(args.repeat):
+            pair_costs = [
+                sum(t) for t in zip(*(v for v in samples.values() if v))
+            ]
+            note = _repeats_deadline_note(
+                rep, args.repeat, time.monotonic() - _CHILD_START,
+                max(pair_costs, default=0.0), args.child_timeout,
+            )
+            if note is not None:
+                extra["repeats_truncated"] = note
+                break
             legs = []
             if run_single:
                 legs.append("s")
@@ -658,7 +668,10 @@ def _build_parser() -> argparse.ArgumentParser:
         help="interleaved repeats; the headline uses the MEDIAN (the "
         "dev-tunnel transfer path swings ~20x minute-to-minute, which "
         "biases best-of toward the higher-variance mode); 12 pairs put "
-        "the pairwise-ratio IQR in the artifact with usable resolution",
+        "the pairwise-ratio IQR in the artifact with usable resolution. "
+        "Deadline-guarded: under weather the pairs truncate between "
+        "complete repeats (never below 4) rather than outrun "
+        "--child-timeout into the CPU retry",
     )
     parser.add_argument(
         "--videos16", type=int, default=16,
@@ -720,9 +733,37 @@ def _error_json(msg: str) -> str:
     )
 
 
-# Stamped at measurement-child entry; run_bench's deadline guard for the
-# optional V=16 point reads it to avoid blowing --child-timeout.
+# Stamped at measurement-child entry; run_bench's deadline guards (main
+# repeats + the optional V=16 point) read it to avoid blowing
+# --child-timeout.
 _CHILD_START = time.monotonic()
+
+
+def _repeats_deadline_note(rep: int, total: int, elapsed: float,
+                           est_next: float, child_timeout: float):
+    """Main-repeat deadline guard: the truncation note, or None to keep
+    measuring.
+
+    Under bad tunnel weather the default 12 pairs can outrun the child
+    budget, and a killed TPU child degrades the official artifact to the
+    labeled CPU retry — strictly worse than a TPU capture with fewer
+    pairs. So stop BETWEEN pairs when the projected next pair (cost
+    bounded by the slowest pair so far) would pass 72% of the budget —
+    leaving the tail for the scipy baseline + teardown (the V=16 point's
+    own 55% guard then skips it). Never truncate below the 4 pairs the
+    pairwise-ratio IQR needs; pairs stay complete, so the pairwise
+    statistic is unaffected.
+    """
+    if rep < 4:
+        return None
+    if elapsed + est_next <= 0.72 * child_timeout:
+        return None
+    return (
+        f"stopped after {rep} of {total} pairs: {elapsed:.0f}s elapsed "
+        f"+ est. next pair {est_next:.0f}s would pass 72% of the "
+        f"{child_timeout:.0f}s child budget (weather-slowed run); pairs "
+        "stay complete so the pairwise statistic is unaffected"
+    )
 
 
 def run_child(args, parser) -> int:

@@ -68,3 +68,26 @@ def test_child_timeout_on_cpu_emits_error_json():
     assert result["metric"] == "mraw_frames_per_sec_per_chip_decode_track"
     assert result["value"] is None
     assert "error" in result
+
+
+def test_repeats_deadline_guard_decision():
+    """The main-repeat guard truncates between pairs under a blown
+    budget (keeping the artifact a TPU capture with fewer pairs instead
+    of a killed child + CPU retry), and never below the 4 pairs the
+    pairwise-ratio IQR needs."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", REPO / "bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    guard = bench._repeats_deadline_note
+
+    # Healthy weather: 6 pairs done in 200s of a 1500s budget -> keep going.
+    assert guard(6, 12, 200.0, 40.0, 1500.0) is None
+    # Blown budget: 1000s elapsed, next pair ~120s > 72% of 1500 -> stop.
+    note = guard(6, 12, 1000.0, 120.0, 1500.0)
+    assert note is not None and "6 of 12" in note
+    # Floor: below 4 pairs the guard never fires, whatever the clock says.
+    assert guard(3, 12, 1400.0, 200.0, 1500.0) is None
