@@ -290,10 +290,23 @@ _CHIP_FUSED_GROUPS = textwrap.dedent(
 
     # The fused library's round-5 staging variants on the REAL chip:
     # pipelined sub-batch grouping (G>1) and both payload calling
-    # conventions must be row-identical to G=1/auto — grouping and
-    # staging shape are output-invariant by construction, and this pins
-    # it with the compiled Mosaic band kernel + Pallas scan rather than
-    # the interpret-mode twins the CPU suite exercises.
+    # conventions must be row-identical to G=1 — grouping and staging
+    # shape are output-invariant by construction, and this pins it with
+    # the compiled Mosaic band kernel + Pallas scan rather than the
+    # interpret-mode twins the CPU suite exercises.
+    #
+    # Compile budget (the r5c ladder lesson — this test's first real-chip
+    # run timed out at 900 s with ZERO stdout): a COLD fused-program
+    # compile through the remote tunnel runs 1-4+ minutes per distinct
+    # program shape, so the test pins everything that changes the shape
+    # count. K=1 (any K is bit-identical by contract; the default K=8
+    # statically unrolls the scan body 8x at trace time), G pinned per
+    # label (auto's G depends on the link-probe's weather — it measured
+    # BOTH lazy and eager on the same tunnel across one evening), and
+    # V=4 so the sweep needs exactly three distinct programs:
+    # put_train V=4 (groups1 + train share it), put_train V=2 (groups2),
+    # one_put V=4.
+    os.environ["HSIP_PALLAS_SCAN_K"] = "1"
     import tempfile
     from pathlib import Path
     from hsip_tpu import open_collection
@@ -306,7 +319,7 @@ _CHIP_FUSED_GROUPS = textwrap.dedent(
     with tempfile.TemporaryDirectory() as tmp:
         d = Path(tmp) / "library"
         for i, (ign, seed) in enumerate(
-            ((2, 31), (4, 32), (3, 33), (5, 34), (2, 35))
+            ((2, 31), (4, 32), (3, 33), (5, 34))
         ):
             fr, _ = synthesize_flame_video(
                 48, height=48, width=512,
@@ -321,10 +334,12 @@ _CHIP_FUSED_GROUPS = textwrap.dedent(
         config = FlameDetectorConfig()
         results = {}
         for label, env in (
-            ("auto", {}),
-            ("groups3", {"HSIP_FUSED_GROUPS": "3"}),
-            ("one_put", {"HSIP_STAGING": "one_put"}),
-            ("train", {"HSIP_STAGING": "put_train"}),
+            ("groups1", {"HSIP_FUSED_GROUPS": "1"}),
+            ("groups2", {"HSIP_FUSED_GROUPS": "2"}),
+            ("one_put", {"HSIP_FUSED_GROUPS": "1",
+                         "HSIP_STAGING": "one_put"}),
+            ("train", {"HSIP_FUSED_GROUPS": "1",
+                       "HSIP_STAGING": "put_train"}),
         ):
             for k in ("HSIP_FUSED_GROUPS", "HSIP_STAGING"):
                 os.environ.pop(k, None)
@@ -335,16 +350,16 @@ _CHIP_FUSED_GROUPS = textwrap.dedent(
                     videos, videos[0].frame_shape[1], config, None, True,
                 )
             assert outs is not None, f"{label}: fused path declined"
-            if label == "groups3":
-                assert len(fused._LAST_PIPELINE_TRACE) == 3, (
+            if label == "groups2":
+                assert len(fused._LAST_PIPELINE_TRACE) == 2, (
                     len(fused._LAST_PIPELINE_TRACE)
                 )
             results[label] = [
                 ([(r[0], r[2]) for r in o.rows], o.break_reason) for o in outs
             ]
-        base = results["auto"]
+        base = results["groups1"]
         for label, rows in results.items():
-            assert rows == base, f"{label} rows differ from auto on chip"
+            assert rows == base, f"{label} rows differ from groups1 on chip"
         assert base[0][0], "no rows recorded"  # sanity
 
     print("FUSED_GROUPS_OK")
@@ -353,7 +368,10 @@ _CHIP_FUSED_GROUPS = textwrap.dedent(
 
 
 def test_fused_grouping_and_staging_parity_on_chip(tmp_path):
-    proc = _run_chip_subprocess(tmp_path, _CHIP_FUSED_GROUPS)
+    # 1200 s: three cold fused-program compiles through the remote
+    # tunnel at 1-4+ min each (see the script comment) — the standard
+    # 900 s cap timed out on this test's first cold-cache ladder run.
+    proc = _run_chip_subprocess(tmp_path, _CHIP_FUSED_GROUPS, timeout=1200)
     assert "FUSED_GROUPS_OK" in proc.stdout, proc.stdout
 
 

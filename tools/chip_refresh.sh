@@ -36,12 +36,13 @@ run_step() {
 
 # Each step is time-bounded so an unattended run can't wedge on a tunnel
 # that drops mid-way (init hangs rather than fails when it's down).
-# Tier bound 2700 s: two heavy subprocess checks can each run to their
-# 900 s weather-tolerant cap before the quick ones. -s: the tier's [chip]
+# Tier bound 3900 s: two heavy subprocess checks can each run to their
+# 900 s weather-tolerant cap, and the fused grouping sweep to its
+# 1200 s cold-compile cap, before the quick ones. -s: the tier's [chip]
 # measurement echoes (KERNEL_MS, *_US_PER_STEP) must reach the log on
 # PASSING tests, not just failures.
 run_step tier "$EV/chip_tier_${TAG}.log" \
-  2700 env HSIP_TPU_CHIP=1 python -m pytest tests/test_tpu_chip.py -v -rs -s
+  3900 env HSIP_TPU_CHIP=1 python -m pytest tests/test_tpu_chip.py -v -rs -s
 
 run_step sweep "$EV/autotune_${TAG}.log" \
   1800 python tools/chip_autotune.py --videos 1 2 4 8
