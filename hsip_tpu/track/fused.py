@@ -82,6 +82,13 @@ def _puts_are_lazy() -> bool:
     staging shape (see :func:`_staging_mode`) and the pipelined group
     count (:func:`_fused_group_count`) — measured once per process,
     ~tens of ms.
+
+    The answer is a per-process weather observation, not a hardware
+    constant: the dev tunnel has measured BOTH ways across one evening
+    (fast windows complete the 8 MB put near-synchronously). That is
+    fine — every routing outcome is row-identical by contract (the
+    on-chip grouping/staging sweep pins it), so a "wrong" reading costs
+    only the wire-shape optimization, never correctness.
     """
     import jax
 
